@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the harvesting engine.
+
+Local-mode settings mirror what we would set cluster-side via
+spark-submit --conf: AQE on (skew-join splitting replaces the reference's
+recursive batch-splitting, biosample/files/biosample.py:117-130), Arrow on
+(the input_hint mandates vectorized pandas UDFs, no per-row Python),
+shuffle partitions sized to the test scale (cluster: ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "nde-crawlers-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``cores=None`` uses ``local[*]``; tests pass explicit core counts to
+    evidence N-vs-4N scaling (BASELINE.md sandbox protocol).
+    """
+    cpus = cores if cores is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cpus}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else (
+        int(cpus) if str(cpus).isdigit() else 32
+    )
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalesce + skew-join split — the scale path for
+        # hot-host skew (north rule: Zenodo/ImmPort-style domination).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Arrow for all pandas UDF exchange; batch size mirrors the
+        # reference's 1000-doc enrichment batches (pmid_helper.py:855).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        # Keep timestamps deterministic across engines.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast threshold: lookup tables (robots, corrections, term
+        # maps) are small; 64MB covers them at 100TB-scale dims too.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def stop_spark() -> None:
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.stop()
