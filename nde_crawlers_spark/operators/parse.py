@@ -1,0 +1,132 @@
+"""Parse/normalize stage: wire bytes -> interleaved text+media spans.
+
+The reference implements one parser per source (HTML XPath:
+ncbi_geo_crawler/files/spider.py:88-119; DataCite XML:
+zenodo/files/zenodo.py:120-278; JSON: immport/files/immport.py:37-90) and
+each is a row->rows generator (SURVEY §2.11). Here the three wire formats
+normalize into ONE canonical output — the BASELINE.json input_hint table:
+
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int>>)
+
+plus the extracted outlinks that feed the frontier.
+
+``parse_body`` is the single source of truth, plain Python: the Spark
+path calls it inside an Arrow-batched ``mapInPandas`` (never row-at-a-time
+UDF), and the single-threaded Python oracle (plans/oracle.py) calls the
+very same function — so the span-sequence-equality invariant (same
+(kind, text, media_ref) in the same order) checks Spark's plumbing
+(batching, partitioning, schema) rather than two parser implementations.
+
+Span order is canonical: title, description, author, date, keyword*,
+media* — offsets strictly increasing cumulative text positions.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]
+    )
+)
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.StringType()),
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("spans", SPAN_SCHEMA),
+        T.StructField("outlinks", T.ArrayType(T.StringType())),
+    ]
+)
+
+_HTML_RX = {
+    "title": re.compile(r"<title>(.*?)</title>", re.S),
+    "desc": re.compile(r'<p class="desc">(.*?)</p>', re.S),
+    "author": re.compile(r'<span class="author">(.*?)</span>', re.S),
+    "date": re.compile(r"<time>(.*?)</time>", re.S),
+    "kw": re.compile(r'<meta name="keywords" content="(.*?)"/>'),
+    "media": re.compile(r'<img src="(.*?)"/>'),
+    "link": re.compile(r'<a href="(.*?)">'),
+}
+_XML_RX = {
+    "title": re.compile(r"<title>(.*?)</title>", re.S),
+    "desc": re.compile(r"<description>(.*?)</description>", re.S),
+    "author": re.compile(r"<creatorName>(.*?)</creatorName>", re.S),
+    "date": re.compile(r"<date>(.*?)</date>", re.S),
+    "kw": re.compile(r"<subject>(.*?)</subject>"),
+    "media": re.compile(r"<contentUrl>(.*?)</contentUrl>"),
+    "link": re.compile(r"<relatedIdentifier>(.*?)</relatedIdentifier>"),
+}
+
+
+def parse_body(kind: str, body: str) -> tuple[list[tuple], list[str]]:
+    """-> (spans, outlinks); spans are (kind, text, media_ref, offset)."""
+    if kind == "json":
+        rec = json.loads(body)
+        title = rec.get("name", "")
+        desc = rec.get("description", "")
+        author = (rec.get("author") or {}).get("name", "")
+        date = rec.get("datePublished", "")
+        kws = rec.get("keywords", [])
+        media = [d.get("contentUrl", "") for d in rec.get("distribution", [])]
+        links = rec.get("links", [])
+    else:
+        rx = _HTML_RX if kind == "html" else _XML_RX
+        def one(k: str) -> str:
+            m = rx[k].search(body)
+            return m.group(1) if m else ""
+        title, desc, author, date = one("title"), one("desc"), one("author"), one("date")
+        kws = rx["kw"].findall(body)
+        media = rx["media"].findall(body)
+        links = rx["link"].findall(body)
+
+    spans: list[tuple] = []
+    off = 0
+    for k, txt in (("title", title), ("description", desc), ("author", author), ("date", date)):
+        spans.append((k, txt, "", off))
+        off += len(txt) + 1
+    for w in kws:
+        spans.append(("keyword", w, "", off))
+        off += len(w) + 1
+    for m in media:
+        spans.append(("media", "", m, off))
+        off += 1
+    return spans, list(links)
+
+
+def parse_fetched(fetched: DataFrame) -> DataFrame:
+    """Vectorized parse of fetch results (status==200 rows) into the
+    documents-spans schema + outlinks. Arrow-batched mapInPandas; the
+    filter on status is a Catalyst predicate pushed below the UDF."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url_hash, canon, kind, body in zip(
+                pdf["url_hash"], pdf["canonical_url"], pdf["kind"], pdf["body"]
+            ):
+                spans, links = parse_body(kind, body)
+                rows.append((url_hash, canon, spans, links))
+            yield pd.DataFrame(
+                rows, columns=["url_hash", "canonical_url", "spans", "outlinks"]
+            )
+
+    cols = fetched.filter(F.col("status") == 200).select(
+        "url_hash", "canonical_url", "kind", "body"
+    )
+    return cols.mapInPandas(_run, schema=PARSED_SCHEMA)

@@ -1,0 +1,318 @@
+"""The crawl plan: checkpointed, resumable frontier rounds.
+
+This is the engine's flagship pipeline — the Spark-first replacement for
+the reference's whole crawler fleet (Scrapy scheduler + downloader +
+pipelines per container, README.md:10-27) and its resume protocol
+(SQLite checkpoint ``insert_last_updated(until)`` after each completed
+harvest window, figshare_oai-pmh/files/sql_database.py:415-470, plus the
+tmp+rename atomic NDJSON commit, zenodo/files/ndjson.py:50-72).
+
+Model: bulk-synchronous rounds. Each round
+    candidates -> canonicalize -> dedupe -> unseen-filter -> robots ->
+    politeness top-k per host -> fetch (Arrow batches) -> parse to spans
+    -> commit {selected, documents, new_seen, frontier, outlinks,
+               robots_cache, lineage} + _COMMIT marker
+The marker is written last via tmp+rename — the same
+data-before-release ordering the reference uses so bad data never
+propagates (README.md:88-97). A killed run resumes from the last round
+whose marker exists; uncommitted partials are overwritten.
+
+Determinism (north rule: identical crawl ordering + seen set at N vs 4N
+executors): every decision is a pure function of URL strings —
+priority/seq/url_hash sort keys, pure-function robots and fetch corpus,
+partitioning-independent dedup (min_by, not dropDuplicates). Crawl order
+is the sequence of fetched URLs ordered by (round, priority, seq,
+url_hash).
+
+Scale notes (10^10 URLs): in production the per-round state tables are
+Iceberg — ``url_seen`` bucketed by url_hash (co-partitioned anti-join),
+frontier MERGE'd as deltas instead of snapshot-rewritten, lineage rows
+appended per snapshot. The sandbox uses parquet round directories with
+identical semantics; the plan shapes (anti-join, broadcast robots,
+two-phase top-k, mapInPandas fetch) are what carry to the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import urls as U
+from ..operators import frontier as FR
+from ..operators import seen as SN
+from ..operators.fetch import fetch_selected
+from ..operators.parse import parse_fetched
+from ..sources.synthetic import robots_rules
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("crawl_delay_ms", T.IntegerType()),
+    ]
+)
+
+FRONTIER_COLS = [
+    "url_hash", "priority", "seq", "url", "canonical_url", "host", "host_bucket", "path",
+]
+
+
+@dataclass
+class CrawlConfig:
+    num_hosts: int = 50
+    round_seconds: int = 2          # politeness budget window per round
+    max_rounds: int = 5
+    max_attempts: int = 3
+    discovered_priority: int = 5
+    host_buckets: int = U.DEFAULT_HOST_BUCKETS
+    use_bloom: bool = False          # bloom prefilter in front of the anti-join
+    salt_factor: int = 8
+    extra: dict = field(default_factory=dict)
+
+
+class CrawlRun:
+    """One named crawl run rooted at ``run_dir`` (created if missing)."""
+
+    def __init__(self, spark: SparkSession, run_dir: str, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.run_dir = run_dir
+        self.cfg = config or CrawlConfig()
+        os.makedirs(run_dir, exist_ok=True)
+
+    # ---------- checkpoint layout ----------
+    def _rdir(self, r: int) -> str:
+        return os.path.join(self.run_dir, f"round={r:04d}")
+
+    def _marker(self, r: int) -> str:
+        return os.path.join(self._rdir(r), "_COMMIT")
+
+    def committed_rounds(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.run_dir):
+            return out
+        for d in sorted(os.listdir(self.run_dir)):
+            if d.startswith("round=") and os.path.exists(
+                os.path.join(self.run_dir, d, "_COMMIT")
+            ):
+                out.append(int(d.split("=")[1]))
+        return out
+
+    def _commit(self, r: int, meta: dict) -> None:
+        """Atomic round commit: write marker content to tmp, rename last."""
+        tmp = self._marker(r) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._marker(r))
+
+    def _write(self, df: DataFrame, r: int, name: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(self._rdir(r), name))
+
+    def _read(self, r: int, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._rdir(r), name))
+
+    # ---------- candidate preparation ----------
+    def _prepare_candidates(self, raw: DataFrame) -> DataFrame:
+        """raw(url, priority) -> canonicalized, deduped candidate rows."""
+        df = U.with_url_columns(raw, num_buckets=self.cfg.host_buckets)
+        df = df.filter(U.url_scheme(F.col("url")).isin("http", "https"))
+        df = df.withColumn("seq", U.hash_seq(F.col("canonical_url")))
+        df = df.select(*FRONTIER_COLS)
+        return FR.dedupe_candidates(df)
+
+    # ---------- robots ----------
+    def _update_robots(self, robots: DataFrame, candidates: DataFrame) -> DataFrame:
+        """Fetch robots rules for hosts not yet in the cache (the
+        robots_cache incremental-table analog of the reference's
+        HTTPCACHE, ncbi_geo_crawler/files/settings.py:31-35)."""
+        new_hosts = (
+            candidates.select("host").distinct().join(robots, "host", "left_anti")
+        )
+
+        def _fetch_robots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = [robots_rules(h) for h in pdf["host"]]
+                yield pd.DataFrame(rows, columns=["host", "disallow_prefixes", "crawl_delay_ms"])
+
+        fetched = new_hosts.mapInPandas(_fetch_robots, schema=ROBOTS_SCHEMA)
+        return robots.unionByName(fetched)
+
+    # ---------- the round ----------
+    def _run_round(
+        self,
+        r: int,
+        candidates_raw: DataFrame,
+        frontier: DataFrame,
+        seen: DataFrame,
+        robots: DataFrame,
+    ) -> dict:
+        cfg = self.cfg
+        t0 = time.monotonic()
+
+        cand = self._prepare_candidates(candidates_raw)
+        robots = self._update_robots(robots, cand).cache()
+
+        # unseen filter: candidates never enqueued before
+        unseen = (
+            SN.filter_unseen_bloom(cand, seen) if cfg.use_bloom else SN.filter_unseen_exact(cand, seen)
+        )
+        new_seen = unseen.select("url_hash").withColumn("first_seen_round", F.lit(r))
+
+        allowed = FR.robots_filter(unseen, robots)
+        frontier_all = frontier.unionByName(allowed.select(*FRONTIER_COLS)).cache()
+
+        budgeted = FR.with_host_budget(frontier_all, robots, cfg.round_seconds)
+        selected = FR.topk_per_host(budgeted, salt_factor=cfg.salt_factor).drop("host_budget").cache()
+
+        fetched = fetch_selected(selected, cfg.num_hosts, cfg.max_attempts).cache()
+        parsed = parse_fetched(fetched).cache()
+
+        documents = parsed.select(
+            F.col("url_hash").alias("doc_id"), F.col("canonical_url"), F.col("spans")
+        ).withColumn("round", F.lit(r))
+
+        outlinks = (
+            parsed.select(F.explode("outlinks").alias("url"))
+            .withColumn("priority", F.lit(cfg.discovered_priority))
+        )
+
+        frontier_next = frontier_all.join(
+            selected.select("url_hash"), "url_hash", "left_anti"
+        ).select(*FRONTIER_COLS)
+
+        lineage = (
+            fetched.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id", "host_bucket")
+            .agg(
+                F.count("*").alias("urls_fetched"),
+                F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+                F.sum("bytes").alias("bytes"),
+                F.max("fetch_wall_ms").alias("wall_ms"),
+                F.sum("attempts").alias("attempts"),
+            )
+            .withColumn("round", F.lit(r))
+        )
+
+        # ---- commit: data first, marker last ----
+        self._write(
+            fetched.select(
+                "url_hash", "canonical_url", "host", "priority", "seq", "status",
+                "attempts", "bytes",
+            ).withColumn("round", F.lit(r)),
+            r, "selected",
+        )
+        self._write(documents, r, "documents")
+        self._write(new_seen, r, "new_seen")
+        self._write(frontier_next, r, "frontier_next")
+        self._write(outlinks, r, "outlinks")
+        self._write(robots, r, "robots_cache")
+        self._write(lineage, r, "lineage")
+
+        n_sel = self._read(r, "selected").count()
+        n_docs = self._read(r, "documents").count()
+        n_new = self._read(r, "new_seen").count()
+        n_front = self._read(r, "frontier_next").count()
+        n_out = self._read(r, "outlinks").count()
+        meta = {
+            "round": r,
+            "selected": n_sel,
+            "documents": n_docs,
+            "new_seen": n_new,
+            "frontier_next": n_front,
+            "outlinks": n_out,
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
+        self._commit(r, meta)
+        for df in (robots, frontier_all, selected, fetched, parsed):
+            df.unpersist()
+        return meta
+
+    # ---------- state reconstruction (resume) ----------
+    def _seen_through(self, r: int) -> DataFrame:
+        paths = [os.path.join(self._rdir(i), "new_seen") for i in range(r + 1)]
+        return self.spark.read.parquet(*paths)
+
+    def _empty_seen(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "url_hash string, first_seen_round int"
+        )
+
+    def _empty_frontier(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "url_hash string, priority int, seq long, url string, canonical_url string,"
+            " host string, host_bucket int, path string",
+        )
+
+    def _empty_robots(self) -> DataFrame:
+        return self.spark.createDataFrame([], ROBOTS_SCHEMA)
+
+    # ---------- driver ----------
+    def run(self, seeds: DataFrame | None = None, resume: bool = False) -> list[dict]:
+        """Run (or resume) the crawl to cfg.max_rounds. ``seeds`` must have
+        (url, priority); required unless resuming past round 0."""
+        done = self.committed_rounds() if resume else []
+        if not resume:
+            # fresh run: clear any prior state
+            for d in os.listdir(self.run_dir):
+                if d.startswith("round="):
+                    shutil.rmtree(os.path.join(self.run_dir, d))
+        metas: list[dict] = []
+        if done:
+            last = done[-1]
+            start = last + 1
+            frontier = self._read(last, "frontier_next")
+            seen = self._seen_through(last)
+            robots = self._read(last, "robots_cache")
+            candidates = self._read(last, "outlinks")
+        else:
+            if seeds is None:
+                raise ValueError("seeds required for a fresh run")
+            start = 0
+            frontier = self._empty_frontier()
+            seen = self._empty_seen()
+            robots = self._empty_robots()
+            candidates = seeds.select("url", F.col("priority").cast("int"))
+
+        for r in range(start, self.cfg.max_rounds):
+            meta = self._run_round(r, candidates, frontier, seen, robots)
+            metas.append(meta)
+            if meta["frontier_next"] == 0 and meta["outlinks"] == 0:
+                break
+            frontier = self._read(r, "frontier_next")
+            seen = self._seen_through(r)
+            robots = self._read(r, "robots_cache")
+            candidates = self._read(r, "outlinks")
+        return metas
+
+    # ---------- result accessors ----------
+    def crawl_order(self) -> DataFrame:
+        """Fetched URLs in canonical crawl order (round, priority, seq,
+        url_hash) — the north-rule ordering invariant."""
+        rounds = self.committed_rounds()
+        paths = [os.path.join(self._rdir(i), "selected") for i in rounds]
+        return self.spark.read.parquet(*paths).orderBy("round", "priority", "seq", "url_hash")
+
+    def documents(self) -> DataFrame:
+        rounds = self.committed_rounds()
+        paths = [os.path.join(self._rdir(i), "documents") for i in rounds]
+        return self.spark.read.parquet(*paths)
+
+    def seen(self) -> DataFrame:
+        rounds = self.committed_rounds()
+        return self._seen_through(rounds[-1]) if rounds else self._empty_seen()
+
+    def lineage(self) -> DataFrame:
+        rounds = self.committed_rounds()
+        paths = [os.path.join(self._rdir(i), "lineage") for i in rounds]
+        return self.spark.read.parquet(*paths)

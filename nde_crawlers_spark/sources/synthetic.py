@@ -1,0 +1,234 @@
+"""Deterministic synthetic crawl universe — seeds, robots rules, fetch corpus.
+
+The sandbox has no network, so the "web" is a pure function of the URL:
+``synth_fetch(url, attempt)`` returns the same (status, body, outlinks)
+everywhere — inside Spark pandas-UDF batches, in the single-threaded
+Python crawl oracle, at any parallelism. This mirrors how the reference
+decouples crawl from parse via its SQLite cache (the parse stage is
+re-runnable from cached bytes, figshare_oai-pmh/files/sql_database.py:241-253):
+determinism lives in the data, not the scheduler.
+
+Shapes mirror the reference corpus:
+- hosts are Zipf(s≈1)-skewed so 1-2 hosts dominate (the Zenodo/ImmPort
+  hot-host analog named by the north rule; zenodo/files/zenodo.py:281-308)
+- bodies carry title/description/keyword/author/date text fields plus
+  media URLs (distribution.contentUrl analog, zenodo/files/zenodo.py:143-149)
+- each page links 0-5 further URLs, mostly same-host (the link frontier
+  of tycho_crawler/files/spider.py:30-47)
+- status codes: 200 93%, 404 3%, 429 2% (retry-after), 500 2%
+  (retry/backoff analog of utils/utils.py:69-100 and
+  dataverse/files/dataverse.py:40-52)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+WORDS = (
+    "immune viral genome assay cohort serum antibody pathogen vaccine host "
+    "clinical trial sample sequence protein epitope strain infection response "
+    "dataset metadata archive repository study analysis model screen panel"
+).split()
+
+MEDIA_EXT = ["jpg", "png", "mp4", "wav", "pdf"]
+
+DEFAULT_CRAWL_DELAY_MS = 500  # reference DOWNLOAD_DELAY=0.5s (tycho settings.py:2)
+
+
+def _h(s: str) -> bytes:
+    return hashlib.md5(s.encode("utf-8")).digest()
+
+
+def _frac(s: str) -> float:
+    """Uniform [0,1) from md5."""
+    return int.from_bytes(_h(s)[:8], "big") / 2**64
+
+
+def host_name(rank: int) -> str:
+    return f"host-{rank:04d}.example.org"
+
+
+def zipf_host_rank(key: str, num_hosts: int) -> int:
+    """Zipf(s=1)-ish rank via inverse log CDF: P(rank<=r) = ln(r+1)/ln(H+1)."""
+    u = _frac("host:" + key)
+    return min(int(math.exp(u * math.log(num_hosts + 1))) - 1, num_hosts - 1)
+
+
+def make_seeds(num_urls: int, num_hosts: int, seed: int = 42) -> list[dict]:
+    """Deterministic seed list. Skewed hosts, mixed canonicalization noise
+    (uppercase hosts, default ports, unsorted query params, fragments) so
+    the canonicalizer earns its keep; some /private/ URLs to exercise the
+    robots filter."""
+    out = []
+    for i in range(num_urls):
+        key = f"{seed}:{i}"
+        r = zipf_host_rank(key, num_hosts)
+        host = host_name(r)
+        noise = int(_frac("noise:" + key) * 16)
+        path = f"/records/{i}"
+        if i % 31 == 7:
+            path = f"/private/{i}"  # robots-disallowed on some hosts
+        url = f"https://{host}{path}"
+        if noise & 1:
+            url = url.replace("https://", "HTTPS://").replace("example", "Example")
+        if noise & 2:
+            url = url.replace(".org/", ".org:443/")
+        if noise & 4:
+            url += "/?b=2&a=1"
+        if noise & 8:
+            url += "#frag"
+        out.append(
+            {
+                "url": url,
+                "priority": int(_frac("prio:" + key) * 10),
+                "source": f"src{r % 8}",
+                "seed_seq": i,
+            }
+        )
+    return out
+
+
+def robots_rules(host: str) -> dict:
+    """Pure-function robots record for a host (robots_cache analog;
+    ROBOTSTXT_OBEY, tycho_crawler/files/settings.py:6). ~25% of hosts
+    disallow /private/; crawl delay 0/500/2000 ms by host hash."""
+    f = _frac("robots:" + host)
+    disallow = ["/private/"] if f < 0.25 else []
+    g = _frac("delay:" + host)
+    delay = 0 if g < 0.1 else (2000 if g > 0.9 else DEFAULT_CRAWL_DELAY_MS)
+    return {"host": host, "disallow_prefixes": disallow, "crawl_delay_ms": delay}
+
+
+def _status_draw(url: str, attempt: int) -> int:
+    f = _frac(f"status:{url}#a{attempt}")
+    if f < 0.93:
+        return 200
+    if f < 0.96:
+        return 404
+    if f < 0.98:
+        return 429
+    return 500
+
+
+def synth_status(url: str, max_attempts: int = 3) -> tuple[int, int]:
+    """(final_status, attempts): retry 429/500 up to max_attempts with a
+    fresh deterministic draw per attempt (bounded-retry analog of
+    utils/utils.py:69-100)."""
+    status = 500
+    for a in range(max_attempts):
+        status = _status_draw(url, a)
+        if status not in (429, 500):
+            return status, a + 1
+    return status, max_attempts
+
+
+def _words_for(key: str, n: int) -> str:
+    d = _h(key)
+    return " ".join(WORDS[d[i % 16] % len(WORDS)] for i in range(n))
+
+
+def synth_body(canonical_url: str, num_hosts: int) -> dict:
+    """Deterministic page for a canonical URL.
+
+    Returns ``{"kind", "title", "description", "keywords", "author",
+    "date", "media", "outlinks"}``. ``kind`` rotates through the
+    reference's parser families (html/xml/json). Outlinks: 0-5, ~80%
+    same-host (/records/k), rest cross-host — drives frontier growth."""
+    k = canonical_url
+    d = _h("body:" + k)
+    kind = ["html", "xml", "json"][d[0] % 3]
+    title = _words_for("title:" + k, 4 + d[1] % 4)
+    desc = _words_for("desc:" + k, 20 + d[2] % 30)
+    keywords = [_words_for(f"kw{j}:{k}", 1) for j in range(1 + d[3] % 4)]
+    author = f"author-{d[4] % 50:03d}"
+    date = f"202{d[5] % 5}-{1 + d[6] % 12:02d}-{1 + d[7] % 28:02d}"
+    n_media = d[8] % 3
+    media = [
+        f"https://media-{d[9 + j] % 20:02d}.example.org/files/{int.from_bytes(d[j:j+4], 'big') % 10**6}.{MEDIA_EXT[d[10 + j] % len(MEDIA_EXT)]}"
+        for j in range(n_media)
+    ]
+    # outlinks
+    host = k.split("://", 1)[1].split("/", 1)[0]
+    n_links = d[11] % 6
+    outlinks = []
+    for j in range(n_links):
+        lk = f"link{j}:{k}"
+        tgt = int(_frac("t:" + lk) * 10**7)
+        if _frac("x:" + lk) < 0.8:
+            outlinks.append(f"https://{host}/records/{tgt}")
+        else:
+            r = zipf_host_rank(lk, num_hosts)
+            outlinks.append(f"https://{host_name(r)}/records/{tgt}")
+    return {
+        "kind": kind,
+        "title": title,
+        "description": desc,
+        "keywords": keywords,
+        "author": author,
+        "date": date,
+        "media": media,
+        "outlinks": outlinks,
+    }
+
+
+def render_body(page: dict) -> str:
+    """Serialize the logical page into its wire format (the fetch payload
+    that parse() must re-extract — html/xml/json per parser family)."""
+    kind = page["kind"]
+    if kind == "html":
+        kws = "".join(f'<meta name="keywords" content="{w}"/>' for w in page["keywords"])
+        media = "".join(f'<img src="{m}"/>' for m in page["media"])
+        links = "".join(f'<a href="{u}">link</a>' for u in page["outlinks"])
+        return (
+            f"<html><head><title>{page['title']}</title>{kws}</head>"
+            f"<body><p class=\"desc\">{page['description']}</p>"
+            f"<span class=\"author\">{page['author']}</span>"
+            f"<time>{page['date']}</time>{media}{links}</body></html>"
+        )
+    if kind == "xml":
+        kws = "".join(f"<subject>{w}</subject>" for w in page["keywords"])
+        media = "".join(f"<contentUrl>{m}</contentUrl>" for m in page["media"])
+        links = "".join(f"<relatedIdentifier>{u}</relatedIdentifier>" for u in page["outlinks"])
+        return (
+            f"<resource><titles><title>{page['title']}</title></titles>"
+            f"<descriptions><description>{page['description']}</description></descriptions>"
+            f"<creators><creatorName>{page['author']}</creatorName></creators>"
+            f"<dates><date>{page['date']}</date></dates>{kws}{media}{links}</resource>"
+        )
+    import json
+
+    return json.dumps(
+        {
+            "name": page["title"],
+            "description": page["description"],
+            "keywords": page["keywords"],
+            "author": {"name": page["author"]},
+            "datePublished": page["date"],
+            "distribution": [{"contentUrl": m} for m in page["media"]],
+            "links": page["outlinks"],
+        },
+        sort_keys=True,
+    )
+
+
+def synth_fetch(canonical_url: str, num_hosts: int, max_attempts: int = 3) -> dict:
+    """The full deterministic 'network': status + wire body + metadata."""
+    status, attempts = synth_status(canonical_url, max_attempts)
+    if status != 200:
+        return {
+            "status": status,
+            "attempts": attempts,
+            "kind": "",
+            "body": "",
+            "bytes": 0,
+        }
+    page = synth_body(canonical_url, num_hosts)
+    body = render_body(page)
+    return {
+        "status": 200,
+        "attempts": attempts,
+        "kind": page["kind"],
+        "body": body,
+        "bytes": len(body.encode("utf-8")),
+    }
