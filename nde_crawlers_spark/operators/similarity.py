@@ -1,0 +1,91 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Reference analog: the post-index dense-vector pass (768-d, int8_hnsw ES
+index — hub/dataindex/embed.py:51-59) delegates ANN to Elasticsearch.
+Here ANN is a first-class DataFrame operator:
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
+  set against the full corpus; one shuffle for the per-query top-k.
+- ``lsh_topk``: sign-LSH bucketed approximate top-k — queries only score
+  candidates in their own bucket (recall < 1, cost /2^bits). The
+  bucket is a pure column expression, so the candidate join is a plain
+  equi-join Catalyst can plan (broadcast or shuffle by bucket).
+
+Scale: brute force is O(Q*N) dot products but embarrassingly parallel —
+with Q broadcast it is a map-only stage plus a top-k aggregation
+(partial per partition, merged at the end: Spark's TakeOrdered). The IVF
+upgrade path keeps the same plan shape with bucket = nearest-centroid id
+(a broadcast k-means codebook inside a pandas UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector against the corpus
+    (self-matches excluded). ``queries`` has the same (id_col, vec_col)
+    schema and is broadcast."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk_per_query(scored, k)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bucket_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's sign-LSH
+    bucket are scored. Same output schema as brute_force_topk."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            V.sign_bucket(F.col(vec_col), bucket_bits).alias("bucket"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        V.sign_bucket(F.col(vec_col), bucket_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk_per_query(scored, k)

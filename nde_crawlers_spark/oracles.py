@@ -1,0 +1,444 @@
+"""DuckDB oracle SQL — one statement per catalog query.
+
+Each statement is the ANSI/DuckDB equivalent of the Spark query of the
+same name in ``nde_crawlers_spark.queries``, over the driver's
+pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings). Column names/types are aligned;
+hash primitives (md5/sha256) match Spark's bit-for-bit, which is why the
+engine's derived keys use them.
+"""
+
+from __future__ import annotations
+
+HEXPOS = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+
+# messy raw URL derived from documents — mirror of queries._raw_url()
+RAW_URL = """CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'HTTPS://' || source || '.Example.org:443/Doc/' || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#x'
+      WHEN 1 THEN 'https://' || source || '.example.org/Doc/' || CAST(doc_id AS VARCHAR) || '/'
+      WHEN 2 THEN 'https://' || source || '.example.org/private/' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://' || source || '.example.org/Doc/' || CAST(doc_id AS VARCHAR) || '?z=9&y=8'
+    END"""
+
+# canonicalization + url_hash + host_bucket + seq, as a reusable CTE chain
+FRONTIER_CTE = f"""
+raw AS (
+  SELECT doc_id, CAST(doc_id % 10 AS INTEGER) AS priority, {RAW_URL} AS url
+  FROM documents
+),
+p1 AS (SELECT *, split_part(url, '#', 1) AS nf FROM raw),
+p2 AS (SELECT *, lower(split_part(nf, '://', 1)) AS scheme,
+               substr(nf, strpos(nf, '://') + 3) AS rest FROM p1),
+p3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+               substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq FROM p2),
+p4 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+               CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+               split_part(pathq, '?', 1) AS rawpath,
+               CASE WHEN contains(pathq, '?') THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+       FROM p3),
+p5 AS (SELECT *,
+               CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+               CASE WHEN query = '' THEN ''
+                    ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END AS qpart,
+               CASE WHEN port != '' AND NOT ((scheme = 'https' AND port = '443') OR (scheme = 'http' AND port = '80'))
+                    THEN ':' || port ELSE '' END AS portpart
+       FROM p4),
+frontier AS (
+  SELECT doc_id, priority, host, path,
+         scheme || '://' || host || portpart || path || qpart AS canonical_url,
+         sha256(scheme || '://' || host || portpart || path || qpart) AS url_hash,
+         CAST((({HEXPOS.format(h='md5(host)', i=1)}) * 16 + ({HEXPOS.format(h='md5(host)', i=2)})) % 64 AS INTEGER) AS host_bucket,
+         CAST(list_sum(list_transform(range(1, 13),
+              i -> ({HEXPOS.format(h="md5(scheme || '://' || host || portpart || path || qpart)", i='i')})
+                   * (CAST(1 AS BIGINT) << (4 * (12 - i))))) AS BIGINT) AS seq
+  FROM p5
+)"""
+
+ROBOTS_CTE = f"""
+robots AS (
+  SELECT host,
+         CASE WHEN ({HEXPOS.format(h="md5('robots:' || host)", i=1)}) < 4 THEN ['/private/'] ELSE [] END AS disallow_prefixes,
+         CAST(CASE WHEN ({HEXPOS.format(h="md5('delay:' || host)", i=1)}) < 2 THEN 0
+                   WHEN ({HEXPOS.format(h="md5('delay:' || host)", i=1)}) >= 14 THEN 2000
+                   ELSE 500 END AS INTEGER) AS crawl_delay_ms
+  FROM (SELECT DISTINCT host FROM frontier)
+)"""
+
+ALLOWED_CTE = """
+allowed AS (
+  SELECT f.* FROM frontier f JOIN robots r USING (host)
+  WHERE len(list_filter(r.disallow_prefixes, p -> starts_with(f.path, p))) = 0
+)"""
+
+BUDGET_EXPR = """CASE WHEN r.crawl_delay_ms <= 0 THEN 2000
+                      ELSE greatest(CAST(floor(2000.0 / r.crawl_delay_ms) AS BIGINT), 1) END"""
+
+# ---- text kernel fragments (mirror functions/text.py) ----
+TOKENS = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x != '')"
+
+
+def _ngrams(toks: str, n: int) -> str:
+    join = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), i -> {join}) "
+        f"ELSE [] END"
+    )
+
+
+def _minhash(sh: str, k: int) -> str:
+    return (
+        f"list_transform(range(0, {k}), mk -> "
+        f"list_min(list_transform({sh}, s -> md5(CAST(mk AS VARCHAR) || '|' || s))))"
+    )
+
+
+SIMHASH16 = """CAST(list_sum(list_transform(range(0, 16), b ->
+    CASE WHEN list_sum(list_transform({toks}, t ->
+        CASE WHEN substr(md5(t), CAST(b + 1 AS INTEGER), 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0
+    THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END)) AS INTEGER)"""
+
+LANGS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "los", "en"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "un", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"],
+}
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]
+EN_STOP = LANGS["en"] + ["that", "it", "for", "on", "with"]
+
+
+def _lang_score(toks: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANGS[lang])
+    return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+
+
+def _lang_id(toks: str) -> str:
+    scores = {lg: _lang_score(toks, lg) for lg in LANG_ORDER}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN ({best}) > 0 AND ({scores[lg]}) = ({best}) THEN '{lg}'" for lg in LANG_ORDER
+    )
+    return f"CASE {cases} ELSE 'und' END"
+
+
+def _stop_ratio(toks: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in EN_STOP)
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"CAST(len(list_filter({toks}, t -> list_contains([{lst}], t))) AS DOUBLE) / len({toks}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _punct_ratio(c: str) -> str:
+    return (
+        f"CASE WHEN length({c}) > 0 THEN "
+        f"CAST(len(regexp_extract_all({c}, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length({c}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _quality(c: str, toks: str) -> str:
+    return (
+        f"round(0.4 * least(CAST(len({toks}) AS DOUBLE) / 50.0, 1.0)"
+        f" + 0.3 * (1.0 - ({_punct_ratio(c)}))"
+        f" + 0.3 * ({_stop_ratio(toks)}), 4)"
+    )
+
+
+def _fingerprint(c: str, toks: str) -> str:
+    g4 = _ngrams(toks, 4)
+    return f"coalesce(list_min(list_transform({g4}, gg -> md5(gg))), md5(lower({c})))"
+
+
+PREFIX4_KEY = (
+    "md5(array_to_string(list_slice(" + TOKENS.format(c="text") + ", 1, 4), ' '))"
+)
+
+COSINE = """round(
+  CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0
+       THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))
+       ELSE 0.0 END, 6)"""
+
+SIGN_BUCKET = (
+    "("
+    + " + ".join(f"CASE WHEN {{v}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(8))
+    + ")"
+)
+
+_TOKS_TEXT = TOKENS.format(c="text")
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["crawl_url_canonicalize"] = f"""
+WITH {FRONTIER_CTE}
+SELECT doc_id, canonical_url, url_hash, host, host_bucket, path, seq, priority FROM frontier
+"""
+
+ORACLES["crawl_seen_filter"] = f"""
+WITH {FRONTIER_CTE}
+SELECT doc_id, url_hash, host FROM frontier
+WHERE url_hash NOT IN (SELECT url_hash FROM frontier WHERE doc_id % 2 = 0)
+"""
+
+ORACLES["crawl_robots_filter"] = f"""
+WITH {FRONTIER_CTE}, {ROBOTS_CTE}, {ALLOWED_CTE}
+SELECT doc_id, url_hash, host, path FROM allowed
+"""
+
+ORACLES["crawl_frontier_topk"] = f"""
+WITH {FRONTIER_CTE}, {ROBOTS_CTE}, {ALLOWED_CTE},
+ranked AS (
+  SELECT a.host, a.doc_id, a.priority, a.seq, a.url_hash,
+         row_number() OVER (PARTITION BY a.host ORDER BY a.priority, a.seq, a.url_hash) AS rn,
+         {BUDGET_EXPR} AS budget
+  FROM allowed a JOIN robots r USING (host)
+)
+SELECT host, doc_id, priority, seq, url_hash FROM ranked WHERE rn <= budget
+"""
+
+ORACLES["crawl_politeness_budget"] = f"""
+WITH {FRONTIER_CTE}, {ROBOTS_CTE}
+SELECT f.host, CAST({BUDGET_EXPR} AS INTEGER) AS budget, count(*) AS queued,
+       least(CAST({BUDGET_EXPR} AS BIGINT), count(*)) AS selected
+FROM frontier f JOIN robots r USING (host)
+GROUP BY f.host, r.crawl_delay_ms
+"""
+
+ORACLES["crawl_host_lineage"] = f"""
+WITH {FRONTIER_CTE}
+SELECT f.host_bucket, count(*) AS urls, count(DISTINCT f.host) AS hosts,
+       CAST(sum(d.n_chars) AS BIGINT) AS bytes, min(f.url_hash) AS min_hash
+FROM frontier f JOIN documents d USING (doc_id)
+GROUP BY f.host_bucket
+"""
+
+ORACLES["dedup_exact_prefix"] = f"""
+WITH keyed AS (SELECT doc_id AS member_id, {PREFIX4_KEY} AS dup_key FROM documents)
+SELECT dup_key, count(*) AS group_size, min(member_id) AS keep_id,
+       string_agg(CAST(member_id AS VARCHAR), ',' ORDER BY member_id) AS members_csv
+FROM keyed GROUP BY dup_key HAVING count(*) > 1
+"""
+
+_SH3 = _ngrams(_TOKS_TEXT, 3)
+_SIG8 = _minhash("sh", 8)
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH sh AS (SELECT doc_id AS id, {_SH3} AS sh FROM documents),
+sig AS (SELECT id, {_SIG8} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT id, b AS band,
+         md5(CAST(b AS VARCHAR) || ':' || array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.band = b.band AND a.id < b.id
+"""
+
+ORACLES["dedup_simhash"] = f"""
+WITH s AS (SELECT doc_id AS member_id, {SIMHASH16.format(toks=_TOKS_TEXT)} AS simhash FROM documents)
+SELECT simhash, count(*) AS group_size,
+       string_agg(CAST(member_id AS VARCHAR), ',' ORDER BY member_id) AS members_csv
+FROM s GROUP BY simhash HAVING count(*) > 1
+"""
+
+_SH4D = f"list_distinct({_ngrams(_TOKS_TEXT, 4)})"
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH base AS (SELECT doc_id AS id, {_SH4D} AS sh FROM documents),
+nz AS (SELECT * FROM base WHERE len(sh) > 0),
+ex AS (SELECT id, unnest(sh) AS s FROM nz),
+pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id),
+j AS (
+  SELECT p.id_a, p.id_b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+  FROM pairs p JOIN nz x ON p.id_a = x.id JOIN nz y ON p.id_b = y.id
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+"""
+
+_BK = SIGN_BUCKET.replace("{v}", "v")
+ORACLES["dedup_embedding_cosine"] = f"""
+WITH b AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, {_BK} AS bucket FROM embeddings)
+SELECT a.id AS id_a, b2.id AS id_b, {COSINE.format(a='a.v', b='b2.v')} AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+WHERE {COSINE.format(a='a.v', b='b2.v')} >= 0.2
+"""
+
+ORACLES["ann_bruteforce_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {COSINE.format(a='q.qv', b='e.v')} AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""
+
+ORACLES["ann_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {SIGN_BUCKET.replace('{v}', 'CAST(embedding AS DOUBLE[])')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {COSINE.format(a='q.qv', b='e.v')} AS cosine
+  FROM e JOIN q USING (bucket) WHERE e.vec_id != q.query_id
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""
+
+ORACLES["text_analyze"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS_TEXT}) AS INTEGER) AS n_tokens,
+       {_lang_id(_TOKS_TEXT)} AS lang_pred,
+       {_quality('text', _TOKS_TEXT)} AS quality,
+       {_fingerprint('text', _TOKS_TEXT)} AS fingerprint,
+       {SIMHASH16.format(toks=_TOKS_TEXT)} AS simhash
+FROM documents
+"""
+
+ORACLES["text_lang_agreement"] = f"""
+SELECT lang AS lang_label, {_lang_id(_TOKS_TEXT)} AS lang_pred, count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+ORACLES["text_quality_filter"] = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE len({_TOKS_TEXT}) >= 10 AND {_quality('text', _TOKS_TEXT)} >= 0.4
+"""
+
+ORACLES["merge_priority_lastwriter"] = f"""
+WITH keyed AS (
+  SELECT doc_id, source, {PREFIX4_KEY} AS dup_key,
+         CAST(substr(source, 4) AS INTEGER) AS rank
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY dup_key ORDER BY rank DESC, doc_id ASC) AS rn FROM keyed)
+SELECT dup_key, doc_id, source FROM r WHERE rn = 1
+"""
+
+ORACLES["merge_version_groups"] = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY source, lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source, lang,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+       min(CASE WHEN rn = 1 THEN n_chars END) AS keep_n_chars,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members_csv,
+       count(*) AS group_size
+FROM r GROUP BY source, lang
+"""
+
+ORACLES["merge_key_dedup_1x1"] = f"""
+WITH keyed AS (SELECT doc_id, {PREFIX4_KEY} AS dup_key FROM documents),
+a1 AS (SELECT dup_key, min(doc_id) AS keep_id FROM keyed WHERE doc_id % 2 = 0 GROUP BY dup_key HAVING count(*) = 1),
+b1 AS (SELECT dup_key, min(doc_id) AS drop_id FROM keyed WHERE doc_id % 2 = 1 GROUP BY dup_key HAVING count(*) = 1)
+SELECT dup_key, keep_id, drop_id FROM a1 JOIN b1 USING (dup_key)
+"""
+
+ORACLES["enrich_broadcast_lookup"] = """
+SELECT r.r_name AS region_name, count(*) AS customers, round(avg(c.c_acctbal), 2) AS avg_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+ORACLES["enrich_cache_miss"] = """
+SELECT DISTINCT l_suppkey AS suppkey FROM lineitem
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+"""
+
+ORACLES["enrich_theta_contains"] = """
+WITH pats AS (SELECT DISTINCT lower(p_type) AS pattern FROM part)
+SELECT p.p_partkey, pats.pattern
+FROM part p JOIN pats ON contains(lower(p.p_name), pats.pattern)
+"""
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q3_top10"] = """
+SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["tpch_q5ish"] = """
+SELECT r.r_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS lineitems
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+ORACLES["window_topk_orders"] = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+"""
+
+ORACLES["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS session_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(session_start) AS BIGINT) AS sessions, count(*) AS events,
+       round(sum(value), 2) AS total_value
+FROM g GROUP BY user_id
+"""
+
+ORACLES["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["events_props_extract"] = """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER)), 4) AS avg_k,
+       CAST(max(CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER)) AS INTEGER) AS max_k
+FROM events GROUP BY event_type
+"""
+
+ORACLES["scalar_showcase"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       o_orderpriority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price,
+       round(stddev_pop(o_totalprice), 4) AS sd_price,
+       min(o_orderstatus || '-' || upper(o_orderpriority)) AS tag
+FROM orders GROUP BY 1, 2, 3
+"""

@@ -1,0 +1,406 @@
+"""Query catalog — one entry per operator family from SURVEY.md §2.
+
+Every query is a callable ``(spark, sf_dir) -> DataFrame`` over the
+driver's parquet tables; ``nde_crawlers_spark.oracles`` carries the
+equivalent DuckDB SQL for the driver's correctness gate. Column names and
+types are aligned 1:1 with the oracle (aggregates rounded, sums cast,
+arrays rendered as sorted CSV strings) so the order-insensitive
+value-hash comparison is meaningful.
+
+The crawl-family queries derive a synthetic frontier deterministically
+FROM the ``documents`` table (pure SQL in both engines), so even the
+crawl operators — canonicalization, seen-filter, robots, politeness
+top-k — are oracle-checked, not just rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .functions import urls as U
+from .functions import vectors as V
+from .operators import dedup as DD
+from .operators import enrich as EN
+from .operators import frontier as FR
+from .operators import merge as MG
+from .operators import seen as SN
+from .operators import similarity as SIM
+from .operators import textops as TO
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- crawl --
+def _raw_url() -> F.Column:
+    """Messy raw URL derived from (source, doc_id) — identical expression
+    lives in the oracle SQL. Exercises every canonicalization rule."""
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    return (
+        F.when(m == 0, F.concat(F.lit("HTTPS://"), F.col("source"), F.lit(".Example.org:443/Doc/"), sid, F.lit("/?b=2&a=1#x")))
+        .when(m == 1, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/Doc/"), sid, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/private/"), sid))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/Doc/"), sid, F.lit("?z=9&y=8")))
+    )
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 10).cast("int").alias("priority"), _raw_url().alias("url")
+    )
+    df = U.with_url_columns(docs)
+    return df.withColumn("seq", U.hash_seq(F.col("canonical_url")))
+
+
+def _derived_robots(frontier: DataFrame) -> DataFrame:
+    """Robots rules as pure column expressions of the host (mirrored in
+    the oracle): ~25% of hosts disallow /private/; crawl delay 0 / 500 /
+    2000 ms by the first hex digit of md5('delay:'||host)."""
+    hosts = frontier.select("host").distinct()
+    rb = U.hex_digit(F.md5(F.concat(F.lit("robots:"), F.col("host"))), 1)
+    dl = U.hex_digit(F.md5(F.concat(F.lit("delay:"), F.col("host"))), 1)
+    return hosts.select(
+        "host",
+        F.when(rb < 4, F.array(F.lit("/private/"))).otherwise(F.array().cast("array<string>")).alias("disallow_prefixes"),
+        F.when(dl < 2, F.lit(0)).when(dl >= 14, F.lit(2000)).otherwise(F.lit(500)).cast("int").alias("crawl_delay_ms"),
+    )
+
+
+def crawl_url_canonicalize(spark, sf_dir):
+    return _frontier(spark, sf_dir).select(
+        "doc_id", "canonical_url", "url_hash", "host", "host_bucket", "path", "seq", "priority"
+    )
+
+
+def crawl_seen_filter(spark, sf_dir):
+    fr = _frontier(spark, sf_dir)
+    seen = fr.filter(F.col("doc_id") % 2 == 0).select("url_hash")
+    return SN.filter_unseen_exact(fr, seen).select("doc_id", "url_hash", "host")
+
+
+def crawl_robots_filter(spark, sf_dir):
+    fr = _frontier(spark, sf_dir)
+    robots = _derived_robots(fr)
+    return FR.robots_filter(fr, robots).select("doc_id", "url_hash", "host", "path")
+
+
+def crawl_frontier_topk(spark, sf_dir):
+    fr = _frontier(spark, sf_dir)
+    robots = _derived_robots(fr)
+    allowed = FR.robots_filter(fr, robots)
+    budgeted = FR.with_host_budget(allowed, robots, round_seconds=2)
+    return FR.topk_per_host(budgeted).select("host", "doc_id", "priority", "seq", "url_hash")
+
+
+def crawl_politeness_budget(spark, sf_dir):
+    fr = _frontier(spark, sf_dir)
+    robots = _derived_robots(fr)
+    budgeted = FR.with_host_budget(fr, robots, round_seconds=2)
+    return (
+        budgeted.groupBy("host", "host_budget")
+        .agg(F.count("*").alias("queued"))
+        .select(
+            "host",
+            F.col("host_budget").cast("int").alias("budget"),
+            F.col("queued"),
+            F.least(F.col("host_budget").cast("long"), F.col("queued")).alias("selected"),
+        )
+    )
+
+
+def crawl_host_lineage(spark, sf_dir):
+    fr = _frontier(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        fr.join(docs, "doc_id")
+        .groupBy("host_bucket")
+        .agg(
+            F.count("*").alias("urls"),
+            F.countDistinct("host").alias("hosts"),
+            F.sum("n_chars").alias("bytes"),
+            F.min("url_hash").alias("min_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- dedup --
+def dedup_exact_prefix(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    g = DD.dedup_exact(docs, prefix_tokens=4)
+    return g.select(
+        "dup_key", "group_size", "keep_id",
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",").alias("members_csv"),
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_candidates(docs, shingle_n=3, bands=4, rows_per_band=2)
+
+
+def dedup_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    g = DD.simhash_groups(docs)
+    return g.select(
+        F.col("simhash").cast("int").alias("simhash"), "group_size",
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",").alias("members_csv"),
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.4)
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup_pairs(emb, threshold=0.2, bucket_bits=8)
+
+
+# ----------------------------------------------------------- similarity --
+def ann_bruteforce_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(emb, q, k=10)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, q, k=10, bucket_bits=8)
+
+
+# ------------------------------------------------------------------ text --
+def text_analyze(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    out = TO.analyze(docs)
+    return out.select(
+        "doc_id", "n_tokens", "lang_pred", "quality", "fingerprint",
+        F.col("simhash").cast("int").alias("simhash"),
+    )
+
+
+def text_lang_agreement(spark, sf_dir):
+    return TO.lang_agreement(t(spark, sf_dir, "documents"))
+
+
+def text_quality_filter(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return TO.quality_filter(docs, min_tokens=10, min_quality=0.4).select("doc_id", "n_chars")
+
+
+# ----------------------------------------------------------------- merge --
+def merge_priority_lastwriter(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    key = DD.content_key(prefix_tokens=4)
+    rank = F.substring(F.col("source"), 4, 10).cast("int")
+    kept = MG.priority_merge(docs.withColumn("dup_key", key), F.col("dup_key"), rank)
+    return kept.select("dup_key", "doc_id", "source")
+
+
+def merge_version_groups(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    g = MG.version_group_merge(docs, ["source", "lang"], F.col("n_chars"))
+    return g.select(
+        "source", "lang", "keep_id",
+        F.col("keep_date").cast("long").alias("keep_n_chars"),
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",").alias("members_csv"),
+        "group_size",
+    )
+
+
+def merge_key_dedup_1x1(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").withColumn("dup_key", DD.content_key(prefix_tokens=4))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return MG.key_dedup_1x1(a, b, "dup_key")
+
+
+# ---------------------------------------------------------------- enrich --
+def enrich_broadcast_lookup(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    dim = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("r_name").alias("region_name")
+    )
+    return (
+        EN.broadcast_enrich(cust, dim, on="c_nationkey")
+        .groupBy("region_name")
+        .agg(F.count("*").alias("customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"))
+    )
+
+
+def enrich_cache_miss(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("suppkey"))
+    sup = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("suppkey"))
+    return EN.cache_misses(li, sup, "suppkey")
+
+
+def enrich_theta_contains(spark, sf_dir):
+    part = t(spark, sf_dir, "part")
+    patterns = part.select(F.lower(F.col("p_type")).alias("pattern")).distinct()
+    return EN.theta_contains_join(
+        part.select("p_partkey", F.lower(F.col("p_name")).alias("name_lc")), patterns, "name_lc"
+    ).select("p_partkey", "pattern")
+
+
+# ----------------------------------------------------------------- tpch --
+def tpch_q1(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def tpch_q3_top10(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def tpch_q5ish(spark, sf_dir):
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("lineitems"))
+    )
+
+
+def window_topk_orders(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rank")
+    )
+
+
+# ---------------------------------------------------------------- events --
+def events_sessionize(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("session_start", starts)
+        .groupBy("user_id")
+        .agg(
+            F.sum("session_start").cast("long").alias("sessions"),
+            F.count("*").alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def events_hourly(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def events_props_extract(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.max("k").alias("max_k"))
+    )
+
+
+def scalar_showcase(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.stddev_pop("o_totalprice"), 4).alias("sd_price"),
+            F.min(F.concat(F.col("o_orderstatus"), F.lit("-"), F.upper(F.col("o_orderpriority")))).alias("tag"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "crawl_url_canonicalize": crawl_url_canonicalize,
+    "crawl_seen_filter": crawl_seen_filter,
+    "crawl_robots_filter": crawl_robots_filter,
+    "crawl_frontier_topk": crawl_frontier_topk,
+    "crawl_politeness_budget": crawl_politeness_budget,
+    "crawl_host_lineage": crawl_host_lineage,
+    "dedup_exact_prefix": dedup_exact_prefix,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "text_analyze": text_analyze,
+    "text_lang_agreement": text_lang_agreement,
+    "text_quality_filter": text_quality_filter,
+    "merge_priority_lastwriter": merge_priority_lastwriter,
+    "merge_version_groups": merge_version_groups,
+    "merge_key_dedup_1x1": merge_key_dedup_1x1,
+    "enrich_broadcast_lookup": enrich_broadcast_lookup,
+    "enrich_cache_miss": enrich_cache_miss,
+    "enrich_theta_contains": enrich_theta_contains,
+    "tpch_q1": tpch_q1,
+    "tpch_q3_top10": tpch_q3_top10,
+    "tpch_q5ish": tpch_q5ish,
+    "window_topk_orders": window_topk_orders,
+    "events_sessionize": events_sessionize,
+    "events_hourly": events_hourly,
+    "events_props_extract": events_props_extract,
+    "scalar_showcase": scalar_showcase,
+}
