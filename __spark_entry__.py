@@ -1,38 +1,90 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl-scheduling query on sf0.001;
+``queries()``/``oracle_sql()`` expose the full catalog from
+``nde_crawlers_spark`` (30 oracle-checked queries + non-SQL-expressible
+extras checked rows-only).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nde_crawlers_spark.oracles import ORACLES
+from nde_crawlers_spark.queries import QUERIES, crawl_frontier_topk
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the politeness-scheduled fetch list — canonicalize a
+    derived frontier, apply robots rules, take the per-host budgeted
+    top-k in deterministic total order (SURVEY §2.6's core operator)."""
+    return crawl_frontier_topk(spark, "/root/testdata/sf0.001")
+
+
+# ---- non-SQL-expressible extras (driver records rows-only checks) ----
+
+def _crawl_e2e_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two checkpointed crawl rounds on a 100-seed synthetic frontier;
+    returns the harvested documents (spans flattened for a stable
+    schema). Oracle-equivalence of order/seen/spans is asserted in
+    tests/test_crawl_oracle.py against the straight-line Python oracle."""
+    from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    seeds = make_seeds(100, 10)
+    run = CrawlRun(
+        spark,
+        os.path.join(tempfile.gettempdir(), "nde_spark_e2e"),
+        CrawlConfig(num_hosts=10, round_seconds=2, max_rounds=2),
+    )
+    sdf = spark.createDataFrame([(s["url"], s["priority"]) for s in seeds], ["url", "priority"])
+    run.run(seeds=sdf)
+    docs = run.documents()
+    return docs.select(
+        "doc_id",
+        F.posexplode("spans").alias("span_idx", "span"),
+    ).select(
+        "doc_id", "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media plumbing: spans -> binary payload table -> Arrow-batched
+    feature extraction (deterministic stub decode)."""
+    from nde_crawlers_spark.operators.multimodal import decode_media, media_table_from_spans
+    from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    run = CrawlRun(
+        spark,
+        os.path.join(tempfile.gettempdir(), "nde_spark_mm"),
+        CrawlConfig(num_hosts=10, round_seconds=2, max_rounds=1),
+    )
+    seeds = make_seeds(80, 10)
+    sdf = spark.createDataFrame([(s["url"], s["priority"]) for s in seeds], ["url", "priority"])
+    run.run(seeds=sdf)
+    media = media_table_from_spans(run.documents())
+    return decode_media(media, fake=True).select(
+        "media_ref", "media_kind", F.col("width"), F.col("height"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    out["crawl_e2e_documents"] = _crawl_e2e_documents
+    out["multimodal_features"] = _multimodal_features
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference stores media as URLs-with-metadata (distribution.contentUrl
++ encodingFormat, zenodo/files/zenodo.py:143-149) and never decodes them.
+A training-data pipeline must carry the payloads: this module defines the
+Spark-side plumbing — schema, partitioning, Arrow batch shape — for
+image/audio/video columns treated as opaque ``binary`` with a typed
+metadata struct.
+
+The actual decode (PIL/ffmpeg/librosa) is STUBBED: those libraries are
+not in this container, so ``decode_media`` raises NotImplementedError
+unless ``fake=True``, in which case it produces a deterministic fake
+feature vector from the bytes — keeping the whole distributed path
+(mapInPandas signature, batch sizing, schema) real and testable. On a
+cluster the stub body swaps for the real decoder; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_kind", T.StringType()),   # image | audio | video | other
+        T.StructField("payload", T.BinaryType()),       # opaque bytes
+        T.StructField("meta", T.StructType([
+            T.StructField("content_type", T.StringType()),
+            T.StructField("bytes", T.LongType()),
+        ])),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+_EXT_KIND = {
+    "jpg": ("image", "image/jpeg"), "png": ("image", "image/png"),
+    "mp4": ("video", "video/mp4"), "wav": ("audio", "audio/wav"),
+    "pdf": ("other", "application/pdf"),
+}
+
+
+def media_table_from_spans(docs: DataFrame) -> DataFrame:
+    """Extract media spans from the documents table into the media schema,
+    synthesizing a deterministic payload (sha-stream of the ref) — the
+    sandbox stand-in for the media fetch stage."""
+    media = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    ext = F.element_at(F.split(F.col("media_ref"), r"\."), -1)
+    kind = F.coalesce(
+        *[F.when(ext == e, F.lit(k)) for e, (k, _) in _EXT_KIND.items()], F.lit("other")
+    )
+    ctype = F.coalesce(
+        *[F.when(ext == e, F.lit(c)) for e, (_, c) in _EXT_KIND.items()],
+        F.lit("application/octet-stream"),
+    )
+    payload = F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex"))
+    return media.select(
+        "media_ref",
+        kind.alias("media_kind"),
+        payload.alias("payload"),
+        F.struct(ctype.alias("content_type"), F.length(payload).cast("long").alias("bytes")).alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> DataFrame:
+    """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
+
+    ``fake=False`` raises NotImplementedError inside the UDF (decoder libs
+    absent in this container); ``fake=True`` emits a deterministic feature
+    vector derived from the payload bytes, so partitioning/batching/schema
+    are exercised end-to-end."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, kind, payload in zip(pdf["media_ref"], pdf["media_kind"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "media decode requires PIL/ffmpeg/librosa (not in container); "
+                        "run with fake=True for the deterministic stub"
+                    )
+                d = hashlib.sha256(bytes(payload)).digest()
+                feat = [round(b / 255.0, 6) for b in d[:feature_dim]]
+                rows.append((ref, kind, feat, 16 + d[0] % 64, 16 + d[1] % 64))
+            yield pd.DataFrame(rows, columns=["media_ref", "media_kind", "feature", "width", "height"])
+
+    cols = media.select("media_ref", "media_kind", "payload")
+    return cols.repartition(F.col("media_ref")).mapInPandas(_decode, schema=FEATURE_SCHEMA)

@@ -49,8 +49,7 @@ from pyspark.sql import types as T
 from ..functions import urls as U
 from ..operators import frontier as FR
 from ..operators import seen as SN
-from ..operators.fetch import fetch_selected
-from ..operators.parse import parse_fetched
+from ..operators.fetch import fetch_parse
 from ..sources.synthetic import robots_rules
 
 ROBOTS_SCHEMA = T.StructType(
@@ -174,15 +173,17 @@ class CrawlRun:
         budgeted = FR.with_host_budget(frontier_all, robots, cfg.round_seconds)
         selected = FR.topk_per_host(budgeted, salt_factor=cfg.salt_factor).drop("host_budget").cache()
 
-        fetched = fetch_selected(selected, cfg.num_hosts, cfg.max_attempts).cache()
-        parsed = parse_fetched(fetched).cache()
+        # fused fetch+parse: bodies never cross the JVM<->Python boundary
+        fetched = fetch_parse(selected, cfg.num_hosts, cfg.max_attempts).cache()
 
-        documents = parsed.select(
-            F.col("url_hash").alias("doc_id"), F.col("canonical_url"), F.col("spans")
-        ).withColumn("round", F.lit(r))
+        documents = (
+            fetched.filter(F.col("status") == 200)
+            .select(F.col("url_hash").alias("doc_id"), F.col("canonical_url"), F.col("spans"))
+            .withColumn("round", F.lit(r))
+        )
 
         outlinks = (
-            parsed.select(F.explode("outlinks").alias("url"))
+            fetched.select(F.explode("outlinks").alias("url"))
             .withColumn("priority", F.lit(cfg.discovered_priority))
         )
 
@@ -233,7 +234,7 @@ class CrawlRun:
             "wall_s": round(time.monotonic() - t0, 3),
         }
         self._commit(r, meta)
-        for df in (robots, frontier_all, selected, fetched, parsed):
+        for df in (robots, frontier_all, selected, fetched):
             df.unpersist()
         return meta
 

@@ -39,10 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        # Arrow for all pandas UDF exchange; batch size mirrors the
-        # reference's 1000-doc enrichment batches (pmid_helper.py:855).
+        # Arrow for all pandas/Arrow UDF exchange. 10k-row batches: the
+        # reference batches remote work at 1000 docs (pmid_helper.py:855)
+        # because each batch is an RPC; here batches only cross the
+        # JVM<->Python boundary, where larger is strictly better until
+        # memory pressure.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Keep timestamps deterministic across engines.
         .config("spark.sql.session.timeZone", "UTC")
         # Broadcast threshold: lookup tables (robots, corrections, term

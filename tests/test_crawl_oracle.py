@@ -1,0 +1,96 @@
+"""End-to-end crawl vs the straight-line Python oracle: crawl ordering,
+URL-seen set, span-sequence equality (BASELINE.json north-rule
+invariants), kill-resume replay, and ordering determinism across
+partitioning configurations."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
+from nde_crawlers_spark.plans.oracle import crawl_oracle
+from nde_crawlers_spark.sources.synthetic import make_seeds
+
+N_SEEDS, N_HOSTS, ROUNDS = 80, 10, 3
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return crawl_oracle(make_seeds(N_SEEDS, N_HOSTS), N_HOSTS, round_seconds=2, max_rounds=ROUNDS)
+
+
+def _seed_df(spark):
+    return spark.createDataFrame(
+        [(s["url"], s["priority"]) for s in make_seeds(N_SEEDS, N_HOSTS)], ["url", "priority"]
+    )
+
+
+def _invariants(run: CrawlRun):
+    order = [
+        (r["round"], r["priority"], r["seq"], r["url_hash"])
+        for r in run.crawl_order().select("round", "priority", "seq", "url_hash").collect()
+    ]
+    seen = {r["url_hash"] for r in run.seen().collect()}
+    docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in run.documents().collect()
+    }
+    return order, seen, docs
+
+
+def _check_against_oracle(run: CrawlRun, oracle):
+    order, seen, docs = _invariants(run)
+    assert order == sorted(oracle.order), "crawl ordering diverged"
+    assert seen == oracle.seen, "URL-seen set diverged"
+    assert docs == {k: [tuple(s) for s in v] for k, v in oracle.documents.items()}, (
+        "span sequences diverged"
+    )
+    # spans well-formed: offsets strictly increasing, kinds from vocabulary
+    for spans in docs.values():
+        offs = [s[3] for s in spans]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        assert {s[0] for s in spans} <= {"title", "description", "author", "date", "keyword", "media"}
+
+
+def test_crawl_matches_oracle(spark, oracle):
+    run = CrawlRun(
+        spark, tempfile.mkdtemp(prefix="crawl_t_"),
+        CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=ROUNDS),
+    )
+    run.run(seeds=_seed_df(spark))
+    _check_against_oracle(run, oracle)
+
+
+def test_crawl_resume_replays_exactly(spark, oracle):
+    """Kill after round 0 (simulated by max_rounds=1), resume to the full
+    horizon: identical invariants to an uninterrupted run — the
+    insert_last_updated / tmp+rename resume protocol analog."""
+    d = tempfile.mkdtemp(prefix="crawl_r_")
+    run1 = CrawlRun(spark, d, CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=1))
+    run1.run(seeds=_seed_df(spark))
+    assert run1.committed_rounds() == [0]
+    run2 = CrawlRun(spark, d, CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=ROUNDS))
+    run2.run(resume=True)
+    assert run2.committed_rounds() == list(range(ROUNDS))
+    _check_against_oracle(run2, oracle)
+
+
+def test_crawl_order_independent_of_partitioning(spark, oracle):
+    """Same crawl at a different shuffle-partition count, salt factor and
+    bloom prefilter: byte-identical ordering/seen/docs — the sandbox
+    proxy for N-vs-4N executor determinism (the full local[8]/local[32]
+    two-process evidence lives in bench.py)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        run = CrawlRun(
+            spark, tempfile.mkdtemp(prefix="crawl_p_"),
+            CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=ROUNDS,
+                        salt_factor=3, use_bloom=True),
+        )
+        run.run(seeds=_seed_df(spark))
+        _check_against_oracle(run, oracle)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -1,0 +1,120 @@
+"""Operator-level tests: bloom seen-filter equivalence, multimodal
+plumbing, enrichment shapes, streaming incremental windows."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nde_crawlers_spark.operators import enrich as EN
+from nde_crawlers_spark.operators import seen as SN
+from nde_crawlers_spark.operators.multimodal import decode_media, media_table_from_spans
+
+from .conftest import SF001
+
+
+def test_bloom_seen_filter_equals_exact(spark):
+    cand = spark.range(0, 500).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+    seen = spark.range(0, 500, 3).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+    exact = {r["url_hash"] for r in SN.filter_unseen_exact(cand, seen).collect()}
+    bloom = {r["url_hash"] for r in SN.filter_unseen_bloom(cand, seen, expected=1000).collect()}
+    assert bloom == exact
+    assert len(exact) == 500 - len(range(0, 500, 3))
+
+
+def test_bloom_build_and_probe(spark):
+    seen = spark.range(200).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+    bloom = SN.build_bloom(seen, expected=200, fpp=0.01)
+    assert bloom is not None and bloom.nbits >= 64
+    # every seen key must hit (no false negatives)
+    probed = SN.probe_bloom(seen, bloom)
+    assert probed.filter(~F.col("__maybe_seen")).count() == 0
+    # unseen keys mostly miss (fpp bound with slack)
+    fresh = spark.range(10_000, 11_000).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+    fp = SN.probe_bloom(fresh, bloom).filter(F.col("__maybe_seen")).count()
+    assert fp < 50
+    # empty seen -> None
+    empty = spark.createDataFrame([], "url_hash string")
+    assert SN.build_bloom(empty, expected=10) is None
+
+
+def _mini_docs(spark):
+    from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    run = CrawlRun(
+        spark, tempfile.mkdtemp(prefix="mm_"),
+        CrawlConfig(num_hosts=8, round_seconds=2, max_rounds=1),
+    )
+    seeds = make_seeds(60, 8)
+    run.run(seeds=spark.createDataFrame([(s["url"], s["priority"]) for s in seeds], ["url", "priority"]))
+    return run.documents()
+
+
+def test_multimodal_stub_and_fake_decode(spark):
+    docs = _mini_docs(spark)
+    media = media_table_from_spans(docs)
+    n = media.count()
+    assert n > 0
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decode_media(media, fake=False).collect()
+    feats = decode_media(media, fake=True).collect()
+    assert len(feats) == n
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["media_kind"] in {"image", "audio", "video", "other"}
+        assert 16 <= r["width"] < 80
+    # determinism
+    again = {r["media_ref"]: r["feature"] for r in decode_media(media, fake=True).collect()}
+    assert all(again[r["media_ref"]] == r["feature"] for r in feats)
+
+
+def test_explode_join_collect_shape(spark):
+    docs = spark.createDataFrame(
+        [("d1", ["p1", "p2"]), ("d2", ["p2"]), ("d3", [])],
+        "doc_id string, pmids array<string>",
+    )
+    lookup = spark.createDataFrame(
+        [("p1", "cit1"), ("p2", "cit2")], "pmid string, citation string"
+    )
+    out = EN.explode_join_collect(docs, "pmids", lookup, "pmid").collect()
+    got = {r["doc_id"]: [(e["pmid"], e["citation"]) for e in r["enriched"]] for r in out}
+    assert got["d1"] == [("p1", "cit1"), ("p2", "cit2")]
+    assert got["d2"] == [("p2", "cit2")]
+    assert got["d3"] == [(None, None)]
+
+
+def test_streaming_windowed_counts_match_batch(spark):
+    import os
+
+    from nde_crawlers_spark.streaming.incremental import (
+        run_available_now, stream_events, windowed_counts,
+    )
+
+    # file-stream sources require a directory — stage the single parquet
+    import shutil
+
+    src_dir = tempfile.mkdtemp(prefix="strm_src_")
+    shutil.copy(f"{SF001}/events.parquet", os.path.join(src_dir, "part-0.parquet"))
+    src = f"{SF001}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    out = tempfile.mkdtemp(prefix="strm_out_")
+    ckpt = tempfile.mkdtemp(prefix="strm_ck_")
+    run_available_now(windowed_counts(stream_events(spark, src_dir, schema), watermark="0 seconds"),
+                      os.path.join(out, "res"), ckpt)
+    got = spark.read.parquet(os.path.join(out, "res"))
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                 "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    g = {(r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6)) for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6)) for r in batch.collect()}
+    # watermark=0s + availableNow finalizes every window except possibly the last open one
+    assert set(g) <= set(b)
+    assert len(g) >= len(b) - 1
+    for k, v in g.items():
+        assert b[k] == v
