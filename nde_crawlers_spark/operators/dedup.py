@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure enough input partitions for the explode-heavy operators.
+
+    A small/unsplittable input (one parquet file) would otherwise run the
+    whole explode+aggregate single-threaded. At corpus scale the scan has
+    >> defaultParallelism splits and this is a no-op; the repartition only
+    fires for pathological inputs, where its cost is trivial."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def content_key(text_col: str = "text", prefix_tokens: int | None = None) -> F.Column:
     """md5 content key; optionally over only the first N tokens (the
     'prefix dup' key used when corpora have boilerplate-identical heads)."""
@@ -63,6 +76,31 @@ def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str
     return docs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def minhash_signatures_agg(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int, k: int
+) -> DataFrame:
+    """MinHash signatures via explode -> groupBy min aggregation.
+
+    Semantically identical to functions/text.py::minhash_signature (min of
+    the same salted md5 set), but whole-stage-codegen'd: Spark's
+    higher-order array lambdas are interpreted (no codegen) and get
+    re-evaluated at every reference, which measured ~50x slower on the
+    same data. The exploded form is also the shape that scales — the
+    aggregation is a map-side-combined shuffle on doc id.
+
+    Returns (id, mh0..mh{k-1}); docs with no shingles are absent.
+    """
+    ex = spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("s")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -74,15 +112,21 @@ def minhash_lsh_candidates(
     """MinHash+LSH candidate pairs: docs sharing any band bucket.
 
     signature length = bands*rows_per_band; collision threshold
-    ~ (1/bands)^(1/rows_per_band). Returns (id_a, id_b, band) pairs with
-    id_a < id_b, distinct."""
+    ~ (1/bands)^(1/rows_per_band). Returns (id_a, id_b) pairs with
+    id_a < id_b, distinct. The band id is part of the join key, so at
+    scale no reducer sees more than one bucket (self-salting)."""
     k = bands * rows_per_band
-    sig = TX.minhash_signature(TX.shingles(F.col(text_col), shingle_n), k)
-    banded = (
-        docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .filter(F.element_at(F.col("sig"), 1).isNotNull())  # docs with >=1 shingle
-        .select("id", F.posexplode(TX.lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band", "bucket"))
-    )
+    sig = minhash_signatures_agg(docs, id_col, text_col, shingle_n, k)
+    band_keys = [
+        F.md5(
+            F.concat(
+                F.lit(str(b)), F.lit(":"),
+                F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]),
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.posexplode(F.array(*band_keys)).alias("band", "bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -93,13 +137,37 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash16_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) via explode -> groupBy bit-vote aggregation —
+    semantically identical to functions/text.py::simhash16 but codegen'd
+    (see minhash_signatures_agg for why). Docs with no tokens get 0."""
+    odd = "'1','3','5','7','9','b','d','f'"
+    ex = spread(docs).select(F.col(id_col).alias("id"), F.explode(TX.tokens(F.col(text_col))).alias("t"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"substring(md5(t), {b + 1}, 1) in ({odd})"), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    sh = sum(
+        [F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)],
+        F.lit(0),
+    )
+    sig = agg.select("id", sh.cast("int").alias("simhash"))
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(sig, "id", "left").select(
+        "id", F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash")
+    )
+
+
 def simhash_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash near-dup groups: docs with identical 16-bit simhash.
     (Production: 64-bit + multi-index Hamming<=3 blocking; identical plan
     shape — groupBy on derived key.)"""
-    sh = TX.simhash16(TX.tokens(F.col(text_col)))
     return (
-        docs.select(F.col(id_col).alias("member_id"), sh.alias("simhash"))
+        simhash16_agg(docs, id_col, text_col)
+        .select(F.col("id").alias("member_id"), "simhash")
         .groupBy("simhash")
         .agg(
             F.count("*").alias("group_size"),
@@ -118,27 +186,33 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >=1 shingle.
 
-    Plan: explode shingles -> self-equi-join on shingle (candidate
-    generation; never the cross product) -> distinct pairs -> join back
-    both shingle sets -> exact Jaccard filter. At scale the candidate
-    join is the cost center; raising shingle_n or pre-filtering rare
-    shingles (drop shingles with df>limit, a stop-shingle list) bounds it.
+    Plan: explode distinct shingles -> self-equi-join on shingle
+    (candidate generation; never the cross product) -> the pair's group
+    count IS |A∩B|, |A∪B| from per-doc sizes — exact Jaccard with zero
+    array operations, all codegen aggregations. At scale the candidate
+    join is the cost center; raising shingle_n or dropping too-frequent
+    shingles (a stop-shingle df cap) bounds it.
     """
-    base = docs.select(
+    exploded = spread(docs).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    exploded = base.select("id", F.explode("sh").alias("s"))
-    pairs = (
+        F.explode_outer(TX.shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).filter(F.col("s").isNotNull()).distinct()
+    sizes = exploded.groupBy("id").agg(F.count("*").alias("n"))
+    # |A ∩ B| directly as the candidate-join group count — no array ops,
+    # pure codegen aggregations; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    inter = (
         exploded.alias("a")
         .join(exploded.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
     )
     return (
-        pairs.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", F.round(TX.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

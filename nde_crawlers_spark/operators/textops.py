@@ -2,9 +2,16 @@
 
 Language-ID, quality scoring, token counting, fingerprinting — the
 per-document column passes a training-data pipeline runs before dedup and
-filtering. All column-expression compositions of functions/text.py, i.e.
-one map-only whole-stage-codegen pass over the corpus; at 100 TB this is
-scan-bound, exactly what you want.
+filtering.
+
+Implementation note: the semantic definitions live in functions/text.py
+as pure higher-order column expressions (and are mirrored 1:1 by the
+DuckDB oracle). Spark's higher-order lambdas are interpreted (no
+whole-stage codegen), which measured 10-50x slower at corpus scale, so
+the operators here compute the token-level parts through ONE
+explode -> groupBy aggregation (codegen'd, map-side combined) and join
+the per-doc stats back. Outputs are bit-identical to the column-kernel
+forms — verified by the oracle parity suite.
 
 Reference analogs: HTML-strip + casefold + size-gate single pass
 (utils/utils.py:352-403), completeness scoring (utils/utils.py:265-349),
@@ -13,47 +20,114 @@ placeholder-term filter (utils/utils.py:34-66).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
 
 
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One exploded aggregation: per-doc token count, per-language
+    stopword hits, English stopword hits. Docs with zero tokens get
+    all-zero rows (left join + fill)."""
+    from .dedup import spread
+
+    ex = spread(docs).select(F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("t"))
+    aggs = [F.count("*").alias("n_tokens")]
+    for lang in TX.LANG_ORDER:
+        aggs.append(
+            F.sum(F.when(F.col("t").isin(*TX.LANG_STOPWORDS[lang]), 1).otherwise(0)).alias(f"s_{lang}")
+        )
+    aggs.append(F.sum(F.when(F.col("t").isin(*TX.EN_STOPWORDS), 1).otherwise(0)).alias("sw_hits"))
+    stats = ex.groupBy(id_col).agg(*aggs)
+    zero_cols = ["n_tokens", *[f"s_{lg}" for lg in TX.LANG_ORDER], "sw_hits"]
+    return (
+        docs.select(F.col(id_col))
+        .join(stats, id_col, "left")
+        .select(F.col(id_col), *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in zero_cols])
+    )
+
+
+def _lang_pred_from_stats() -> Column:
+    """Argmax language with fixed precedence tie-break (== TX.lang_id)."""
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in TX.LANG_ORDER])
+    expr: Column = F.lit("und")
+    for lang in reversed(TX.LANG_ORDER):
+        expr = F.when((best > 0) & (F.col(f"s_{lang}") == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _quality_from_stats(text_col: str) -> Column:
+    """== TX.quality_score, computed from the aggregated stats."""
+    n = F.col("n_tokens")
+    len_part = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    sw = F.when(n > 0, F.col("sw_hits").cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * len_part
+        + F.lit(0.3) * (F.lit(1.0) - TX.punct_ratio(F.col(text_col)))
+        + F.lit(0.3) * sw,
+        4,
+    )
+
+
 def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One-pass per-document analysis: token count, predicted language,
-    quality score, fingerprint, simhash."""
-    toks = TX.tokens(F.col(text_col))
-    return docs.select(
-        F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        TX.lang_id(F.col(text_col)).alias("lang_pred"),
-        TX.quality_score(F.col(text_col)).alias("quality"),
-        TX.fingerprint(F.col(text_col)).alias("fingerprint"),
-        TX.simhash16(toks).alias("simhash"),
+    """Per-document analysis: token count, predicted language, quality
+    score, fingerprint, simhash — three codegen'd aggregations (token
+    stats, 4-gram fingerprint, simhash votes) joined on the doc id."""
+    from .dedup import simhash16_agg, spread
+
+    stats = token_stats(docs, id_col, text_col)
+    rowlocal = docs.select(
+        F.col(id_col), F.col(text_col).alias("__text"),
+        F.md5(F.lower(F.col(text_col))).alias("__fp_fallback"),
+    )
+    grams = spread(docs).select(
+        F.col(id_col), F.explode(TX.word_ngrams(TX.tokens(F.col(text_col)), 4)).alias("g")
+    )
+    fp = grams.groupBy(id_col).agg(F.min(F.md5(F.col("g"))).alias("__fp"))
+    sh = simhash16_agg(docs, id_col, text_col).withColumnRenamed("id", id_col)
+    return (
+        rowlocal.join(stats, id_col)
+        .join(fp, id_col, "left")
+        .join(sh, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            _lang_pred_from_stats().alias("lang_pred"),
+            _quality_from_stats("__text").alias("quality"),
+            F.coalesce(F.col("__fp"), F.col("__fp_fallback")).alias("fingerprint"),
+            F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"),
+        )
     )
 
 
 def quality_filter(
-    docs: DataFrame, text_col: str = "text", min_tokens: int = 10, min_quality: float = 0.4
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_tokens: int = 10, min_quality: float = 0.4,
 ) -> DataFrame:
     """Drop low-quality rows (the placeholder/size-gate analog)."""
-    return docs.filter(
-        (TX.token_count(F.col(text_col)) >= min_tokens)
-        & (TX.quality_score(F.col(text_col)) >= min_quality)
+    stats = token_stats(docs, id_col, text_col)
+    keep = stats.filter(F.col("n_tokens") >= min_tokens).select(
+        F.col(id_col), "n_tokens", "sw_hits"
     )
+    joined = docs.join(keep, id_col)
+    return joined.filter(_quality_from_stats(text_col) >= min_quality).select(*docs.columns)
 
 
-def lang_agreement(docs: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+def lang_agreement(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", lang_col: str = "lang") -> DataFrame:
     """Diagnostics: predicted-vs-labeled language confusion counts
     (group-and-count diagnostics analog, zenodo/files/zenodo.py:291-293)."""
+    stats = token_stats(docs, id_col, text_col)
+    labeled = docs.select(F.col(id_col), F.col(lang_col).alias("lang_label")).join(stats, id_col)
     return (
-        docs.select(F.col(lang_col).alias("lang_label"), TX.lang_id(F.col(text_col)).alias("lang_pred"))
+        labeled.select("lang_label", _lang_pred_from_stats().alias("lang_pred"))
         .groupBy("lang_label", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
 
 
-def html_strip(col: F.Column) -> F.Column:
+def html_strip(col: Column) -> Column:
     """Strip HTML tags, <br> -> newline (utils/utils.py:379-385 analog —
     regexp-only; full lxml fidelity would be a pandas UDF, not needed for
     the synthetic corpus)."""
