@@ -432,6 +432,64 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+NDE_CTE = """
+nde AS (
+  SELECT
+    CASE WHEN doc_id % 3 = 0 THEN upper(source) || ':DOC:' || CAST(doc_id AS VARCHAR)
+         ELSE source || ':doc:' || CAST(doc_id AS VARCHAR) END AS _id,
+    CASE WHEN doc_id % 17 = 0 THEN NULL
+         ELSE (['Dataset','ComputationalTool','ResourceCatalog','Sample'])[CAST(doc_id % 4 AS INTEGER) + 1] END AS type,
+    CASE WHEN doc_id % 23 = 0 THEN NULL
+         ELSE 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) END AS url,
+    (['Open','Restricted','Closed','Embargoed','Invalid-Value'])[CAST(doc_id % 5 AS INTEGER) + 1] AS access,
+    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE DATE '2020-01-01' + CAST(doc_id % 300 AS INTEGER) END AS date_created,
+    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE DATE '2020-01-01' + CAST(n_chars % 400 AS INTEGER) END AS date_modified,
+    DATE '2020-01-01' + CAST((doc_id * 7) % 350 AS INTEGER) AS date_published,
+    '<p>' || text || '<br/>more</p>' AS description,
+    n_chars
+  FROM documents
+),
+gated AS (
+  SELECT *,
+    CASE WHEN type IS NULL OR type = '' THEN 'missing_type'
+         WHEN url IS NULL OR url = '' THEN 'missing_url'
+         WHEN access IS NOT NULL AND access NOT IN ('Open','Restricted','Closed','Embargoed')
+              THEN 'invalid_conditions_of_access'
+         ELSE NULL END AS violation
+  FROM nde
+)"""
+
+ORACLES["nde_wrapper_pass"] = f"""
+WITH {NDE_CTE}
+SELECT lower(_id) AS _id, type,
+  strftime(greatest(date_created, date_modified, date_published), '%Y-%m-%d') AS latest_date,
+  round(0.6 * ((CASE WHEN type IS NOT NULL AND type != '' THEN 1 ELSE 0 END
+              + CASE WHEN url IS NOT NULL AND url != '' THEN 1 ELSE 0 END
+              + CASE WHEN date_published IS NOT NULL AND CAST(date_published AS VARCHAR) != '' THEN 1 ELSE 0 END) / 3.0)
+      + 0.4 * ((CASE WHEN description IS NOT NULL AND description != '' THEN 1 ELSE 0 END
+              + CASE WHEN access IS NOT NULL AND access != '' THEN 1 ELSE 0 END) / 2.0), 2) AS score,
+  length(trim(regexp_replace(regexp_replace(description, '(?i)<br\\s*/?>', chr(10), 'g'), '<[^>]+>', '', 'g'))) AS stripped_len
+FROM gated WHERE violation IS NULL
+"""
+
+ORACLES["nde_quarantine_counts"] = f"""
+WITH {NDE_CTE}
+SELECT violation, count(*) AS n FROM gated WHERE violation IS NOT NULL GROUP BY violation
+"""
+
+ORACLES["setops_union_by_name"] = """
+WITH u AS (
+  (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0)
+  UNION ALL BY NAME
+  (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+)
+SELECT count(*) AS rows,
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM u
+"""
+
 ORACLES["scalar_showcase"] = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,

@@ -372,6 +372,98 @@ def scalar_showcase(spark, sf_dir):
     )
 
 
+# -------------------------------------------------------- NDE wrapper --
+_NDE_TYPES = ["Dataset", "ComputationalTool", "ResourceCatalog", "Sample"]
+_NDE_ACCESS = ["Open", "Restricted", "Closed", "Embargoed", "Invalid-Value"]
+
+
+def _nde_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive an NDE-record-shaped table from `documents` (same derivation
+    in the oracle SQL): mixed-case _id, sometimes-missing @type/url,
+    one invalid access enum value, HTML-wrapped description, scattered
+    date fields — the F9 fixture cases from FIXTURES.md."""
+    from .operators import wrapper as W  # noqa: F401 (documented pairing)
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.lit("2020-01-01").cast("date")
+    typ = F.when(did % 17 == 0, F.lit(None).cast("string")).otherwise(
+        F.element_at(F.array(*[F.lit(x) for x in _NDE_TYPES]), (did % 4).cast("int") + 1)
+    )
+    return d.select(
+        F.when(
+            did % 3 == 0, F.concat(F.upper("source"), F.lit(":DOC:"), did.cast("string"))
+        ).otherwise(F.concat(F.col("source"), F.lit(":doc:"), did.cast("string"))).alias("_id"),
+        typ.alias("type"),
+        F.when(did % 23 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"), did.cast("string"))
+        ).alias("url"),
+        F.element_at(F.array(*[F.lit(x) for x in _NDE_ACCESS]), (did % 5).cast("int") + 1).alias("access"),
+        F.when(did % 7 == 0, F.lit(None).cast("date")).otherwise(
+            F.date_add(base, (did % 300).cast("int"))
+        ).alias("date_created"),
+        F.when(did % 11 == 0, F.lit(None).cast("date")).otherwise(
+            F.date_add(base, (F.col("n_chars") % 400).cast("int"))
+        ).alias("date_modified"),
+        F.date_add(base, ((did * 7) % 350).cast("int")).alias("date_published"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("<br/>more</p>")).alias("description"),
+        F.col("n_chars"),
+    )
+
+
+def nde_wrapper_pass(spark, sf_dir):
+    """The full upload-wrapper pass over derived NDE records: casefold ->
+    add_date -> HTML strip -> completeness score -> schema gate (valid
+    side)."""
+    from .operators import textops as TO2
+    from .operators import wrapper as W
+
+    nde = _nde_docs(spark, sf_dir)
+    latest = W.add_date(F.col("date_created"), F.col("date_modified"), F.col("date_published"))
+    score = W.completeness_score(
+        required=[F.col("type"), F.col("url"), F.col("date_published")],
+        recommended=[F.col("description"), F.col("access")],
+    )
+    out = nde.select(
+        W.casefold_id(F.col("_id")).alias("_id"),
+        F.col("type"),
+        F.date_format(latest, "yyyy-MM-dd").alias("latest_date"),
+        score.alias("score"),
+        F.length(TO2.html_strip(F.col("description"))).alias("stripped_len"),
+        W.schema_violation(F.col("type"), F.col("url"), F.col("access")).alias("violation"),
+    )
+    return out.filter(F.col("violation").isNull()).drop("violation")
+
+
+def nde_quarantine_counts(spark, sf_dir):
+    """Quarantine side-output: count of rejected records per violation."""
+    from .operators import wrapper as W
+
+    nde = _nde_docs(spark, sf_dir)
+    v = W.schema_violation(F.col("type"), F.col("url"), F.col("access"))
+    return (
+        nde.select(v.alias("violation"))
+        .filter(F.col("violation").isNotNull())
+        .groupBy("violation")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def setops_union_by_name(spark, sf_dir):
+    """Per-source stream union with missing columns (builder merge shape:
+    unionByName(allowMissingColumns=True), SURVEY §2.8)."""
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars")
+    b = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy().agg(
+        F.count("*").alias("rows"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0)).cast("long").alias("null_source"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).cast("long").alias("null_lang"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_url_canonicalize": crawl_url_canonicalize,
     "crawl_seen_filter": crawl_seen_filter,
@@ -403,4 +495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": events_hourly,
     "events_props_extract": events_props_extract,
     "scalar_showcase": scalar_showcase,
+    "nde_wrapper_pass": nde_wrapper_pass,
+    "nde_quarantine_counts": nde_quarantine_counts,
+    "setops_union_by_name": setops_union_by_name,
 }

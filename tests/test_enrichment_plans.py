@@ -1,0 +1,103 @@
+"""Tests: embedding memo cache (miss-only compute), incremental harvest
+(window checkpoints, crash resume, TTL expiry, stale-source guard),
+wrapper-pass operators."""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from nde_crawlers_spark.operators import wrapper as W
+from nde_crawlers_spark.operators.embed import CACHE_SCHEMA, embed_with_cache, stub_embed
+from nde_crawlers_spark.plans.incremental import IncrementalHarvest
+
+from .conftest import SF001
+
+
+def test_embed_with_cache_miss_only_compute(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").limit(50)
+    empty = spark.createDataFrame([], CACHE_SCHEMA)
+    enriched, cache1 = embed_with_cache(docs, empty)
+    cache1 = cache1.cache()
+    n_docs, n_cache = enriched.count(), cache1.count()
+    assert n_docs == 50
+    assert n_cache == docs.select(F.sha2(F.lower("text"), 256)).distinct().count()
+    # values match the deterministic stub
+    row = enriched.join(docs, "doc_id").select("text", "embedding").first()
+    assert [round(x, 6) for x in row["embedding"]] == stub_embed(row["text"])
+    # second pass: zero new cache rows (all hits)
+    _, cache2 = embed_with_cache(docs, cache1)
+    assert cache2.count() == n_cache
+    cache1.unpersist()
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF001}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+
+
+LO = datetime(2024, 1, 1)
+HI = datetime(2024, 1, 31)
+STEP = timedelta(days=10)
+
+
+def test_incremental_harvest_resume_and_ttl(spark):
+    ev = _events(spark)
+    full = ev.filter((F.col("ts") >= F.lit(LO)) & (F.col("ts") < F.lit(HI))).count()
+
+    # crash before window 2, then resume: no loss, no duplicates
+    d = tempfile.mkdtemp(prefix="ih_")
+    h = IncrementalHarvest(spark, d, expire_days=90)
+    with pytest.raises(RuntimeError, match="injected"):
+        h.harvest(ev, "ts", LO, HI, STEP, now=HI, fail_at_window=2)
+    assert h.checkpoint() is not None
+    metas = h.harvest(ev, "ts", LO, HI, STEP, now=HI)
+    assert len(metas) == 1  # only the remaining window re-ran
+    assert h.harvested().count() == full
+    assert h.harvested().select("event_id").distinct().count() == full
+
+    # up-to-date checkpoint -> nothing to do
+    assert h.harvest(ev, "ts", LO, HI, STEP, now=HI) == []
+
+    # TTL expiry -> full re-harvest plan from lo
+    start, windows = h.plan_windows(LO, HI, STEP, now=HI + timedelta(days=365))
+    assert start == LO and len(windows) == 3
+
+    # stale-source guard: source watermark behind the checkpoint
+    with pytest.raises(RuntimeError, match="monotone-release"):
+        h.plan_windows(LO, HI - timedelta(days=30), STEP, now=HI)
+
+
+def test_wrapper_operators(spark):
+    df = spark.createDataFrame(
+        [
+            ("ID:One", "Dataset", "https://x", "Open", "2020-01-05", None, "2020-01-02",
+             [{"name": "Mus musculus"}, {"name": " N/A "}, {"name": "unknown"}]),
+            ("id:two", None, "https://y", "Restricted", None, "2021-06-01", "2020-01-01",
+             [{"name": "Homo sapiens"}]),
+            ("id:three", "Sample", None, "Weird", "2020-01-01", "2020-01-01", "2020-01-01", []),
+        ],
+        "id string, type string, url string, access string, d1 string, d2 string, d3 string,"
+        " species array<struct<name:string>>",
+    ).select(
+        W.casefold_id(F.col("id")).alias("id"), "type", "url", "access",
+        W.add_date(F.col("d1").cast("date"), F.col("d2").cast("date"), F.col("d3").cast("date")).alias("latest"),
+        W.placeholder_filter(F.col("species")).alias("species"),
+        W.schema_violation(F.col("type"), F.col("url"), F.col("access")).alias("violation"),
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {"id:one", "id:two", "id:three"}
+    assert str(rows["id:one"]["latest"]) == "2020-01-05"
+    assert str(rows["id:two"]["latest"]) == "2021-06-01"
+    assert [e["name"] for e in rows["id:one"]["species"]] == ["Mus musculus"]
+    assert rows["id:one"]["violation"] is None
+    assert rows["id:two"]["violation"] == "missing_type"
+    assert rows["id:three"]["violation"] == "missing_url"  # url checked before enum
+    valid, quarantined = W.check_schema_gate(
+        df, F.col("violation")
+    )
+    assert valid.count() == 1 and quarantined.count() == 2
