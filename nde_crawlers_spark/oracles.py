@@ -352,6 +352,18 @@ SELECT DISTINCT l_suppkey AS suppkey FROM lineitem
 WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
 """
 
+ORACLES["enrich_explode_collect"] = """
+WITH ex AS (
+  SELECT doc_id, unnest([CAST(doc_id % 25 AS INTEGER), CAST((doc_id * 3) % 25 AS INTEGER)]) AS key
+  FROM documents
+),
+j AS (SELECT ex.doc_id, n.n_name FROM ex LEFT JOIN nation n ON ex.key = n.n_nationkey)
+SELECT doc_id,
+       coalesce(string_agg(n_name, ',' ORDER BY n_name), '') AS enriched_csv,
+       count(n_name) AS hits
+FROM j GROUP BY doc_id
+"""
+
 ORACLES["enrich_theta_contains"] = """
 WITH pats AS (SELECT DISTINCT lower(p_type) AS pattern FROM part)
 SELECT p.p_partkey, pats.pattern

@@ -100,20 +100,63 @@ class IncrementalHarvest:
         _, windows = self.plan_windows(lo, hi, step, now)
         out_dir = os.path.join(self.state_dir, "data")
         metas = []
+        del out_dir
         for i, (w_from, w_until) in enumerate(windows):
             if fail_at_window is not None and i == fail_at_window:
                 raise RuntimeError(f"injected failure before window {i}")
-            rows = source.filter(
-                (F.col(ts_col) >= F.lit(w_from)) & (F.col(ts_col) < F.lit(w_until))
-            )
             # one overwritten directory per window: re-running a window
             # whose write landed but whose checkpoint didn't is idempotent
             # (the SQLite upsert-on-_id analog, sql_database.py:229-235)
-            wdir = os.path.join(out_dir, f"window={w_from.strftime('%Y%m%dT%H%M%S')}")
-            rows.write.mode("overwrite").parquet(wdir)
-            self._commit_checkpoint(w_until, now)
+            self._harvest_window(source, ts_col, w_from, w_until, now)
             metas.append({"window": i, "from": w_from.isoformat(), "until": w_until.isoformat()})
         return metas
+
+    def harvest_adaptive(
+        self,
+        source: DataFrame,
+        ts_col: str,
+        lo: datetime,
+        hi: datetime,
+        step: timedelta,
+        now: datetime | None = None,
+        min_step: timedelta = timedelta(days=1),
+        failing: "set[str] | None" = None,
+    ) -> list[dict]:
+        """Window harvest with adaptive halving: a failed window is split
+        in two and retried, down to ``min_step`` — the interval-halving
+        retry of sql_database.py:428-464 and the recursive esummary batch
+        split of biosample/files/biosample.py:117-130. ``failing`` is a
+        test hook: window-start isoformats that fail at full size."""
+        now = now or datetime.utcnow()
+        _, windows = self.plan_windows(lo, hi, step, now)
+        out: list[dict] = []
+        stack = list(reversed(windows))
+        while stack:
+            w_from, w_until = stack.pop()
+            width = w_until - w_from
+            injected = failing is not None and w_from.isoformat() in failing and width >= step
+            try:
+                if injected:
+                    raise RuntimeError("injected window failure")
+                self._harvest_window(source, ts_col, w_from, w_until, now)
+                out.append({"from": w_from.isoformat(), "until": w_until.isoformat(),
+                            "width_s": width.total_seconds()})
+            except RuntimeError:
+                if width <= min_step:
+                    raise
+                mid = w_from + width / 2
+                stack.extend([(mid, w_until), (w_from, mid)][::-1])
+        return out
+
+    def _harvest_window(self, source, ts_col, w_from, w_until, now) -> None:
+        rows = source.filter(
+            (F.col(ts_col) >= F.lit(w_from)) & (F.col(ts_col) < F.lit(w_until))
+        )
+        wdir = os.path.join(
+            self.state_dir, "data", f"window={w_from.strftime('%Y%m%dT%H%M%S')}"
+        )
+        rows.write.mode("overwrite").parquet(wdir)
+        self._commit_checkpoint(w_until, now)
 
     def harvested(self) -> DataFrame:
         return self.spark.read.option("recursiveFileLookup", "true").parquet(

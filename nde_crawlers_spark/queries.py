@@ -243,6 +243,27 @@ def enrich_cache_miss(spark, sf_dir):
     return EN.cache_misses(li, sup, "suppkey")
 
 
+def enrich_explode_collect(spark, sf_dir):
+    """The PMID-enrichment join shape (J1, utils/pmid_helper.py:799-964):
+    per-doc key array -> explode -> broadcast lookup join -> regroup with
+    collect_list -> one enriched row per doc."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            (F.col("doc_id") % 25).cast("int"), ((F.col("doc_id") * 3) % 25).cast("int")
+        ).alias("keys"),
+    )
+    nation = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"), F.col("n_name")
+    )
+    exploded = docs.select("doc_id", F.explode("keys").alias("key"))
+    joined = exploded.join(F.broadcast(nation), "key", "left")
+    return joined.groupBy("doc_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("enriched_csv"),
+        F.count("n_name").alias("hits"),
+    )
+
+
 def enrich_theta_contains(spark, sf_dir):
     part = t(spark, sf_dir, "part")
     patterns = part.select(F.lower(F.col("p_type")).alias("pattern")).distinct()
@@ -486,6 +507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_key_dedup_1x1": merge_key_dedup_1x1,
     "enrich_broadcast_lookup": enrich_broadcast_lookup,
     "enrich_cache_miss": enrich_cache_miss,
+    "enrich_explode_collect": enrich_explode_collect,
     "enrich_theta_contains": enrich_theta_contains,
     "tpch_q1": tpch_q1,
     "tpch_q3_top10": tpch_q3_top10,

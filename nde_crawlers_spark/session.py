@@ -52,6 +52,7 @@ def get_spark(
         # maps) are small; 64MB covers them at 100TB-scale dims too.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", "/tmp/nde-spark-warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )

@@ -72,6 +72,24 @@ def test_incremental_harvest_resume_and_ttl(spark):
         h.plan_windows(LO, HI - timedelta(days=30), STEP, now=HI)
 
 
+def test_adaptive_window_halving(spark):
+    """A failing full-width window splits recursively (interval-halving
+    retry, sql_database.py:428-464) and the harvest still completes with
+    the full row set."""
+    ev = _events(spark)
+    full = ev.filter((F.col("ts") >= F.lit(LO)) & (F.col("ts") < F.lit(HI))).count()
+    d = tempfile.mkdtemp(prefix="ihа_")
+    h = IncrementalHarvest(spark, d, expire_days=90)
+    metas = h.harvest_adaptive(
+        ev, "ts", LO, HI, STEP, now=HI,
+        failing={LO.isoformat()},  # first 10-day window fails at full width
+    )
+    widths = [m["width_s"] for m in metas]
+    assert min(widths) < STEP.total_seconds()  # halving happened
+    assert h.harvested().count() == full
+    assert h.harvested().select("event_id").distinct().count() == full
+
+
 def test_wrapper_operators(spark):
     df = spark.createDataFrame(
         [
