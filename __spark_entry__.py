@@ -79,10 +79,47 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's uploader stage chain (SURVEY §2.11:
+    standardize -> enrich -> wrapper) composed end-to-end over crawled
+    documents: spans -> typed fields -> add_date -> completeness score ->
+    dedup keep-one. Rows-only check; each stage is oracle-checked
+    individually elsewhere."""
+    from nde_crawlers_spark.operators import wrapper as W
+    from nde_crawlers_spark.operators.dedup import drop_exact_duplicates
+    from nde_crawlers_spark.operators.parse import spans_to_fields
+    from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    run = CrawlRun(
+        spark,
+        os.path.join(tempfile.gettempdir(), "nde_spark_upl"),
+        CrawlConfig(num_hosts=10, round_seconds=2, max_rounds=1),
+    )
+    seeds = make_seeds(80, 10)
+    run.run(seeds=spark.createDataFrame(
+        [(s["url"], s["priority"]) for s in seeds], ["url", "priority"]))
+    fields = spans_to_fields(run.documents())
+    scored = fields.select(
+        W.casefold_id(F.col("doc_id")).alias("_id"),
+        "name", "author",
+        F.to_date(F.col("date_str")).alias("date"),
+        F.size("keywords").alias("n_keywords"),
+        F.size("media_refs").alias("n_media"),
+        W.completeness_score(
+            required=[F.col("name"), F.col("date_str")],
+            recommended=[F.col("description"), F.col("author")],
+        ).alias("score"),
+        F.col("description").alias("text"),
+    )
+    return drop_exact_duplicates(scored, id_col="_id").drop("text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["crawl_e2e_documents"] = _crawl_e2e_documents
     out["multimodal_features"] = _multimodal_features
+    out["uploader_pipeline"] = _uploader_pipeline
     return out
 
 

@@ -233,8 +233,18 @@ def run_scaling() -> None:
     mp_n4 = _child(["--mp-baseline", str(n4)])
     hw_speedup = mp_n4["urls_per_sec"] / mp_n["urls_per_sec"]
 
-    fb_n = _child(["--fetch-bench", str(n), str(FETCH_BENCH_URLS)], pin_cores=n)
-    fb_n4 = _child(["--fetch-bench", str(n4), str(FETCH_BENCH_URLS)])
+    # two interleaved child runs per side, best-of: single-sample wall
+    # times on a shared VM vary ~10%
+    def _best(runs: list[dict]) -> dict:
+        return max(runs, key=lambda r: r["urls_per_sec"])
+
+    fb_n = _best([
+        _child(["--fetch-bench", str(n), str(FETCH_BENCH_URLS)], pin_cores=n)
+        for _ in range(2)
+    ])
+    fb_n4 = _best([
+        _child(["--fetch-bench", str(n4), str(FETCH_BENCH_URLS)]) for _ in range(2)
+    ])
     speedup = fb_n4["urls_per_sec"] / fb_n["urls_per_sec"]
     eff = speedup / (n4 / n)
     eff_vs_hw = speedup / hw_speedup

@@ -2,8 +2,9 @@
 
 The reference implements one parser per source (HTML XPath:
 ncbi_geo_crawler/files/spider.py:88-119; DataCite XML:
-zenodo/files/zenodo.py:120-278; JSON: immport/files/immport.py:37-90) and
-each is a row->rows generator (SURVEY §2.11). Here the three wire formats
+zenodo/files/zenodo.py:120-278; JSON: immport/files/immport.py:37-90;
+SOFT flat files: hub/dataload/sources/ncbi_geo/parser.py:30-53) and each
+is a row->rows generator (SURVEY §2.11). Here the four wire formats
 normalize into ONE canonical output — the BASELINE.json input_hint table:
 
     documents(doc_id: string,
@@ -76,6 +77,22 @@ _XML_RX = {
 
 def parse_body(kind: str, body: str) -> tuple[list[tuple], list[str]]:
     """-> (spans, outlinks); spans are (kind, text, media_ref, offset)."""
+    if kind == "soft":
+        # line-oriented `!Key = value` fold into dict-of-scalar-or-list
+        # (SOFT flat-file parse, ncbi_geo/parser.py:30-53 analog)
+        acc: dict[str, list[str]] = {}
+        for line in body.splitlines():
+            if not line.startswith("!") or " = " not in line:
+                continue
+            key, val = line[1:].split(" = ", 1)
+            acc.setdefault(key, []).append(val)
+        one = lambda key: acc.get(key, [""])[0]  # noqa: E731
+        title, desc = one("Series_title"), one("Series_summary")
+        author, date = one("Series_contributor"), one("Series_submission_date")
+        kws = acc.get("Series_keyword", [])
+        media = acc.get("Series_supplementary_file", [])
+        links = acc.get("Series_relation", [])
+        return _assemble(title, desc, author, date, kws, media), list(links)
     if kind == "json":
         rec = json.loads(body)
         title = rec.get("name", "")
@@ -95,6 +112,13 @@ def parse_body(kind: str, body: str) -> tuple[list[tuple], list[str]]:
         media = rx["media"].findall(body)
         links = rx["link"].findall(body)
 
+    return _assemble(title, desc, author, date, kws, media), list(links)
+
+
+def _assemble(
+    title: str, desc: str, author: str, date: str, kws: list[str], media: list[str]
+) -> list[tuple]:
+    """Canonical span order + strictly increasing offsets."""
     spans: list[tuple] = []
     off = 0
     for k, txt in (("title", title), ("description", desc), ("author", author), ("date", date)):
@@ -106,7 +130,35 @@ def parse_body(kind: str, body: str) -> tuple[list[tuple], list[str]]:
     for m in media:
         spans.append(("media", "", m, off))
         off += 1
-    return spans, list(links)
+    return spans
+
+
+def spans_to_fields(docs: DataFrame) -> DataFrame:
+    """Project the interleaved span array back into typed NDE-ish fields
+    (name/description/author/date + keyword and media arrays) — the
+    uploader-facing view of the input_hint table. Pure column
+    expressions; span arrays are short (<= ~12), so the higher-order
+    filters here are cheap per row."""
+    s = F.col("spans")
+
+    def first_text(kind: str) -> F.Column:
+        hits = F.filter(s, lambda e: e.getField("kind") == kind)
+        return F.coalesce(F.element_at(hits, 1).getField("text"), F.lit(""))
+
+    def all_of(kind: str, field: str) -> F.Column:
+        return F.transform(
+            F.filter(s, lambda e: e.getField("kind") == kind), lambda e: e.getField(field)
+        )
+
+    return docs.select(
+        *[c for c in docs.columns if c != "spans"],
+        first_text("title").alias("name"),
+        first_text("description").alias("description"),
+        first_text("author").alias("author"),
+        first_text("date").alias("date_str"),
+        all_of("keyword", "text").alias("keywords"),
+        all_of("media", "media_ref").alias("media_refs"),
+    )
 
 
 def parse_fetched(fetched: DataFrame) -> DataFrame:

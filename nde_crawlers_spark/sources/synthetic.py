@@ -137,7 +137,7 @@ def synth_body(canonical_url: str, num_hosts: int) -> dict:
     same-host (/records/k), rest cross-host — drives frontier growth."""
     k = canonical_url
     d = _h("body:" + k)
-    kind = ["html", "xml", "json"][d[0] % 3]
+    kind = ["html", "xml", "json", "soft"][d[0] % 4]
     title = _words_for("title:" + k, 4 + d[1] % 4)
     desc = _words_for("desc:" + k, 20 + d[2] % 30)
     keywords = [_words_for(f"kw{j}:{k}", 1) for j in range(1 + d[3] % 4)]
@@ -196,20 +196,34 @@ def render_body(page: dict) -> str:
             f"<creators><creatorName>{page['author']}</creatorName></creators>"
             f"<dates><date>{page['date']}</date></dates>{kws}{media}{links}</resource>"
         )
-    import json
+    if kind == "json":
+        import json
 
-    return json.dumps(
-        {
-            "name": page["title"],
-            "description": page["description"],
-            "keywords": page["keywords"],
-            "author": {"name": page["author"]},
-            "datePublished": page["date"],
-            "distribution": [{"contentUrl": m} for m in page["media"]],
-            "links": page["outlinks"],
-        },
-        sort_keys=True,
-    )
+        return json.dumps(
+            {
+                "name": page["title"],
+                "description": page["description"],
+                "keywords": page["keywords"],
+                "author": {"name": page["author"]},
+                "datePublished": page["date"],
+                "distribution": [{"contentUrl": m} for m in page["media"]],
+                "links": page["outlinks"],
+            },
+            sort_keys=True,
+        )
+    # SOFT flat-file flavor: line-oriented `!Key = value` accumulation,
+    # repeated keys for list fields (GEO SOFT analog,
+    # hub/dataload/sources/ncbi_geo/parser.py:30-53)
+    lines = [
+        f"!Series_title = {page['title']}",
+        f"!Series_summary = {page['description']}",
+        f"!Series_contributor = {page['author']}",
+        f"!Series_submission_date = {page['date']}",
+    ]
+    lines += [f"!Series_keyword = {w}" for w in page["keywords"]]
+    lines += [f"!Series_supplementary_file = {m}" for m in page["media"]]
+    lines += [f"!Series_relation = {u}" for u in page["outlinks"]]
+    return "\n".join(lines)
 
 
 def synth_fetch(canonical_url: str, num_hosts: int, max_attempts: int = 3) -> dict:
