@@ -290,6 +290,56 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DE
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
 """
 
+ORACLES["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < 8),
+ascore AS (
+  SELECT e.vec_id AS vid, e.v, c.cid, {COSINE.format(a='e.v', b='c.centroid')} AS ccos
+  FROM e CROSS JOIN cent c
+),
+aranked AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crn FROM ascore),
+inv AS (SELECT vid, v, cid FROM aranked WHERE crn = 1),
+probes AS (SELECT vid AS query_id, v AS qv, cid FROM aranked WHERE crn <= 2 AND vid < 5),
+cand AS (
+  SELECT DISTINCT p.query_id, i.vid AS neighbor_id, p.qv, i.v
+  FROM inv i JOIN probes p USING (cid) WHERE i.vid != p.query_id
+),
+scored AS (SELECT query_id, neighbor_id, {COSINE.format(a='qv', b='v')} AS cosine FROM cand),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""
+
+ORACLES["tpch_rollup"] = """
+SELECT coalesce(r.r_name, 'ALL') AS region, coalesce(n.n_name, 'ALL') AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS lineitems
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+ORACLES["semi_anti_parts"] = """
+WITH s1 AS (
+  SELECT 'ordered' AS side, p_partkey FROM part
+  WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+),
+s2 AS (
+  SELECT 'never_ordered' AS side, p_partkey FROM part
+  WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+)
+SELECT side, count(*) AS n, min(p_partkey) AS min_key
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u GROUP BY side
+"""
+
+ORACLES["events_running_total"] = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+FROM events
+"""
+
 ORACLES["text_analyze"] = f"""
 SELECT doc_id,
        CAST(len({_TOKS_TEXT}) AS INTEGER) AS n_tokens,

@@ -176,6 +176,12 @@ def ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, q, k=10, bucket_bits=8)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, q, k=10, nlist=8, nprobe=2)
+
+
 # ------------------------------------------------------------------ text --
 def text_analyze(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -325,6 +331,61 @@ def tpch_q5ish(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
              F.count("*").alias("lineitems"))
+    )
+
+
+def tpch_rollup(spark, sf_dir):
+    """Hierarchical rollup (region -> nation -> grand total) of revenue —
+    the lineage-dashboard aggregation shape."""
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("lineitems"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue", "lineitems",
+        )
+    )
+
+
+def semi_anti_parts(spark, sf_dir):
+    """Semi vs anti join coverage: parts referenced by lineitems and
+    parts never ordered."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    semi = part.join(li, "p_partkey", "left_semi").select(
+        F.lit("ordered").alias("side"), "p_partkey"
+    )
+    anti = part.join(li, "p_partkey", "left_anti").select(
+        F.lit("never_ordered").alias("side"), "p_partkey"
+    )
+    return semi.unionByName(anti).groupBy("side").agg(
+        F.count("*").alias("n"), F.min("p_partkey").alias("min_key")
+    )
+
+
+def events_running_total(spark, sf_dir):
+    """Per-user running sum (ordered cumulative window)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("running_value")
     )
 
 
@@ -499,6 +560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "text_analyze": text_analyze,
     "text_lang_agreement": text_lang_agreement,
     "text_quality_filter": text_quality_filter,
@@ -512,6 +574,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": tpch_q1,
     "tpch_q3_top10": tpch_q3_top10,
     "tpch_q5ish": tpch_q5ish,
+    "tpch_rollup": tpch_rollup,
+    "semi_anti_parts": semi_anti_parts,
+    "events_running_total": events_running_total,
     "window_topk_orders": window_topk_orders,
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
