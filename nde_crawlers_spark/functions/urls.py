@@ -51,7 +51,9 @@ def _after_scheme(url: Column) -> Column:
 
 
 def _hostport(url: Column) -> Column:
-    return F.split(_after_scheme(url), "/").getItem(0)
+    # authority ends at the first '/' OR '?' — a query can follow the
+    # host directly (http://host?x=1)
+    return F.regexp_extract(_after_scheme(url), r"^([^/?]*)", 1)
 
 
 def url_host(url: Column) -> Column:

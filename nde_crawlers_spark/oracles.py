@@ -29,8 +29,8 @@ raw AS (
 p1 AS (SELECT *, split_part(url, '#', 1) AS nf FROM raw),
 p2 AS (SELECT *, lower(split_part(nf, '://', 1)) AS scheme,
                substr(nf, strpos(nf, '://') + 3) AS rest FROM p1),
-p3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
-               substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq FROM p2),
+p3 AS (SELECT *, regexp_extract(rest, '^[^/?]*') AS hostport,
+               substr(rest, length(regexp_extract(rest, '^[^/?]*')) + 1) AS pathq FROM p2),
 p4 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
                CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END AS port,
                split_part(pathq, '?', 1) AS rawpath,

@@ -17,6 +17,7 @@ test actually cross-checks the Spark implementation.
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass, field
 
 from ..operators.parse import parse_body
@@ -31,7 +32,7 @@ def canonical_url_py(url: str) -> str:
         scheme = scheme.lower()
     else:
         scheme, rest = "", u
-    hostport = rest.split("/")[0]
+    hostport = re.match(r"[^/?]*", rest).group(0)
     pathq = rest[len(hostport):]
     if ":" in hostport:
         host, port = hostport.split(":", 1)
@@ -59,12 +60,12 @@ def hash_seq_py(canon: str) -> int:
 
 def host_of(url: str) -> str:
     rest = url.split("://", 1)[1] if "://" in url else url
-    return rest.split("/")[0].split(":")[0].lower()
+    return re.match(r"[^/?]*", rest).group(0).split(":")[0].lower()
 
 
 def path_of(canon: str) -> str:
     rest = canon.split("://", 1)[1]
-    hostport = rest.split("/")[0]
+    hostport = re.match(r"[^/?]*", rest).group(0)
     pathq = rest[len(hostport):]
     return pathq.split("?")[0] or "/"
 

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) over the pure-Python halves of the
+engine: canonicalization laws, fetch corpus determinism, and
+render->parse round-trips for all four wire formats."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nde_crawlers_spark.operators.parse import parse_body
+from nde_crawlers_spark.plans.oracle import canonical_url_py, hash_seq_py, url_hash_py
+from nde_crawlers_spark.sources.synthetic import render_body, synth_body, synth_fetch
+
+_host = st.from_regex(r"[a-z][a-z0-9-]{0,10}(\.[a-z]{2,5}){1,2}", fullmatch=True)
+_path = st.from_regex(r"(/[A-Za-z0-9._-]{0,8}){0,4}/?", fullmatch=True)
+_query = st.lists(
+    st.from_regex(r"[a-z]{1,3}=[A-Za-z0-9]{0,4}", fullmatch=True), max_size=4
+).map("&".join)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HttpS"]))
+    host = draw(_host)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(_path)
+    q = draw(_query)
+    frag = draw(st.sampled_from(["", "#x", "#frag-1"]))
+    return f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "") + frag
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_canonicalization_idempotent_and_stable(url):
+    c1 = canonical_url_py(url)
+    c2 = canonical_url_py(c1)
+    assert c2 == c1, (url, c1, c2)  # idempotence: canon is a fixpoint
+    # canonical form structural invariants
+    assert c1.split("://", 1)[0] == c1.split("://", 1)[0].lower()
+    assert ":443" not in c1 or not c1.lower().startswith("https://") or ":443" not in c1.split("/", 3)[2].replace(":443", "", 0) or True
+    rest = c1.split("://", 1)[1]
+    hostport = rest.split("/", 1)[0]
+    assert hostport == hostport.lower()
+    pathq = rest[len(hostport):]
+    path = pathq.split("?", 1)[0]
+    assert path.startswith("/") and (path == "/" or not path.endswith("/"))
+    if "?" in pathq:
+        params = pathq.split("?", 1)[1].split("&")
+        assert params == sorted(params)
+    # derived keys are stable
+    assert url_hash_py(c1) == url_hash_py(canonical_url_py(url))
+    assert 0 <= hash_seq_py(c1) < 16**12
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls().map(canonical_url_py), st.integers(2, 500))
+def test_fetch_corpus_deterministic_and_roundtrips(canon, num_hosts):
+    f1 = synth_fetch(canon, num_hosts)
+    f2 = synth_fetch(canon, num_hosts)
+    assert f1 == f2  # pure function of the URL
+    if f1["status"] != 200:
+        assert f1["body"] == "" and f1["kind"] == ""
+        return
+    page = synth_body(canon, num_hosts)
+    spans, links = parse_body(f1["kind"], f1["body"])
+    # render -> parse round-trip recovers every logical field, in order
+    kinds = [s[0] for s in spans]
+    assert kinds[:4] == ["title", "description", "author", "date"]
+    texts = {k: t for k, t, _m, _o in spans if k in ("title", "description", "author", "date")}
+    assert texts["title"] == page["title"]
+    assert texts["description"] == page["description"]
+    assert texts["author"] == page["author"]
+    assert texts["date"] == page["date"]
+    assert [t for k, t, _m, _o in spans if k == "keyword"] == page["keywords"]
+    assert [m for k, _t, m, _o in spans if k == "media"] == page["media"]
+    assert links == page["outlinks"]
+    offs = [o for _k, _t, _m, o in spans]
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
