@@ -219,18 +219,21 @@ class CrawlRun:
         self._write(robots, r, "robots_cache")
         self._write(lineage, r, "lineage")
 
-        n_sel = self._read(r, "selected").count()
-        n_docs = self._read(r, "documents").count()
-        n_new = self._read(r, "new_seen").count()
-        n_front = self._read(r, "frontier_next").count()
-        n_out = self._read(r, "outlinks").count()
+        # round stats: one aggregation over the cached fetch result (not
+        # five parquet re-reads — each count is a full Spark job, and at
+        # sandbox scale job latency dominates round wall time)
+        fstats = fetched.agg(
+            F.count("*").alias("sel"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("docs"),
+            F.sum(F.size("outlinks")).alias("out"),
+        ).first()
         meta = {
             "round": r,
-            "selected": n_sel,
-            "documents": n_docs,
-            "new_seen": n_new,
-            "frontier_next": n_front,
-            "outlinks": n_out,
+            "selected": fstats["sel"],
+            "documents": int(fstats["docs"] or 0),
+            "new_seen": self._read(r, "new_seen").count(),
+            "frontier_next": self._read(r, "frontier_next").count(),
+            "outlinks": int(fstats["out"] or 0),
             "wall_s": round(time.monotonic() - t0, 3),
         }
         self._commit(r, meta)
