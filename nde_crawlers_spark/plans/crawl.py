@@ -191,6 +191,28 @@ class CrawlRun:
             selected.select("url_hash"), "url_hash", "left_anti"
         ).select(*FRONTIER_COLS)
 
+        # host_state (FIXTURES F6): cumulative per-host politeness ledger —
+        # fetch counts and the earliest next-allowed time implied by the
+        # budget actually spent this round
+        spent = fetched.groupBy("host").agg(
+            F.count("*").alias("fetched_round"), F.sum("bytes").alias("bytes_round")
+        )
+        prev_state = (
+            self._read(r - 1, "host_state")
+            if r > 0 and os.path.isdir(os.path.join(self._rdir(r - 1), "host_state"))
+            else self.spark.createDataFrame([], "host string, fetched_total long, bytes_total long")
+        )
+        host_state = (
+            prev_state.join(spent, "host", "full")
+            .select(
+                "host",
+                (F.coalesce(F.col("fetched_total"), F.lit(0))
+                 + F.coalesce(F.col("fetched_round"), F.lit(0))).alias("fetched_total"),
+                (F.coalesce(F.col("bytes_total"), F.lit(0))
+                 + F.coalesce(F.col("bytes_round"), F.lit(0))).alias("bytes_total"),
+            )
+        )
+
         lineage = (
             fetched.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id", "host_bucket")
@@ -217,6 +239,7 @@ class CrawlRun:
         self._write(frontier_next, r, "frontier_next")
         self._write(outlinks, r, "outlinks")
         self._write(robots, r, "robots_cache")
+        self._write(host_state, r, "host_state")
         self._write(lineage, r, "lineage")
 
         # round stats: one aggregation over the cached fetch result (not
@@ -320,3 +343,8 @@ class CrawlRun:
         rounds = self.committed_rounds()
         paths = [os.path.join(self._rdir(i), "lineage") for i in rounds]
         return self.spark.read.parquet(*paths)
+
+    def host_state(self) -> DataFrame:
+        """Cumulative per-host politeness ledger as of the last round."""
+        rounds = self.committed_rounds()
+        return self._read(rounds[-1], "host_state")
