@@ -161,6 +161,83 @@ def simhash16_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+SIMHASH64_BITS = 63  # bits 0..62: stays positive in signed int64, so the
+#                      DuckDB oracle (which rejects 1<<63) mirrors exactly
+
+
+def simhash64_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) with a 63-bit fingerprint: bit b of token t is bit
+    (b%4) of md5 hex digit (b//4 + 1); document bit = sign of the vote
+    sum. Same explode->aggregate shape as simhash16_agg."""
+    ex = spread(docs).select(
+        F.col(id_col).alias("id"), F.explode(TX.tokens(F.col(text_col))).alias("t")
+    )
+    votes = []
+    for b in range(SIMHASH64_BITS):
+        digit, bit = b // 4 + 1, b % 4
+        dv = f"(locate(substring(md5(t), {digit}, 1), '0123456789abcdef') - 1)"
+        votes.append(
+            F.sum(
+                F.when(F.expr(f"(({dv} >> {bit}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+        )
+    agg = ex.groupBy("id").agg(*votes)
+    sh = sum(
+        [
+            F.when(F.col(f"v{b}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {b})")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(SIMHASH64_BITS)
+        ],
+        F.lit(0).cast("long"),
+    )
+    sig = agg.select("id", sh.alias("simhash"))
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(sig, "id", "left").select(
+        "id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
+    )
+
+
+def simhash64_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int | None = None,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates by multi-index Hamming blocking: split the
+    63-bit simhash into ``bands`` 16-bit segments; any pair within
+    Hamming distance < bands MUST share at least one exact segment
+    (pigeonhole), so the candidate join is ``bands`` cheap equi-joins
+    instead of a cross product. Exact Hamming distance is then one
+    xor+bit_count per candidate pair.
+
+    Returns (id_a, id_b, hamming), optionally filtered to <= max_hamming.
+    """
+    sig = simhash64_agg(docs, id_col, text_col)
+    banded = sig.select(
+        "id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.expr(f"(simhash >> {16 * i}) & 65535") for i in range(bands)
+            ])
+        ).alias("band", "bval"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bval") == F.col("b.bval"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
+
+
 def simhash_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash near-dup groups: docs with identical 16-bit simhash.
     (Production: 64-bit + multi-index Hamming<=3 blocking; identical plan

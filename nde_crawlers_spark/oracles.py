@@ -244,6 +244,30 @@ SELECT simhash, count(*) AS group_size,
 FROM s GROUP BY simhash HAVING count(*) > 1
 """
 
+def _simhash64_sql(toks: str) -> str:
+    """63-bit simhash as one scalar expression over a token list (mirror
+    of operators/dedup.py::simhash64_agg)."""
+    terms = []
+    for b in range(63):
+        digit, bit = b // 4 + 1, b % 4
+        dv = f"(strpos('0123456789abcdef', substr(md5(t), {digit}, 1)) - 1)"
+        vote = f"list_sum(list_transform({toks}, t -> CASE WHEN (({dv} >> {bit}) & 1) = 1 THEN 1 ELSE -1 END))"
+        terms.append(f"CASE WHEN {vote} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END")
+    return "CAST(coalesce(" + " + ".join(terms) + ", 0) AS BIGINT)"
+
+
+ORACLES["dedup_simhash64_hamming"] = f"""
+WITH s AS (SELECT doc_id AS id, {_simhash64_sql(_TOKS_TEXT)} AS simhash FROM documents),
+banded AS (
+  SELECT id, simhash, b AS band, (simhash >> (16 * b)) & 65535 AS bval
+  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb
+)
+SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b2.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b2
+  ON a.band = b2.band AND a.bval = b2.bval AND a.id < b2.id
+"""
+
 _SH4D = f"list_distinct({_ngrams(_TOKS_TEXT, 4)})"
 ORACLES["dedup_ngram_jaccard"] = f"""
 WITH base AS (SELECT doc_id AS id, {_SH4D} AS sh FROM documents),

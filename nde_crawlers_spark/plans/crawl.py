@@ -75,6 +75,13 @@ class CrawlConfig:
     host_buckets: int = U.DEFAULT_HOST_BUCKETS
     use_bloom: bool = False          # bloom prefilter in front of the anti-join
     salt_factor: int = 8
+    # frontier persistence: False = full snapshot per round (simple,
+    # sandbox default); True = O(delta) writes per round (frontier_add +
+    # frontier_remove) with a full compaction snapshot every
+    # ``compact_every`` rounds — the Iceberg-MERGE-shaped scale path
+    # (PLANS.md shuffle inventory).
+    frontier_deltas: bool = False
+    compact_every: int = 4
     extra: dict = field(default_factory=dict)
 
 
@@ -236,7 +243,16 @@ class CrawlRun:
         )
         self._write(documents, r, "documents")
         self._write(new_seen, r, "new_seen")
-        self._write(frontier_next, r, "frontier_next")
+        if cfg.frontier_deltas:
+            # O(delta) persistence: what entered and what left the
+            # frontier this round; periodic compaction bounds the
+            # reconstruction chain
+            self._write(allowed.select(*FRONTIER_COLS), r, "frontier_add")
+            self._write(selected.select("url_hash"), r, "frontier_remove")
+            if (r + 1) % cfg.compact_every == 0:
+                self._write(frontier_next, r, "frontier_compact")
+        else:
+            self._write(frontier_next, r, "frontier_next")
         self._write(outlinks, r, "outlinks")
         self._write(robots, r, "robots_cache")
         self._write(host_state, r, "host_state")
@@ -255,7 +271,7 @@ class CrawlRun:
             "selected": fstats["sel"],
             "documents": int(fstats["docs"] or 0),
             "new_seen": self._read(r, "new_seen").count(),
-            "frontier_next": self._read(r, "frontier_next").count(),
+            "frontier_next": self._frontier_through(r).count(),
             "outlinks": int(fstats["out"] or 0),
             "wall_s": round(time.monotonic() - t0, 3),
         }
@@ -265,6 +281,36 @@ class CrawlRun:
         return meta
 
     # ---------- state reconstruction (resume) ----------
+    def _frontier_through(self, r: int) -> DataFrame:
+        """Frontier state after round r. Snapshot mode reads the round's
+        snapshot; delta mode reconstructs lazily from the latest
+        compaction + subsequent add/remove deltas — no materialized
+        rewrite of the full frontier ever happens."""
+        if not self.cfg.frontier_deltas:
+            return self._read(r, "frontier_next")
+        base_round = None
+        for i in range(r, -1, -1):
+            if os.path.isdir(os.path.join(self._rdir(i), "frontier_compact")):
+                base_round = i
+                break
+        base = (
+            self._read(base_round, "frontier_compact")
+            if base_round is not None
+            else self._empty_frontier()
+        )
+        if base_round == r:
+            return base
+        lo = (base_round + 1) if base_round is not None else 0
+        adds = self.spark.read.parquet(
+            *[os.path.join(self._rdir(i), "frontier_add") for i in range(lo, r + 1)]
+        )
+        removes = self.spark.read.parquet(
+            *[os.path.join(self._rdir(i), "frontier_remove") for i in range(lo, r + 1)]
+        )
+        return base.unionByName(adds).join(
+            removes.select("url_hash").distinct(), "url_hash", "left_anti"
+        )
+
     def _seen_through(self, r: int) -> DataFrame:
         paths = [os.path.join(self._rdir(i), "new_seen") for i in range(r + 1)]
         return self.spark.read.parquet(*paths)
@@ -298,7 +344,7 @@ class CrawlRun:
         if done:
             last = done[-1]
             start = last + 1
-            frontier = self._read(last, "frontier_next")
+            frontier = self._frontier_through(last)
             seen = self._seen_through(last)
             robots = self._read(last, "robots_cache")
             candidates = self._read(last, "outlinks")
@@ -316,7 +362,7 @@ class CrawlRun:
             metas.append(meta)
             if meta["frontier_next"] == 0 and meta["outlinks"] == 0:
                 break
-            frontier = self._read(r, "frontier_next")
+            frontier = self._frontier_through(r)
             seen = self._seen_through(r)
             robots = self._read(r, "robots_cache")
             candidates = self._read(r, "outlinks")

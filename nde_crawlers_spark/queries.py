@@ -153,6 +153,11 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+def dedup_simhash64_hamming(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return DD.simhash64_hamming_pairs(docs, bands=4)
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.4)
@@ -556,6 +561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash64_hamming": dedup_simhash64_hamming,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_bruteforce_topk": ann_bruteforce_topk,

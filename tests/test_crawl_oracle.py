@@ -77,6 +77,27 @@ def test_crawl_resume_replays_exactly(spark, oracle):
     _check_against_oracle(run2, oracle)
 
 
+def test_crawl_frontier_delta_mode_matches_oracle(spark, oracle):
+    """O(delta) frontier persistence (frontier_add/remove + periodic
+    compaction) must be indistinguishable from snapshot mode — including
+    resume across the compaction boundary."""
+    d = tempfile.mkdtemp(prefix="crawl_d_")
+    cfg = CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=2,
+                      frontier_deltas=True, compact_every=2)
+    run1 = CrawlRun(spark, d, cfg)
+    run1.run(seeds=_seed_df(spark))
+    # resume past the round-1 compaction snapshot
+    cfg3 = CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=ROUNDS,
+                       frontier_deltas=True, compact_every=2)
+    run2 = CrawlRun(spark, d, cfg3)
+    run2.run(resume=True)
+    _check_against_oracle(run2, oracle)
+    import os
+
+    assert os.path.isdir(os.path.join(d, "round=0001", "frontier_compact"))
+    assert not os.path.isdir(os.path.join(d, "round=0000", "frontier_next"))
+
+
 def test_crawl_order_independent_of_partitioning(spark, oracle):
     """Same crawl at a different shuffle-partition count, salt factor and
     bloom prefilter: byte-identical ordering/seen/docs — the sandbox
