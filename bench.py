@@ -43,6 +43,9 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_analyze",
     "merge_version_groups",
+    "dedup_simhash64_hamming",
+    "ann_ivf_topk",
+    "nde_wrapper_pass",
     "tpch_q1",
     "tpch_q5ish",
     "window_topk_orders",
