@@ -77,6 +77,28 @@ def test_crawl_resume_replays_exactly(spark, oracle):
     _check_against_oracle(run2, oracle)
 
 
+def test_resume_overwrites_uncommitted_partial_round(spark, oracle):
+    """A crash mid-round leaves data files without the _COMMIT marker;
+    resume must ignore and cleanly overwrite them (the
+    delete-on-failure/invalidated-run analog,
+    ncbi_geo_crawler/files/ndjson.py:17-23)."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="crawl_x_")
+    run1 = CrawlRun(spark, d, CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=1))
+    run1.run(seeds=_seed_df(spark))
+    # fabricate a partial, uncommitted round 1: stale garbage data, no marker
+    partial = os.path.join(d, "round=0001")
+    os.makedirs(os.path.join(partial, "documents"), exist_ok=True)
+    spark.createDataFrame([("junk",)], "doc_id string").write.mode("overwrite").parquet(
+        os.path.join(partial, "documents")
+    )
+    run2 = CrawlRun(spark, d, CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=ROUNDS))
+    assert run2.committed_rounds() == [0]  # partial round invisible
+    run2.run(resume=True)
+    _check_against_oracle(run2, oracle)
+
+
 def test_crawl_frontier_delta_mode_matches_oracle(spark, oracle):
     """O(delta) frontier persistence (frontier_add/remove + periodic
     compaction) must be indistinguishable from snapshot mode — including
