@@ -152,9 +152,12 @@ def quality_score(text: Column) -> Column:
     toks = tokens(text)
     len_part = F.least(F.size(toks).cast("double") / F.lit(50.0), F.lit(1.0))
     sw = stopword_ratio(toks)
-    return F.round(
-        F.lit(0.4) * len_part + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text)) + F.lit(0.3) * sw, 4
-    )
+    q = F.lit(0.4) * len_part + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text)) + F.lit(0.3) * sw
+    # floor-truncate, not round: these integer-ratio scores land exactly on
+    # decimal grid points where Spark (shortest-decimal HALF_UP) and other
+    # engines (binary round) disagree; floor of an identical double is
+    # deterministic everywhere
+    return F.floor(q * F.lit(10000)) / F.lit(10000.0)
 
 
 def lang_scores(toks: Column) -> dict[str, Column]:

@@ -288,7 +288,10 @@ def ngram_jaccard_pairs(
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+            # floor-truncate: integer-ratio values hit exact rounding
+            # boundaries where engines' round() semantics diverge
+            F.floor(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) * F.lit(1000000))
+            / F.lit(1000000.0),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -62,12 +62,13 @@ def _quality_from_stats(text_col: str) -> Column:
     n = F.col("n_tokens")
     len_part = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
     sw = F.when(n > 0, F.col("sw_hits").cast("double") / n.cast("double")).otherwise(F.lit(0.0))
-    return F.round(
+    q = (
         F.lit(0.4) * len_part
         + F.lit(0.3) * (F.lit(1.0) - TX.punct_ratio(F.col(text_col)))
-        + F.lit(0.3) * sw,
-        4,
+        + F.lit(0.3) * sw
     )
+    # floor-truncate (see functions/text.py::quality_score for why)
+    return F.floor(q * F.lit(10000)) / F.lit(10000.0)
 
 
 def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -142,10 +142,11 @@ def _punct_ratio(c: str) -> str:
 
 
 def _quality(c: str, toks: str) -> str:
+    # floor-truncate, mirroring functions/text.py::quality_score
     return (
-        f"round(0.4 * least(CAST(len({toks}) AS DOUBLE) / 50.0, 1.0)"
+        f"floor((0.4 * least(CAST(len({toks}) AS DOUBLE) / 50.0, 1.0)"
         f" + 0.3 * (1.0 - ({_punct_ratio(c)}))"
-        f" + 0.3 * ({_stop_ratio(toks)}), 4)"
+        f" + 0.3 * ({_stop_ratio(toks)})) * 10000) / 10000.0"
     )
 
 
@@ -276,8 +277,8 @@ ex AS (SELECT id, unnest(sh) AS s FROM nz),
 pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id),
 j AS (
   SELECT p.id_a, p.id_b,
-         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+         floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh)))) * 1000000) / 1000000.0 AS jaccard
   FROM pairs p JOIN nz x ON p.id_a = x.id JOIN nz y ON p.id_b = y.id
 )
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
@@ -335,7 +336,7 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked 
 
 ORACLES["tpch_rollup"] = """
 SELECT coalesce(r.r_name, 'ALL') AS region, coalesce(n.n_name, 'ALL') AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8))), 2) AS DOUBLE) AS revenue,
        count(*) AS lineitems
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -415,7 +416,7 @@ SELECT dup_key, keep_id, drop_id FROM a1 JOIN b1 USING (dup_key)
 """
 
 ORACLES["enrich_broadcast_lookup"] = """
-SELECT r.r_name AS region_name, count(*) AS customers, round(avg(c.c_acctbal), 2) AS avg_acctbal
+SELECT r.r_name AS region_name, count(*) AS customers, floor((CAST(sum(CAST(c.c_acctbal AS DECIMAL(20,8))) AS DOUBLE) / count(*)) * 100) / 100.0 AS avg_acctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
@@ -446,13 +447,13 @@ FROM part p JOIN pats ON contains(lower(p.p_name), pats.pattern)
 
 ORACLES["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(20,8))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,8))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,8))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,8))), 2) AS DOUBLE) AS sum_charge,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) / count(*)) * 10000) / 10000.0 AS avg_qty,
+       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) / count(*)) * 10000) / 10000.0 AS avg_price,
+       floor((CAST(sum(CAST(l_discount AS DECIMAL(20,8))) AS DOUBLE) / count(*)) * 10000) / 10000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -460,7 +461,7 @@ GROUP BY l_returnflag, l_linestatus
 
 ORACLES["tpch_q3_top10"] = """
 SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-       o.o_orderpriority, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       o.o_orderpriority, CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8))), 2) AS DOUBLE) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
@@ -473,7 +474,7 @@ LIMIT 10
 
 ORACLES["tpch_q5ish"] = """
 SELECT r.r_name, n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8))), 2) AS DOUBLE) AS revenue,
        count(*) AS lineitems
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -501,19 +502,19 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, CAST(sum(session_start) AS BIGINT) AS sessions, count(*) AS events,
-       round(sum(value), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(20,8))), 2) AS DOUBLE) AS total_value
 FROM g GROUP BY user_id
 """
 
 ORACLES["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+       count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(20,8))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
 ORACLES["events_props_extract"] = """
 SELECT event_type,
-       round(avg(CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER)), 4) AS avg_k,
+       floor((CAST(sum(CAST(CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS DECIMAL(20,8))) AS DOUBLE) / count(*)) * 10000) / 10000.0 AS avg_k,
        CAST(max(CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER)) AS INTEGER) AS max_k
 FROM events GROUP BY event_type
 """
@@ -581,7 +582,7 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
        o_orderpriority,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,8))), 2) AS DOUBLE) AS sum_price,
        round(stddev_pop(o_totalprice), 4) AS sd_price,
        min(o_orderstatus || '-' || upper(o_orderpriority)) AS tag
 FROM orders GROUP BY 1, 2, 3

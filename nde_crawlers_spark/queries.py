@@ -36,6 +36,34 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def dsum(col: F.Column, scale: int = 2) -> F.Column:
+    """Order-independent money sum: per-row cast to DECIMAL(20,8)
+    (deterministic), exact decimal addition (no float summation-order
+    noise across partitionings/engines), round, back to double.
+
+    Parallel double sums differ in the last ulp between engines and
+    partitionings; near a .005 grid point that flips the rounded cent —
+    a real mismatch class caught by the sf0.1 parity sweep."""
+    return F.round(F.sum(col.cast("decimal(20,8)")), scale).cast("double")
+
+
+def davg(col: F.Column, scale: int = 4) -> F.Column:
+    """Cross-engine-deterministic average: exact decimal sum -> one double
+    division -> floor-truncation. round() diverges between engines on
+    terminating decimals (Spark rounds the shortest decimal repr HALF_UP,
+    DuckDB rounds the binary double), which integer-ratio averages hit
+    constantly; floor of an identical double is deterministic."""
+    m = 10 ** scale
+    exact = F.sum(col.cast("decimal(20,8)")).cast("double") / F.count(F.lit(1))
+    return F.floor(exact * F.lit(m)) / F.lit(float(m))
+
+
+def ftrunc(col: F.Column, scale: int) -> F.Column:
+    """floor-truncate to ``scale`` decimals (see davg for why not round)."""
+    m = 10 ** scale
+    return F.floor(col * F.lit(m)) / F.lit(float(m))
+
+
 # ---------------------------------------------------------------- crawl --
 def _raw_url() -> F.Column:
     """Messy raw URL derived from (source, doc_id) — identical expression
@@ -244,7 +272,7 @@ def enrich_broadcast_lookup(spark, sf_dir):
     return (
         EN.broadcast_enrich(cust, dim, on="c_nationkey")
         .groupBy("region_name")
-        .agg(F.count("*").alias("customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"))
+        .agg(F.count("*").alias("customers"), davg(F.col("c_acctbal"), 2).alias("avg_acctbal"))
     )
 
 
@@ -290,13 +318,13 @@ def tpch_q1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -310,7 +338,7 @@ def tpch_q3_top10(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -334,7 +362,7 @@ def tpch_q5ish(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
              F.count("*").alias("lineitems"))
     )
 
@@ -355,7 +383,7 @@ def tpch_rollup(spark, sf_dir):
     )
     return (
         j.rollup("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
              F.count("*").alias("lineitems"))
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
@@ -416,7 +444,7 @@ def events_sessionize(spark, sf_dir):
         .agg(
             F.sum("session_start").cast("long").alias("sessions"),
             F.count("*").alias("events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
     )
 
@@ -428,7 +456,7 @@ def events_hourly(spark, sf_dir):
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value"))
     )
 
 
@@ -438,7 +466,7 @@ def events_props_extract(spark, sf_dir):
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
-        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.max("k").alias("max_k"))
+        .agg(davg(F.col("k")).alias("avg_k"), F.max("k").alias("max_k"))
     )
 
 
@@ -452,7 +480,7 @@ def scalar_showcase(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
             F.round(F.stddev_pop("o_totalprice"), 4).alias("sd_price"),
             F.min(F.concat(F.col("o_orderstatus"), F.lit("-"), F.upper(F.col("o_orderpriority")))).alias("tag"),
         )
