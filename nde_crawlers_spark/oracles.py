@@ -408,6 +408,23 @@ SELECT source, lang,
 FROM r GROUP BY source, lang
 """
 
+ORACLES["merge_identifier_dedup"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         source || ':' || CAST(doc_id AS VARCHAR) AS _id,
+         [upper(source) || ':' || CAST(doc_id AS VARCHAR),
+          'SRC' || CAST((doc_id + 1) % 20 AS VARCHAR) || ':' || CAST((doc_id * 7) % 500 AS VARCHAR)] AS identifiers
+  FROM documents
+),
+ex AS (
+  SELECT doc_id AS loser_id, source AS loser_source, lower(unnest(identifiers)) AS ident FROM d
+),
+tg AS (SELECT _id AS ident, doc_id AS winner_id, source AS winner_source FROM d)
+SELECT ex.ident, ex.loser_id, tg.winner_id
+FROM ex JOIN tg USING (ident)
+WHERE ex.loser_source != tg.winner_source
+"""
+
 ORACLES["merge_key_dedup_1x1"] = f"""
 WITH keyed AS (SELECT doc_id, {PREFIX4_KEY} AS dup_key FROM documents),
 a1 AS (SELECT dup_key, min(doc_id) AS keep_id FROM keyed WHERE doc_id % 2 = 0 GROUP BY dup_key HAVING count(*) = 1),

@@ -98,9 +98,7 @@ class IncrementalHarvest:
         resume tests."""
         now = now or datetime.utcnow()
         _, windows = self.plan_windows(lo, hi, step, now)
-        out_dir = os.path.join(self.state_dir, "data")
         metas = []
-        del out_dir
         for i, (w_from, w_until) in enumerate(windows):
             if fail_at_window is not None and i == fail_at_window:
                 raise RuntimeError(f"injected failure before window {i}")

@@ -254,6 +254,34 @@ def merge_version_groups(spark, sf_dir):
     )
 
 
+def merge_identifier_dedup(spark, sf_dir):
+    """J12 (identifier -> _id dedup, hub/databuild/builder.py:162-329):
+    normalize each doc's identifier array with lower(), equi-join the
+    exploded identifiers against the OTHER sources' primary _ids, and
+    emit (loser_id, winner_id) merge directives — the Mongo $lookup
+    pipeline as an explode + equi-join."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string")).alias("_id"),
+        F.array(
+            F.concat(F.upper("source"), F.lit(":"), F.col("doc_id").cast("string")),
+            F.concat(F.lit("SRC"), ((F.col("doc_id") + 1) % 20).cast("string"),
+                     F.lit(":"), ((F.col("doc_id") * 7) % 500).cast("string")),
+        ).alias("identifiers"),
+    )
+    exploded = docs.select(
+        F.col("doc_id").alias("loser_id"), F.col("source").alias("loser_source"),
+        F.explode("identifiers").alias("raw_ident"),
+    ).select("loser_id", "loser_source", F.lower("raw_ident").alias("ident"))
+    targets = docs.select(F.col("_id").alias("ident"), F.col("doc_id").alias("winner_id"),
+                          F.col("source").alias("winner_source"))
+    return (
+        exploded.join(targets, "ident")
+        .filter(F.col("loser_source") != F.col("winner_source"))
+        .select("ident", "loser_id", "winner_id")
+    )
+
+
 def merge_key_dedup_1x1(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").withColumn("dup_key", DD.content_key(prefix_tokens=4))
     a = docs.filter(F.col("doc_id") % 2 == 0)
@@ -601,6 +629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_priority_lastwriter": merge_priority_lastwriter,
     "merge_version_groups": merge_version_groups,
     "merge_key_dedup_1x1": merge_key_dedup_1x1,
+    "merge_identifier_dedup": merge_identifier_dedup,
     "enrich_broadcast_lookup": enrich_broadcast_lookup,
     "enrich_cache_miss": enrich_cache_miss,
     "enrich_explode_collect": enrich_explode_collect,
