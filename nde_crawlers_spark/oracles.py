@@ -594,6 +594,16 @@ SELECT count(*) AS rows,
 FROM u
 """
 
+ORACLES["events_pivot"] = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
 ORACLES["scalar_showcase"] = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,

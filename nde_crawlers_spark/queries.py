@@ -498,6 +498,18 @@ def events_props_extract(spark, sf_dir):
     )
 
 
+def events_pivot(spark, sf_dir):
+    """Pivot event types into per-user columns (groupBy().pivot());
+    oracle mirrors with conditional aggregation."""
+    ev = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in types],
+    )
+
+
 def scalar_showcase(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     return (
@@ -644,6 +656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
     "events_props_extract": events_props_extract,
+    "events_pivot": events_pivot,
     "scalar_showcase": scalar_showcase,
     "nde_wrapper_pass": nde_wrapper_pass,
     "nde_quarantine_counts": nde_quarantine_counts,
