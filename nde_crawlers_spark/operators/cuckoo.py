@@ -52,6 +52,11 @@ class CuckooFilter:
         self.table = np.zeros((nb, slots_per_bucket), dtype=np.uint16)
         self.count = 0
         self.max_kicks = 500
+        # victim stash (standard cuckoo design): when an eviction walk
+        # exhausts max_kicks, the final displaced fingerprint lands here
+        # instead of being dropped — a previously-inserted key must never
+        # become a false negative (it would be re-fetched as definite-new).
+        self.stash: list[tuple[int, int]] = []  # (bucket1_of_victim, fp)
 
     # --- key derivation (vectorized over uint64 pre-hashes) ---
     def _fingerprint(self, h: np.ndarray) -> np.ndarray:
@@ -88,7 +93,12 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.count += 1
                 return True
-        return False  # table beyond load limit
+        # walk exhausted: the final displaced victim goes to the stash
+        # (b is one of ITS two valid buckets), never silently dropped —
+        # the new key is in the table, the victim stays queryable.
+        self.stash.append((b, cur))
+        self.count += 1
+        return True
 
     def insert_hashes(self, h: np.ndarray) -> int:
         """Insert pre-hashed keys (uint64, e.g. xxhash64 of url_hash).
@@ -102,9 +112,14 @@ class CuckooFilter:
         fps = self._fingerprint(h)
         b1 = self._bucket1(h)
         b2 = self._partner(b1, fps)
-        in1 = (self.table[b1] == fps[:, None]).any(axis=1)
-        in2 = (self.table[b2] == fps[:, None]).any(axis=1)
-        return in1 | in2
+        hit = (self.table[b1] == fps[:, None]).any(axis=1)
+        hit |= (self.table[b2] == fps[:, None]).any(axis=1)
+        # a stash entry (sb, sfp) matches a key iff fingerprints agree and
+        # sb is one of the key's two buckets (the bucket pair is fully
+        # determined by (fp, either bucket) via the XOR partner map)
+        for sb, sfp in self.stash:
+            hit |= (fps == np.uint16(sfp)) & ((b1 == sb) | (b2 == sb))
+        return hit
 
     def delete_hashes(self, h: np.ndarray) -> int:
         """Delete one fingerprint copy per key (TTL eviction). Returns
@@ -114,6 +129,7 @@ class CuckooFilter:
         b2s = self._partner(b1s, fps)
         removed = 0
         for fp, b1, b2 in zip(fps, b1s, b2s):
+            done = False
             for b in (int(b1), int(b2)):
                 row = self.table[b]
                 hit = np.nonzero(row == fp)[0]
@@ -121,16 +137,30 @@ class CuckooFilter:
                     row[hit[0]] = _EMPTY
                     self.count -= 1
                     removed += 1
+                    done = True
                     break
+            if not done:
+                for i, (sb, sfp) in enumerate(self.stash):
+                    if sfp == int(fp) and sb in (int(b1), int(b2)):
+                        self.stash.pop(i)
+                        self.count -= 1
+                        removed += 1
+                        break
         return removed
 
     def to_bytes(self) -> bytes:
-        return self.table.tobytes()
+        """Table bytes followed by stash entries as (bucket, fp) uint64
+        pairs; from_bytes splits on the known table size."""
+        tail = np.array([x for e in self.stash for x in e], dtype=np.uint64)
+        return self.table.tobytes() + tail.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes, nbuckets: int, slots: int) -> "CuckooFilter":
         cf = cls.__new__(cls)
         cf.nbuckets, cf.slots, cf.max_kicks = nbuckets, slots, 500
-        cf.table = np.frombuffer(blob, dtype=np.uint16).reshape(nbuckets, slots).copy()
-        cf.count = int((cf.table != _EMPTY).sum())
+        nbytes = nbuckets * slots * 2
+        cf.table = np.frombuffer(blob[:nbytes], dtype=np.uint16).reshape(nbuckets, slots).copy()
+        tail = np.frombuffer(blob[nbytes:], dtype=np.uint64)
+        cf.stash = [(int(tail[i]), int(tail[i + 1])) for i in range(0, len(tail), 2)]
+        cf.count = int((cf.table != _EMPTY).sum()) + len(cf.stash)
         return cf

@@ -36,7 +36,14 @@ def spread(df: DataFrame) -> DataFrame:
     >> defaultParallelism splits and this is a no-op; the repartition only
     fires for pathological inputs, where its cost is trivial."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Probe the scan's file list, not df.rdd.getNumPartitions(): the RDD
+    # probe forces a conversion of the analyzed plan per call (a repeated
+    # driver-side cost the round-1 audit flagged). inputFiles() is driver
+    # metadata only — no job. Few-files == few scan splits is the exact
+    # pathology this guard exists for; at corpus scale (thousands of
+    # files) it's a no-op, and non-scan inputs (len 0) are left alone.
+    nfiles = len(df.inputFiles())
+    if 0 < nfiles < target:
         return df.repartition(target)
     return df
 
@@ -142,10 +149,16 @@ def simhash16_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     semantically identical to functions/text.py::simhash16 but codegen'd
     (see minhash_signatures_agg for why). Docs with no tokens get 0."""
     odd = "'1','3','5','7','9','b','d','f'"
-    ex = spread(docs).select(F.col(id_col).alias("id"), F.explode(TX.tokens(F.col(text_col))).alias("t"))
+    # md5 projected ONCE per token before the groupBy: aggregate-side
+    # subexpression elimination is version-dependent, and 16 md5 calls
+    # per token is the difference between hash-bound and scan-bound.
+    ex = spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.tokens(F.col(text_col))).alias("t"),
+    ).select("id", F.md5("t").alias("h"))
     votes = [
         F.sum(
-            F.when(F.expr(f"substring(md5(t), {b + 1}, 1) in ({odd})"), 1).otherwise(-1)
+            F.when(F.expr(f"substring(h, {b + 1}, 1) in ({odd})"), 1).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(16)
     ]
@@ -169,13 +182,17 @@ def simhash64_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """(id, simhash) with a 63-bit fingerprint: bit b of token t is bit
     (b%4) of md5 hex digit (b//4 + 1); document bit = sign of the vote
     sum. Same explode->aggregate shape as simhash16_agg."""
+    # hash-once discipline: md5(t) is projected before the groupBy so the
+    # 63 vote aggregates share one hash per token instead of evaluating
+    # md5 63 times (round-1 bench: this was the hottest headline query)
     ex = spread(docs).select(
-        F.col(id_col).alias("id"), F.explode(TX.tokens(F.col(text_col))).alias("t")
-    )
+        F.col(id_col).alias("id"),
+        F.explode(TX.tokens(F.col(text_col))).alias("t"),
+    ).select("id", F.md5("t").alias("h"))
     votes = []
     for b in range(SIMHASH64_BITS):
         digit, bit = b // 4 + 1, b % 4
-        dv = f"(locate(substring(md5(t), {digit}, 1), '0123456789abcdef') - 1)"
+        dv = f"(locate(substring(h, {digit}, 1), '0123456789abcdef') - 1)"
         votes.append(
             F.sum(
                 F.when(F.expr(f"(({dv} >> {bit}) & 1) = 1"), 1).otherwise(-1)
@@ -260,20 +277,42 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >=1 shingle.
 
-    Plan: explode distinct shingles -> self-equi-join on shingle
-    (candidate generation; never the cross product) -> the pair's group
-    count IS |A∩B|, |A∪B| from per-doc sizes — exact Jaccard with zero
-    array operations, all codegen aggregations. At scale the candidate
-    join is the cost center; raising shingle_n or dropping too-frequent
-    shingles (a stop-shingle df cap) bounds it.
+    Plan: explode distinct shingles -> stop-shingle df cap -> self-equi-
+    join on shingle (candidate generation; never the cross product) ->
+    the pair's group count IS |A∩B|, |A∪B| from per-doc sizes — exact
+    Jaccard with zero array operations, all codegen aggregations.
+
+    The df cap is the scale contract: without it, one boilerplate shingle
+    shared by 10^6 docs makes ~10^12 candidate pairs in a single join
+    key. With ``max_shingle_df``, shingles held by more than that many
+    docs are dropped from the shingle universe BEFORE the self-join, so
+    no join key fans out past cap² pairs. Semantics: Jaccard over the
+    rare-shingle subspace — identical to the uncapped result whenever
+    every true near-dup pair shares >=1 rare shingle (boilerplate-only
+    overlap is exactly what dedup should NOT merge on). Both |A∩B| and
+    the per-doc sizes use the capped universe, so the ratio stays a true
+    Jaccard. ``None`` disables the cap (oracle-parity/debug only).
     """
     exploded = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode_outer(TX.shingles(F.col(text_col), shingle_n)).alias("s"),
     ).filter(F.col("s").isNotNull()).distinct()
+    if max_shingle_df is not None:
+        # df via groupBy (map-side partial aggregation — a hot shingle
+        # never serializes into one task, unlike a window partitioned by
+        # shingle), then a broadcast anti-join: the stop-shingle list has
+        # at most total_occurrences/cap entries, one short row each.
+        hot = (
+            exploded.groupBy("s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("s")
+        )
+        exploded = exploded.join(F.broadcast(hot), "s", "left_anti")
     sizes = exploded.groupBy("id").agg(F.count("*").alias("n"))
     # |A ∩ B| directly as the candidate-join group count — no array ops,
     # pure codegen aggregations; |A ∪ B| = |A| + |B| - |A ∩ B|.

@@ -83,7 +83,14 @@ def parse_robots_txt(body: str, agent: str = AGENT_TOKEN, default_delay_ms: int 
     if best is None:
         return {"disallow_prefixes": [], "allow_prefixes": [],
                 "crawl_delay_ms": default_delay_ms}
-    delay_ms = int(best["delay"] * 1000) if best["delay"] is not None else default_delay_ms
+    # clamp to a sane range before the ms conversion: a hostile/malformed
+    # Crawl-delay ('1e15', negative) must not overflow the IntegerType
+    # column or read as an unlimited budget downstream
+    delay_ms = (
+        int(min(max(best["delay"], 0.0), 3600.0) * 1000)
+        if best["delay"] is not None
+        else default_delay_ms
+    )
     return {"disallow_prefixes": sorted(best["disallow"]),
             "allow_prefixes": sorted(best["allow"]),
             "crawl_delay_ms": delay_ms}

@@ -270,16 +270,26 @@ FROM banded a JOIN banded b2
 """
 
 _SH4D = f"list_distinct({_ngrams(_TOKS_TEXT, 4)})"
+# mirror of operators/dedup.py::ngram_jaccard_pairs with max_shingle_df=400:
+# the shingle universe is capped BEFORE candidate generation, and both
+# |A∩B| and the per-doc sizes use the capped universe.
 ORACLES["dedup_ngram_jaccard"] = f"""
 WITH base AS (SELECT doc_id AS id, {_SH4D} AS sh FROM documents),
 nz AS (SELECT * FROM base WHERE len(sh) > 0),
-ex AS (SELECT id, unnest(sh) AS s FROM nz),
-pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id),
+ex0 AS (SELECT id, unnest(sh) AS s FROM nz),
+ex AS (
+  SELECT id, s FROM (SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+  WHERE df <= 400
+),
+sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+),
 j AS (
-  SELECT p.id_a, p.id_b,
-         floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(x.sh, y.sh)))) * 1000000) / 1000000.0 AS jaccard
-  FROM pairs p JOIN nz x ON p.id_a = x.id JOIN nz y ON p.id_b = y.id
+  SELECT t.id_a, t.id_b,
+         floor((CAST(t.i AS DOUBLE) / (x.n + y.n - t.i)) * 1000000) / 1000000.0 AS jaccard
+  FROM inter t JOIN sizes x ON t.id_a = x.id JOIN sizes y ON t.id_b = y.id
 )
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
 """
@@ -360,8 +370,8 @@ FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u GROUP BY side
 
 ORACLES["events_running_total"] = """
 SELECT event_id, user_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+       CAST(round(sum(CAST(value AS DECIMAL(20,8))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS running_value
 FROM events
 """
 
@@ -610,7 +620,7 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        o_orderpriority,
        count(*) AS n,
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,8))), 2) AS DOUBLE) AS sum_price,
-       round(stddev_pop(o_totalprice), 4) AS sd_price,
+       floor(stddev_pop(o_totalprice) * 10000) / 10000.0 AS sd_price,
        min(o_orderstatus || '-' || upper(o_orderpriority)) AS tag
 FROM orders GROUP BY 1, 2, 3
 """

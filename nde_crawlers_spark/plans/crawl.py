@@ -171,7 +171,7 @@ class CrawlRun:
         # unseen filter: candidates never enqueued before
         unseen = (
             SN.filter_unseen_bloom(cand, seen) if cfg.use_bloom else SN.filter_unseen_exact(cand, seen)
-        )
+        ).cache()
         new_seen = unseen.select("url_hash").withColumn("first_seen_round", F.lit(r))
 
         allowed = FR.robots_filter(unseen, robots)
@@ -258,9 +258,13 @@ class CrawlRun:
         self._write(host_state, r, "host_state")
         self._write(lineage, r, "lineage")
 
-        # round stats: one aggregation over the cached fetch result (not
-        # five parquet re-reads — each count is a full Spark job, and at
-        # sandbox scale job latency dominates round wall time)
+        # round stats: one aggregation over the cached fetch result plus
+        # two counts on already-cached frames — never a parquet re-read or
+        # a frontier reconstruction (each would be an extra full Spark
+        # job; at sandbox scale job latency dominates round wall time).
+        # frontier_next = frontier_all minus selected, and both sides have
+        # unique url_hash (dedupe_candidates + the seen invariant), so its
+        # count is exact arithmetic on counts already in hand.
         fstats = fetched.agg(
             F.count("*").alias("sel"),
             F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("docs"),
@@ -270,13 +274,13 @@ class CrawlRun:
             "round": r,
             "selected": fstats["sel"],
             "documents": int(fstats["docs"] or 0),
-            "new_seen": self._read(r, "new_seen").count(),
-            "frontier_next": self._frontier_through(r).count(),
+            "new_seen": unseen.count(),
+            "frontier_next": frontier_all.count() - fstats["sel"],
             "outlinks": int(fstats["out"] or 0),
             "wall_s": round(time.monotonic() - t0, 3),
         }
         self._commit(r, meta)
-        for df in (robots, frontier_all, selected, fetched):
+        for df in (robots, frontier_all, selected, fetched, unseen):
             df.unpersist()
         return meta
 

@@ -188,7 +188,7 @@ def dedup_simhash64_hamming(spark, sf_dir):
 
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.4)
+    return DD.ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.4, max_shingle_df=400)
 
 
 def dedup_embedding_cosine(spark, sf_dir):
@@ -445,8 +445,14 @@ def events_running_total(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # decimal discipline (see dsum): windowed double sums are NOT
+    # bit-identical across engines (DuckDB's window aggregation trees add
+    # in a different order), so the running sum is an exact DECIMAL
+    # addition — associative, engine-independent — rounded once at the end.
     return ev.select(
-        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("running_value")
+        "event_id", "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(20,8)")).over(w), 6)
+        .cast("double").alias("running_value"),
     )
 
 
@@ -521,7 +527,7 @@ def scalar_showcase(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             dsum(F.col("o_totalprice")).alias("sum_price"),
-            F.round(F.stddev_pop("o_totalprice"), 4).alias("sd_price"),
+            ftrunc(F.stddev_pop("o_totalprice"), 4).alias("sd_price"),
             F.min(F.concat(F.col("o_orderstatus"), F.lit("-"), F.upper(F.col("o_orderpriority")))).alias("tag"),
         )
     )

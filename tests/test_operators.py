@@ -118,3 +118,29 @@ def test_streaming_windowed_counts_match_batch(spark):
     assert len(g) >= len(b) - 1
     for k, v in g.items():
         assert b[k] == v
+
+
+def test_ngram_jaccard_df_cap_bounds_candidates(spark):
+    """A boilerplate shingle shared by every doc must not generate the
+    quadratic candidate blow-up: with the df cap, pairs that share ONLY
+    the hot shingle disappear, pairs sharing rare shingles survive."""
+    from nde_crawlers_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of use apply here"  # 5 tokens -> one hot 4-gram window family
+    rows = []
+    for i in range(60):
+        # every doc starts with the same boilerplate; only doc pairs
+        # (2k, 2k+1) additionally share a rare payload
+        payload = f"unique payload text number {i // 2} common tail words"
+        rows.append((i, f"{boiler} {payload}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.3, max_shingle_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    expected = {(2 * k, 2 * k + 1) for k in range(30)}
+    assert got == expected
+
+    # uncapped: the hot shingles connect every doc to every other doc —
+    # the candidate set is quadratic (what the cap exists to prevent)
+    uncapped = ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.0, max_shingle_df=None)
+    assert uncapped.count() == 60 * 59 // 2
