@@ -343,16 +343,19 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_bits: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: sign-LSH bucket -> in-bucket pairwise
-    cosine >= threshold. Near-identical vectors share the sign bucket with
-    overwhelming probability; the bucket join keeps the pair count
-    ~N^2/2^bits instead of N^2."""
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket ->
+    in-bucket pairwise cosine >= threshold. Near-identical vectors land
+    in the same bucket with probability (1 - theta/pi)^bits; the bucket
+    join keeps the pair count ~N^2/2^bits instead of N^2 — and because
+    the hyperplanes are random (not axis-aligned), that balance holds on
+    correlated real-world embeddings, not just isotropic synthetic ones."""
     from ..functions import vectors as V
 
     b = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        V.sign_bucket(F.col(vec_col), bucket_bits).alias("bucket"),
+        V.hyperplane_bucket(F.col(vec_col), bucket_bits, dim).alias("bucket"),
     )
     return (
         b.alias("a")

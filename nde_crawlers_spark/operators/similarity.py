@@ -117,20 +117,23 @@ def lsh_topk(
     bucket_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: only candidates sharing the query's sign-LSH
-    bucket are scored. Same output schema as brute_force_topk."""
+    """Approximate top-k: only candidates sharing the query's random-
+    hyperplane LSH bucket are scored (recall < 1, cost /2^bits; balance
+    holds on anisotropic embeddings because the planes are random, not
+    axis-aligned). Same output schema as brute_force_topk."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            V.sign_bucket(F.col(vec_col), bucket_bits).alias("bucket"),
+            V.hyperplane_bucket(F.col(vec_col), bucket_bits, dim).alias("bucket"),
         )
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        V.sign_bucket(F.col(vec_col), bucket_bits).alias("bucket"),
+        V.hyperplane_bucket(F.col(vec_col), bucket_bits, dim).alias("bucket"),
     )
     scored = (
         c.join(q, "bucket")

@@ -170,6 +170,21 @@ SIGN_BUCKET = (
     + ")"
 )
 
+
+def _hyperplane_bucket_sql(vexpr: str, bits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Mirror of functions/vectors.py::hyperplane_bucket: the SAME seeded
+    plane doubles (full-precision repr round-trips to the identical
+    binary double) summed in the SAME left-fold order, so the sign
+    decisions — and therefore the buckets — are bit-identical."""
+    from .functions.vectors import hyperplane_matrix
+
+    planes = hyperplane_matrix(bits, dim, seed)
+    parts = []
+    for p in range(bits):
+        dot = " + ".join(f"({planes[p][d]!r} * {vexpr}[{d + 1}])" for d in range(dim))
+        parts.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
 _TOKS_TEXT = TOKENS.format(c="text")
 
 ORACLES: dict[str, str] = {}
@@ -294,9 +309,10 @@ j AS (
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
 """
 
-_BK = SIGN_BUCKET.replace("{v}", "v")
+_BK = _hyperplane_bucket_sql("v")
 ORACLES["dedup_embedding_cosine"] = f"""
-WITH b AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, {_BK} AS bucket FROM embeddings)
+WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT id, v, {_BK} AS bucket FROM v0)
 SELECT a.id AS id_a, b2.id AS id_b, {COSINE.format(a='a.v', b='b2.v')} AS cosine
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
 WHERE {COSINE.format(a='a.v', b='b2.v')} >= 0.2
@@ -314,8 +330,8 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked 
 """
 
 ORACLES["ann_lsh_topk"] = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                  {SIGN_BUCKET.replace('{v}', 'CAST(embedding AS DOUBLE[])')} AS bucket FROM embeddings),
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v, {_BK} AS bucket FROM e0),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id, {COSINE.format(a='q.qv', b='e.v')} AS cosine

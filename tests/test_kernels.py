@@ -69,3 +69,37 @@ def test_topk_per_host_two_phase_equals_exact(spark):
         for r in sorted(grp, key=lambda r: (r[1], r[2], r[3]))[:3]:
             expect.add((host, r[3]))
     assert got_set == expect
+
+
+def test_hyperplane_buckets_balanced_on_correlated_vectors(spark):
+    """The round-1 audit's scale finding: axis-aligned sign buckets
+    collapse on correlated embeddings (all-positive leading dims -> one
+    hot bucket -> quadratic join). Random hyperplanes must keep spreading
+    them."""
+    import pyspark.sql.functions as F
+
+    from nde_crawlers_spark.functions.vectors import hyperplane_bucket, sign_bucket
+
+    # anisotropic corpus: the leading 8 dims are a constant positive bias
+    # (every vector shares them -> sign_bucket sees one bucket), while the
+    # tail dims carry the actual angular diversity
+    dim = 64
+    rows = []
+    for i in range(256):
+        v = [2.0] * 8 + [(((i * 2654435761 + d * 40503) % 1024) - 512) / 512.0
+                         for d in range(8, dim)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    signs = emb.select(sign_bucket(F.col("embedding"), 8).alias("b")).distinct().count()
+    hyper = emb.select(hyperplane_bucket(F.col("embedding"), 8, dim).alias("b")).distinct().count()
+    assert signs == 1            # the collapse the audit predicted
+    assert hyper >= 10           # hyperplanes keep splitting the cone
+
+    # and the hot-bucket population bound that actually matters for the
+    # self-join: no bucket should hold more than ~1/4 of the corpus
+    top = (
+        emb.select(hyperplane_bucket(F.col("embedding"), 8, dim).alias("b"))
+        .groupBy("b").count().agg(F.max("count")).first()[0]
+    )
+    assert top <= 96  # vs 256-in-one-bucket for the axis-aligned form
