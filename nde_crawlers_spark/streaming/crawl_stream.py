@@ -13,12 +13,19 @@ README.md:10-27) rather than as one-shot jobs:
          fused fetch+parse, append documents + seen delta, re-emit
          deferred URLs
 
-foreachBatch is the documented pattern for per-batch joins against
-mutable external state (the seen table) and multi-sink writes; the
-streaming checkpoint gives exactly-once per micro-batch — the same
-guarantee the batch plan's round _COMMIT markers give. Deferred URLs
-(over politeness budget) are written back out so a later micro-batch
-retries them — the streaming analog of leaving them in the frontier.
+foreachBatch is the documented pattern for per-batch work against
+mutable external state (the seen table) and multi-sink writes. The
+scheduler's output carries every candidate column (url, canonical_url,
+priority, seq, asof_s), so the batch processor touches ONLY its own
+micro-batch's rows — no per-batch re-scan of the candidates directory,
+which would be O(total-history) work in an always-on job. Exactly-once
+per micro-batch comes from (a) idempotent overwrite of per-batch output
+dirs and (b) computing each batch's unseen set against strictly EARLIER
+seen batches, so a replayed batch (crash between the seen write and the
+checkpoint commit) reproduces its output instead of seeing its own
+partial writes as already-seen. Deferred URLs (over politeness budget)
+are written back out so a later micro-batch retries them — the
+streaming analog of leaving them in the frontier.
 """
 
 from __future__ import annotations
@@ -52,11 +59,19 @@ class StreamingCrawl:
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def seen(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self._dir("seen") + "/*")
-        except Exception:  # noqa: BLE001 — no batches committed yet
+    def seen(self, before_batch: int | None = None) -> DataFrame:
+        """The persistent seen table. ``before_batch`` excludes that batch
+        id and later — the REPLAY guard: a re-run of micro-batch N (crash
+        after the seen write, before the checkpoint commit) must compute
+        its unseen set against only batches < N, or it would see its own
+        partial output and permanently drop the batch's documents."""
+        base = self._dir("seen")
+        dirs = sorted(d for d in os.listdir(base) if d.startswith("batch="))
+        if before_batch is not None:
+            dirs = [d for d in dirs if int(d.split("=")[1]) < before_batch]
+        if not dirs:
             return self.spark.createDataFrame([], "url_hash string")
+        return self.spark.read.parquet(*[os.path.join(base, d) for d in dirs])
 
     def documents(self) -> DataFrame:
         return self.spark.read.parquet(self._dir("documents") + "/*")
@@ -87,19 +102,20 @@ class StreamingCrawl:
         q.awaitTermination()
 
     def _process_batch(self, decisions: DataFrame, batch_id: int) -> None:
-        """Per micro-batch: join decisions back to full candidate rows,
-        seen-filter the fetchables, fused fetch+parse, write the three
-        outputs (idempotent overwrite per batch id)."""
-        spark = decisions.sparkSession
-        cands = spark.read.schema(CAND_SCHEMA).parquet(self._dir("candidates"))
-        enriched = U.with_url_columns(cands).withColumn(
-            "seq", U.hash_seq(F.col("canonical_url"))
-        )
-        joined = enriched.join(
-            decisions.select("url_hash", "decision").distinct(), "url_hash", "inner"
-        )
-        fetchable = joined.filter(F.col("decision") == "fetch")
-        unseen = SN.filter_unseen_exact(fetchable, self.seen()).cache()
+        """Per micro-batch: seen-filter the fetchables, fused fetch+parse,
+        write the three outputs (idempotent overwrite per batch id).
+
+        Works ONLY on the scheduler's own rows — the scheduler passes
+        url/canonical_url/priority/seq through its output schema, so
+        there is no O(total-history) re-scan of candidates/ and no join
+        per batch. Replay-safe: the unseen set is computed against seen
+        batches strictly BEFORE this one, so a re-run of a crashed batch
+        recomputes the identical unseen set and overwrites its own
+        partial output instead of seeing it as already-seen."""
+        fetchable = decisions.filter(F.col("decision") == "fetch")
+        unseen = SN.filter_unseen_exact(
+            fetchable, self.seen(before_batch=batch_id)
+        ).cache()
         fetched = fetch_parse(unseen, self.num_hosts, colocate=True)
         docs = fetched.filter(F.col("status") == 200).select(
             F.col("url_hash").alias("doc_id"), "canonical_url", "spans"
@@ -108,7 +124,7 @@ class StreamingCrawl:
         unseen.select("url_hash").write.mode("overwrite").parquet(
             self._dir(f"seen/batch={batch_id:06d}")
         )
-        joined.filter(F.col("decision") == "defer").select(
+        decisions.filter(F.col("decision") == "defer").select(
             "url", "priority", (F.col("asof_s") + F.lit(1.0)).alias("asof_s")
         ).write.mode("overwrite").parquet(self._dir(f"deferred/batch={batch_id:06d}"))
         unseen.unpersist()

@@ -29,15 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = T.StructType(
-    [
-        T.StructField("host", T.StringType()),
-        T.StructField("url_hash", T.StringType()),
-        T.StructField("decision", T.StringType()),   # fetch | defer
-        T.StructField("tokens_left", T.DoubleType()),
-    ]
-)
-
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("tokens", T.DoubleType()),
@@ -53,42 +44,67 @@ def schedule_with_state(
     candidates: DataFrame,
     crawl_delay_ms: int = 500,
 ) -> DataFrame:
-    """Token-bucket scheduling over a (streaming) candidates frame with
-    columns (host, url_hash, priority, seq, asof_s).
+    """Token-bucket scheduling over a (streaming) candidates frame that
+    has at least (host, url_hash, priority, seq, asof_s).
+
+    ALL input columns pass through to the output (+ decision,
+    tokens_left): downstream batch processors work entirely on the
+    scheduler's own rows — no join back to a re-scan of the candidates
+    directory, which at scale would be O(total-history) work per
+    micro-batch. Duplicate url_hash rows within a micro-batch collapse to
+    the best (priority, seq) one, deterministically.
 
     rate = 1000/crawl_delay_ms tokens/sec (the DOWNLOAD_DELAY analog);
     each emitted fetch costs one token. Rows within a batch are processed
     in frontier order (priority, seq, url_hash)."""
     rate = 1000.0 / crawl_delay_ms if crawl_delay_ms > 0 else float("inf")
+    in_cols = [f.name for f in candidates.schema.fields]
+    out_schema = T.StructType(
+        list(candidates.schema.fields)
+        + [
+            T.StructField("decision", T.StringType()),     # fetch | defer
+            T.StructField("tokens_left", T.DoubleType()),
+        ]
+    )
 
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        host = key[0]
+        del key  # host is already a pass-through column
         if state.exists:
             tokens, last_refill, emitted = state.get
         else:
             tokens, last_refill, emitted = BURST_TOKENS, 0.0, 0
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["priority", "seq", "url_hash"])
-        out = []
-        for _, r in rows.iterrows():
-            now = float(r["asof_s"])
+        rows = rows.sort_values(["priority", "seq", "url_hash"]).drop_duplicates(
+            subset=["url_hash"], keep="first"
+        )
+        # single vectorized pass over the asof array: the token feedback is
+        # sequential by nature (each fetch spends the token the next row
+        # sees), but the per-row work is a couple of float ops — no pandas
+        # row objects in the loop
+        decisions: list[str] = []
+        toks: list[float] = []
+        for now in rows["asof_s"].to_numpy(dtype=float):
             if now > last_refill:
                 tokens = min(BURST_TOKENS, tokens + (now - last_refill) * rate)
                 last_refill = now
             if tokens >= 1.0:
                 tokens -= 1.0
                 emitted += 1
-                out.append((host, r["url_hash"], "fetch", tokens))
+                decisions.append("fetch")
             else:
-                out.append((host, r["url_hash"], "defer", tokens))
+                decisions.append("defer")
+            toks.append(tokens)
+        out = rows.copy()
+        out["decision"] = decisions
+        out["tokens_left"] = toks
         state.update((tokens, last_refill, emitted))
-        yield pd.DataFrame(out, columns=["host", "url_hash", "decision", "tokens_left"])
+        yield out[in_cols + ["decision", "tokens_left"]]
 
     return candidates.groupBy("host").applyInPandasWithState(
         _fn,
-        outputStructType=OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -56,3 +56,90 @@ def test_streaming_crawl_drain_and_incremental(spark):
         sc.seen().groupBy("url_hash").count().filter(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_streaming_crawl_three_batches_defer_retry_and_replay(spark):
+    """Three drains with deferred retries fed back in, then a manual
+    replay of the last micro-batch: replay must be idempotent (the batch
+    recomputes its own unseen set against strictly earlier batches) —
+    the crash-between-seen-write-and-checkpoint case."""
+    import glob
+
+    root = tempfile.mkdtemp(prefix="scrawl3_")
+    sc = StreamingCrawl(spark, root, num_hosts=6, crawl_delay_ms=500)
+
+    seeds = make_seeds(40, 6)
+    _write_candidates(spark, root, "b1", [(s["url"], s["priority"], 0.0) for s in seeds])
+    sc.run_available_now()
+    deferred1 = sc.deferred().collect()
+    assert len(deferred1) > 0  # 6 hosts x burst 4 < 40 urls
+
+    # batch 2: the deferred rows re-enter as candidates (the retry loop)
+    _write_candidates(
+        spark, root, "b2",
+        [(r["url"], r["priority"], r["asof_s"] + 4.0) for r in deferred1],
+    )
+    sc.run_available_now()
+
+    # batch 3: fresh urls + repeats of batch-1 urls (must not re-fetch)
+    more = make_seeds(52, 6)[40:]
+    _write_candidates(
+        spark, root, "b3",
+        [(s["url"], s["priority"], 20.0) for s in more + seeds[:4]],
+    )
+    sc.run_available_now()
+
+    seen_all = sc.seen().groupBy("url_hash").count()
+    assert seen_all.filter(F.col("count") > 1).count() == 0  # fetched once ever
+    docs = sc.documents()
+    n_docs = docs.count()
+    assert docs.select("doc_id").distinct().count() == n_docs
+
+    # ---- replay the highest committed batch by hand: idempotent ----
+    batch_dirs = sorted(glob.glob(os.path.join(root, "seen", "batch=*")))
+    last_id = int(batch_dirs[-1].split("=")[-1])
+    docs_dir = os.path.join(root, "documents", f"batch={last_id:06d}")
+    before_docs = sorted(
+        r["doc_id"] for r in spark.read.parquet(docs_dir).select("doc_id").collect()
+    ) if os.listdir(docs_dir) else []
+    before_seen = sorted(
+        r["url_hash"] for r in spark.read.parquet(batch_dirs[-1]).collect()
+    )
+    # rebuild the decisions frame the scheduler would replay: all
+    # candidates of that batch (deterministic state => same decisions);
+    # here we simply re-run _process_batch with the SAME decisions rows,
+    # which is what the checkpoint replays
+    from nde_crawlers_spark.functions import urls as U2
+    from nde_crawlers_spark.streaming.politeness import schedule_with_state  # noqa: F401
+
+    cand3 = spark.createDataFrame(
+        [(s["url"], s["priority"], 20.0) for s in more + seeds[:4]],
+        "url string, priority int, asof_s double",
+    )
+    deferred3 = {
+        r["url"]
+        for r in spark.read.parquet(
+            os.path.join(root, "deferred", f"batch={last_id:06d}")
+        ).collect()
+    }
+    keyed = (
+        U2.with_url_columns(cand3)
+        .withColumn("seq", U2.hash_seq(F.col("canonical_url")))
+        .withColumn(
+            "decision",
+            F.when(F.col("url").isin(list(deferred3)), F.lit("defer")).otherwise(
+                F.lit("fetch")
+            ),
+        )
+        .withColumn("tokens_left", F.lit(0.0))
+    )
+    sc._process_batch(keyed, last_id)
+    after_docs = sorted(
+        r["doc_id"] for r in spark.read.parquet(docs_dir).select("doc_id").collect()
+    ) if os.listdir(docs_dir) else []
+    after_seen = sorted(
+        r["url_hash"] for r in spark.read.parquet(batch_dirs[-1]).collect()
+    )
+    assert after_seen == before_seen
+    assert after_docs == before_docs
+    assert len(after_seen) > 0
