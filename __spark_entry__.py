@@ -82,12 +82,13 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's uploader stage chain (SURVEY §2.11:
     standardize -> enrich -> wrapper) composed end-to-end over crawled
-    documents: spans -> typed fields -> add_date -> completeness score ->
-    dedup keep-one. Rows-only check; each stage is oracle-checked
-    individually elsewhere."""
+    documents, on the WIDE nested NDE record (operators/nde_schema.py):
+    spans -> NDE record -> schema gate -> add_date -> completeness score
+    -> dedup keep-one. Rows-only check; each stage is oracle-checked
+    individually elsewhere (nde_record_normalize for the record pass)."""
     from nde_crawlers_spark.operators import wrapper as W
     from nde_crawlers_spark.operators.dedup import drop_exact_duplicates
-    from nde_crawlers_spark.operators.parse import spans_to_fields
+    from nde_crawlers_spark.operators.nde_schema import schema_violation_nde, spans_to_nde
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
     from nde_crawlers_spark.sources.synthetic import make_seeds
 
@@ -99,16 +100,24 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = make_seeds(80, 10)
     run.run(seeds=spark.createDataFrame(
         [(s["url"], s["priority"]) for s in seeds], ["url", "priority"]))
-    fields = spans_to_fields(run.documents())
-    scored = fields.select(
-        W.casefold_id(F.col("doc_id")).alias("_id"),
-        "name", "author",
-        F.to_date(F.col("date_str")).alias("date"),
+    rec = spans_to_nde(run.documents())
+    gated = rec.withColumn(
+        "violation",
+        schema_violation_nde(
+            F.col("type"), F.col("url"), F.lit(None).cast("string"),
+            F.col("includedInDataCatalog"),
+        ),
+    ).filter(F.col("violation").isNull())
+    scored = gated.select(
+        F.col("_id"),
+        F.col("name"),
+        F.element_at(F.col("author"), 1).getField("name").alias("author"),
+        W.add_date(F.col("datePublished")).alias("date"),
         F.size("keywords").alias("n_keywords"),
-        F.size("media_refs").alias("n_media"),
+        F.size("distribution").alias("n_media"),
         W.completeness_score(
-            required=[F.col("name"), F.col("date_str")],
-            recommended=[F.col("description"), F.col("author")],
+            required=[F.col("name"), F.col("datePublished")],
+            recommended=[F.col("description"), F.element_at(F.col("author"), 1).getField("name")],
         ).alias("score"),
         F.col("description").alias("text"),
     )

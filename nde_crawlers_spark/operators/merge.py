@@ -41,25 +41,39 @@ def version_group_merge(
     group_cols: list[str],
     date_col: Column,
     id_col: str = "doc_id",
+    union_array_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per version group keep the doc with max date (tie -> min id) and
-    collect the merged member list (the sameAs/distribution union analog):
-    returns group cols + keep_id + keep_date + member_ids + group_size."""
+    collect the merged member list; ``union_array_cols`` names array
+    columns whose values are UNIONED across all group members into the
+    keeper — the actual Zenodo version-merge payload (the keeper absorbs
+    the losers' sameAs + distribution,
+    zenodo/files/uploader.py:53-64). Unions are distinct + sorted, so the
+    result is independent of partitioning/collect order.
+
+    Returns group cols + keep_id + keep_date + member_ids + group_size
+    [+ merged_<col> per union column]."""
     w = Window.partitionBy(*group_cols).orderBy(date_col.desc(), F.col(id_col).asc())
     ranked = docs.withColumn("__rn", F.row_number().over(w)).withColumn("__d", date_col)
+    aggs = [
+        F.min(F.when(F.col("__rn") == 1, F.struct(F.col(id_col).alias("id"), F.col("__d").alias("d")))).alias("keep"),
+        F.array_sort(F.collect_list(F.col(id_col))).alias("member_ids"),
+        F.count("*").alias("group_size"),
+    ]
+    for c in union_array_cols or []:
+        aggs.append(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.col(c))))).alias(f"merged_{c}")
+        )
     return (
         ranked.groupBy(*group_cols)
-        .agg(
-            F.min(F.when(F.col("__rn") == 1, F.struct(F.col(id_col).alias("id"), F.col("__d").alias("d")))).alias("keep"),
-            F.array_sort(F.collect_list(F.col(id_col))).alias("member_ids"),
-            F.count("*").alias("group_size"),
-        )
+        .agg(*aggs)
         .select(
             *group_cols,
             F.col("keep.id").alias("keep_id"),
             F.col("keep.d").alias("keep_date"),
             "member_ids",
             "group_size",
+            *[f"merged_{c}" for c in union_array_cols or []],
         )
     )
 
@@ -83,3 +97,55 @@ def key_dedup_1x1(
         .filter(F.col("nb") == 1)
     )
     return a1.join(b1, key_col).select(key_col, "keep_id", "drop_id")
+
+
+def apply_merge_directives(
+    docs: DataFrame,
+    directives: DataFrame,
+    id_col: str = "doc_id",
+    catalog_col: str = "includedInDataCatalog",
+) -> DataFrame:
+    """APPLY (keep_id, drop_id) merge directives to the documents table —
+    the half of the dedup the reference does in
+    hub/databuild/builder.py:102-160,308-329: the winner's
+    ``includedInDataCatalog`` array absorbs each loser's entries
+    (distinct), and loser rows are deleted.
+
+    Plan shape: directives are tiny relative to docs (one row per
+    duplicate pair), so both the gain join and the loser delete are
+    broadcast joins against docs — one pass over the corpus, no shuffle
+    of the documents themselves. Loser contributions are ordered by
+    drop_id before flattening, so the merged array is independent of
+    partitioning."""
+    loser_cat = (
+        directives.join(
+            docs.select(F.col(id_col).alias("drop_id"), F.col(catalog_col).alias("__cat")),
+            "drop_id",
+        )
+        .groupBy("keep_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("drop_id").alias("i"), F.col("__cat").alias("c")))
+                    ),
+                    lambda s: s.getField("c"),
+                )
+            ).alias("__gain")
+        )
+    )
+    merged = (
+        docs.join(
+            F.broadcast(loser_cat.withColumnRenamed("keep_id", id_col)), id_col, "left"
+        )
+        .withColumn(
+            catalog_col,
+            F.when(
+                F.col("__gain").isNotNull(),
+                F.array_distinct(F.concat(F.col(catalog_col), F.col("__gain"))),
+            ).otherwise(F.col(catalog_col)),
+        )
+        .drop("__gain")
+    )
+    losers = directives.select(F.col("drop_id").alias(id_col)).distinct()
+    return merged.join(F.broadcast(losers), id_col, "left_anti")

@@ -425,13 +425,49 @@ ORACLES["merge_version_groups"] = """
 WITH r AS (
   SELECT *, row_number() OVER (PARTITION BY source, lang ORDER BY n_chars DESC, doc_id ASC) AS rn
   FROM documents
+),
+sx AS (
+  SELECT source, lang,
+         unnest(['doi:' || CAST(doc_id % 13 AS VARCHAR),
+                 'alt:' || CAST((doc_id * 3) % 7 AS VARCHAR)]) AS v
+  FROM documents
+),
+su AS (
+  SELECT source, lang, string_agg(DISTINCT v, ',' ORDER BY v) AS merged_sameas_csv
+  FROM sx GROUP BY source, lang
+),
+g AS (
+  SELECT source, lang,
+         min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         min(CASE WHEN rn = 1 THEN n_chars END) AS keep_n_chars,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members_csv,
+         count(*) AS group_size
+  FROM r GROUP BY source, lang
 )
-SELECT source, lang,
-       min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
-       min(CASE WHEN rn = 1 THEN n_chars END) AS keep_n_chars,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members_csv,
-       count(*) AS group_size
-FROM r GROUP BY source, lang
+SELECT g.*, su.merged_sameas_csv FROM g JOIN su USING (source, lang)
+"""
+
+ORACLES["merge_apply_1x1"] = f"""
+WITH keyed AS (
+  SELECT doc_id, source, {PREFIX4_KEY} AS dup_key,
+         source || '@' || 'https://' || source || '.example.org/rec/' || CAST(doc_id AS VARCHAR) AS cat
+  FROM documents
+),
+a1 AS (SELECT dup_key, min(doc_id) AS keep_id FROM keyed WHERE doc_id % 2 = 0 GROUP BY dup_key HAVING count(*) = 1),
+b1 AS (SELECT dup_key, min(doc_id) AS drop_id FROM keyed WHERE doc_id % 2 = 1 GROUP BY dup_key HAVING count(*) = 1),
+dir AS (SELECT keep_id, drop_id FROM a1 JOIN b1 USING (dup_key)),
+g AS (SELECT d.keep_id, k.cat AS loser_cat FROM dir d JOIN keyed k ON k.doc_id = d.drop_id),
+merged AS (
+  SELECT k.doc_id, k.source,
+         CASE WHEN g.loser_cat IS NOT NULL
+              THEN CAST(len(list_distinct([k.cat, g.loser_cat])) AS INTEGER) ELSE 1 END AS n_catalog,
+         CASE WHEN g.loser_cat IS NOT NULL
+              THEN array_to_string(list_sort(list_distinct([k.cat, g.loser_cat])), ',')
+              ELSE k.cat END AS catalog_csv
+  FROM keyed k LEFT JOIN g ON k.doc_id = g.keep_id
+)
+SELECT doc_id, source, n_catalog, catalog_csv FROM merged
+WHERE doc_id NOT IN (SELECT drop_id FROM dir)
 """
 
 ORACLES["merge_identifier_dedup"] = """
@@ -605,6 +641,59 @@ FROM gated WHERE violation IS NULL
 ORACLES["nde_quarantine_counts"] = f"""
 WITH {NDE_CTE}
 SELECT violation, count(*) AS n FROM gated WHERE violation IS NOT NULL GROUP BY violation
+"""
+
+# mirror of queries.nde_record_normalize: the same messy derivation,
+# always-array coercion, and check_schema gate, with arrays rendered to
+# the same CSV forms
+ORACLES["nde_record_normalize"] = """
+WITH src AS (
+  SELECT
+    source || ':rec:' || CAST(doc_id AS VARCHAR) AS _id,
+    (['Dataset','Sample','ComputationalTool','Dataset'])[CAST(doc_id % 4 AS INTEGER) + 1] AS type,
+    CASE WHEN doc_id % 23 = 0 THEN NULL
+         ELSE 'https://' || source || '.example.org/rec/' || CAST(doc_id AS VARCHAR) END AS url,
+    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'author-' || CAST(doc_id % 40 AS VARCHAR) END AS a1,
+    CASE WHEN doc_id % 4 = 1 THEN 'author-' || CAST((doc_id + 7) % 40 AS VARCHAR) ELSE NULL END AS a2,
+    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'grant:' || CAST((doc_id * 3) % 89 AS VARCHAR) END AS fid,
+    'funder-' || CAST(doc_id % 7 AS VARCHAR) AS fname,
+    CAST(doc_id % 3 AS INTEGER) AS ndist_m1,
+    (['Open','Restricted','Closed','Embargoed','Invalid-Value'])[CAST(doc_id % 5 AS INTEGER) + 1] AS access,
+    (['Bespoke','Available','Backordered','Retired','Obsolete'])[CAST(doc_id % 5 AS INTEGER) + 1] AS cws,
+    CASE WHEN doc_id % 2 = 0 THEN 'doi:10/' || CAST(doc_id % 50 AS VARCHAR) ELSE NULL END AS sameas1,
+    source, doc_id
+  FROM documents
+),
+rec AS (
+  SELECT *,
+    list_filter([a1, a2], x -> x IS NOT NULL) AS authors,
+    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE url END AS archived,
+    list_transform(range(0, ndist_m1 + 1), k ->
+      'https://files.example.org/' || CAST(doc_id AS VARCHAR) || '/' || CAST(k AS VARCHAR) || '.'
+      || (['csv','json','zip'])[CAST((doc_id + k) % 3 AS INTEGER) + 1]
+      || '#' || (['csv','json','zip'])[CAST((doc_id + k) % 3 AS INTEGER) + 1]) AS dists
+  FROM src
+)
+SELECT _id, type,
+  CASE WHEN type IS NULL OR type = '' THEN 'missing_type'
+       WHEN url IS NULL OR url = '' THEN 'missing_url'
+       WHEN archived IS NULL OR archived = '' THEN 'missing_included_in_data_catalog_archived_at'
+       WHEN access IS NOT NULL AND access NOT IN ('Open','Restricted','Closed','Embargoed')
+            THEN 'invalid_conditions_of_access'
+       WHEN type = 'Sample' AND cws IS NOT NULL
+            AND cws NOT IN ('Bespoke','Available','Backordered','Retired')
+            THEN 'invalid_creative_work_status'
+       ELSE NULL END AS violation,
+  CAST(len(authors) AS INTEGER) AS n_authors,
+  coalesce(array_to_string(authors, ','), '') AS authors_csv,
+  CAST(CASE WHEN fid IS NULL THEN 0 ELSE 1 END AS INTEGER) AS n_funding,
+  CASE WHEN fid IS NULL THEN '' ELSE fid || '|' || fname END AS funding_csv,
+  CAST(len(dists) AS INTEGER) AS n_distribution,
+  array_to_string(dists, ',') AS dist_csv,
+  source || '@' || coalesce(archived, 'NULL') AS catalog_csv,
+  coalesce(sameas1, '') AS sameas_csv,
+  cws
+FROM rec
 """
 
 ORACLES["setops_union_by_name"] = """

@@ -244,13 +244,25 @@ def merge_priority_lastwriter(spark, sf_dir):
 
 
 def merge_version_groups(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    g = MG.version_group_merge(docs, ["source", "lang"], F.col("n_chars"))
+    """Version self-merge INCLUDING the array-union payload: the keeper
+    absorbs the distinct sameAs values of every group member
+    (zenodo/uploader.py:53-64)."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "sameas",
+        F.array(
+            F.concat(F.lit("doi:"), (F.col("doc_id") % 13).cast("string")),
+            F.concat(F.lit("alt:"), ((F.col("doc_id") * 3) % 7).cast("string")),
+        ),
+    )
+    g = MG.version_group_merge(
+        docs, ["source", "lang"], F.col("n_chars"), union_array_cols=["sameas"]
+    )
     return g.select(
         "source", "lang", "keep_id",
         F.col("keep_date").cast("long").alias("keep_n_chars"),
         F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",").alias("members_csv"),
         "group_size",
+        F.array_join("merged_sameas", ",").alias("merged_sameas_csv"),
     )
 
 
@@ -287,6 +299,40 @@ def merge_key_dedup_1x1(spark, sf_dir):
     a = docs.filter(F.col("doc_id") % 2 == 0)
     b = docs.filter(F.col("doc_id") % 2 == 1)
     return MG.key_dedup_1x1(a, b, "dup_key")
+
+
+def merge_apply_1x1(spark, sf_dir):
+    """End-to-end merge APPLICATION (builder.py:102-160,308-329): the
+    1x1 directives from merge_key_dedup_1x1 are applied to the documents
+    table — winners' includedInDataCatalog arrays absorb the losers'
+    entries, losers are deleted. Output = the post-merge documents."""
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/rec/"), did.cast("string"))
+    docs = (
+        t(spark, sf_dir, "documents")
+        .withColumn("dup_key", DD.content_key(prefix_tokens=4))
+        .select(
+            "doc_id", "source", "dup_key",
+            F.array(F.struct(
+                F.col("source").alias("name"), url.alias("url"), url.alias("archivedAt"),
+            )).alias("includedInDataCatalog"),
+        )
+    )
+    a = docs.filter(did % 2 == 0)
+    b = docs.filter(did % 2 == 1)
+    directives = MG.key_dedup_1x1(a, b, "dup_key").select("keep_id", "drop_id")
+    out = MG.apply_merge_directives(docs, directives)
+    return out.select(
+        "doc_id", "source",
+        F.size("includedInDataCatalog").alias("n_catalog"),
+        F.array_join(
+            F.array_sort(F.transform(
+                "includedInDataCatalog",
+                lambda x: F.concat(x.getField("name"), F.lit("@"), x.getField("url")),
+            )),
+            ",",
+        ).alias("catalog_csv"),
+    )
 
 
 # ---------------------------------------------------------------- enrich --
@@ -610,6 +656,120 @@ def nde_quarantine_counts(spark, sf_dir):
     )
 
 
+def nde_record_normalize(spark, sf_dir):
+    """The wide-NDE-record pass (operators/nde_schema.py): a messy
+    source-shaped derivation of `documents` (scalar-or-missing author,
+    optional funding, per-row-sized distribution, catalog entries with
+    sometimes-missing archivedAt, Sample creativeWorkStatus with one
+    invalid value) is canonicalized into the nested NDE StructType —
+    always-array coercion, entity wrapping — then gated by the full
+    check_schema analog. Arrays/structs are rendered to CSV for the
+    order-insensitive value-hash compare."""
+    from .operators import nde_schema as NS
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    typ = F.element_at(
+        F.array(F.lit("Dataset"), F.lit("Sample"), F.lit("ComputationalTool"), F.lit("Dataset")),
+        (did % 4).cast("int") + 1,
+    )
+    url = F.when(did % 23 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/rec/"), did.cast("string"))
+    )
+    a1 = F.when(did % 3 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("author-"), (did % 40).cast("string"))
+    )
+    a2 = F.when(did % 4 == 1, F.concat(F.lit("author-"), ((did + 7) % 40).cast("string"))).otherwise(
+        F.lit(None).cast("string")
+    )
+    author_names = F.concat(NS.ensure_array(a1), NS.ensure_array(a2))
+    authors = F.transform(
+        author_names,
+        lambda n: F.struct(
+            n.alias("name"),
+            F.lit(None).cast("string").alias("givenName"),
+            F.lit(None).cast("string").alias("familyName"),
+            F.lit(None).cast("string").alias("sameAs"),
+        ),
+    )
+    fid = F.when(did % 5 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("grant:"), ((did * 3) % 89).cast("string"))
+    )
+    funding = F.when(fid.isNull(), F.array().cast(
+        "array<struct<identifier:string,funder:struct<name:string>>>"
+    )).otherwise(F.array(F.struct(
+        fid.alias("identifier"),
+        F.struct(F.concat(F.lit("funder-"), (did % 7).cast("string")).alias("name")).alias("funder"),
+    )))
+    exts = F.array(F.lit("csv"), F.lit("json"), F.lit("zip"))
+    distribution = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), did % 3),
+        lambda k: F.struct(
+            F.concat(
+                F.lit("https://files.example.org/"), did.cast("string"),
+                F.lit("/"), k.cast("string"),
+                F.lit("."), F.element_at(exts, ((did + k) % 3).cast("int") + 1),
+            ).alias("contentUrl"),
+            F.element_at(exts, ((did + k) % 3).cast("int") + 1).alias("encodingFormat"),
+            F.lit(None).cast("date").alias("dateModified"),
+        ),
+    )
+    archived = F.when(did % 11 == 0, F.lit(None).cast("string")).otherwise(url)
+    catalog = F.array(F.struct(
+        F.col("source").alias("name"), url.alias("url"), archived.alias("archivedAt"),
+    ))
+    access = F.element_at(
+        F.array(*[F.lit(x) for x in _NDE_ACCESS]), (did % 5).cast("int") + 1
+    )
+    cws = F.element_at(
+        F.array(F.lit("Bespoke"), F.lit("Available"), F.lit("Backordered"),
+                F.lit("Retired"), F.lit("Obsolete")),
+        (did % 5).cast("int") + 1,
+    )
+    sameas = NS.ensure_array(
+        F.when(did % 2 == 0, F.concat(F.lit("doi:10/"), (did % 50).cast("string"))).otherwise(
+            F.lit(None).cast("string")
+        )
+    )
+    rec = d.select(
+        F.concat(F.col("source"), F.lit(":rec:"), did.cast("string")).alias("_id"),
+        typ.alias("type"), url.alias("url"),
+        authors.alias("author"), funding.alias("funding"),
+        distribution.alias("distribution"), catalog.alias("includedInDataCatalog"),
+        access.alias("conditionsOfAccess"), cws.alias("creativeWorkStatus"),
+        sameas.alias("sameAs"),
+    )
+    viol = NS.schema_violation_nde(
+        F.col("type"), F.col("url"), F.col("conditionsOfAccess"),
+        F.col("includedInDataCatalog"), F.col("creativeWorkStatus"),
+    )
+    return rec.select(
+        "_id", "type",
+        viol.alias("violation"),
+        F.size("author").alias("n_authors"),
+        F.array_join(F.transform("author", lambda x: x.getField("name")), ",").alias("authors_csv"),
+        F.size("funding").alias("n_funding"),
+        F.array_join(
+            F.transform("funding", lambda x: F.concat(
+                x.getField("identifier"), F.lit("|"), x.getField("funder").getField("name"))),
+            ",",
+        ).alias("funding_csv"),
+        F.size("distribution").alias("n_distribution"),
+        F.array_join(
+            F.transform("distribution", lambda x: F.concat(
+                x.getField("contentUrl"), F.lit("#"), x.getField("encodingFormat"))),
+            ",",
+        ).alias("dist_csv"),
+        F.array_join(
+            F.transform("includedInDataCatalog", lambda x: F.concat(
+                x.getField("name"), F.lit("@"), F.coalesce(x.getField("archivedAt"), F.lit("NULL")))),
+            ",",
+        ).alias("catalog_csv"),
+        F.array_join("sameAs", ",").alias("sameas_csv"),
+        F.col("creativeWorkStatus").alias("cws"),
+    )
+
+
 def setops_union_by_name(spark, sf_dir):
     """Per-source stream union with missing columns (builder merge shape:
     unionByName(allowMissingColumns=True), SURVEY §2.8)."""
@@ -647,6 +807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_priority_lastwriter": merge_priority_lastwriter,
     "merge_version_groups": merge_version_groups,
     "merge_key_dedup_1x1": merge_key_dedup_1x1,
+    "merge_apply_1x1": merge_apply_1x1,
     "merge_identifier_dedup": merge_identifier_dedup,
     "enrich_broadcast_lookup": enrich_broadcast_lookup,
     "enrich_cache_miss": enrich_cache_miss,
@@ -666,5 +827,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_showcase": scalar_showcase,
     "nde_wrapper_pass": nde_wrapper_pass,
     "nde_quarantine_counts": nde_quarantine_counts,
+    "nde_record_normalize": nde_record_normalize,
     "setops_union_by_name": setops_union_by_name,
 }
