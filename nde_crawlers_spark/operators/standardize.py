@@ -1,0 +1,119 @@
+"""Entity standardization + host/infectiousAgent reclassification.
+
+The hardest, most-used uploader stage (51 uploaders): PubTator-style
+standardization re-labels each species/infectiousAgent entry through a
+lookup (name -> standardized name, identifier, classification) and MOVES
+misclassified entries between the two fields
+(biothings-hub/files/nde-hub/utils/pubtator.py:839-927 process_document):
+
+1. species + infectiousAgent entries are processed as ONE combined list
+   (order: species first, then agents — pubtator.py:862),
+2. each entry is standardized via the lookup; entries the lookup does
+   not know pass through unchanged and default to the species side
+   (process_section leaves them without a classification),
+3. the combined list is re-split by classification — this is what moves
+   a virus mislabeled as species into infectiousAgent, and a host
+   mislabeled as agent back into species,
+4. species entries whose (standardized or original) name matches any
+   converted agent's names are dropped (pubtator.py:884-904),
+5. each side is deduplicated by identifier keeping the FIRST occurrence
+   in combined order (pubtator.py:865-875).
+
+Spark shape: one posexplode per side -> ONE broadcast join against the
+lookup (it is the reference's in-memory dict, megabytes at most) -> an
+anti-join for the converted-name filter -> a keep-first window -> one
+regroup. Everything shuffles on doc id only; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# lookup schema: name_lc, std_name, std_identifier, classification
+#   classification in ('host', 'infectiousAgent')
+
+
+def reclassify_species(
+    docs: DataFrame,
+    lookup: DataFrame,
+    species_col: str = "species",
+    agent_col: str = "infectiousAgent",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (id, species: array<struct<name,identifier>>, infectiousAgent:
+    array<struct<name,identifier>>) after standardization, reclassification,
+    converted-name filtering, and keep-first identifier dedup. Entry
+    order within each output array is combined-list order."""
+    def side(col: str, tag: int) -> DataFrame:
+        return (
+            docs.select(F.col(id_col), F.posexplode_outer(col).alias("pos", "e"))
+            .filter(F.col("e").isNotNull())
+            .select(
+                id_col,
+                (F.lit(tag * 100000) + F.col("pos")).alias("pos"),
+                F.col("e.name").alias("orig_name"),
+                F.col("e.identifier").alias("orig_ident"),
+            )
+        )
+
+    comb = side(species_col, 0).unionByName(side(agent_col, 1))
+    lk = F.broadcast(lookup.select("name_lc", "std_name", "std_identifier", "classification"))
+    std = (
+        comb.join(lk, F.lower(F.trim(F.col("orig_name"))) == F.col("name_lc"), "left")
+        .select(
+            id_col, "pos", "orig_name",
+            F.coalesce(F.col("std_name"), F.col("orig_name")).alias("name"),
+            F.coalesce(F.col("std_identifier"), F.col("orig_ident")).alias("identifier"),
+            # unmatched entries carry no classification -> species side,
+            # mirroring process_section's pass-through
+            F.coalesce(F.col("classification"), F.lit("host")).alias("classification"),
+        )
+    )
+    agents = std.filter(F.col("classification") == "infectiousAgent")
+    species = std.filter(F.col("classification") != "infectiousAgent")
+    converted = (
+        agents.select(
+            id_col,
+            F.explode(
+                F.array(F.lower(F.trim("orig_name")), F.lower(F.trim("name")))
+            ).alias("__cname"),
+        )
+        .distinct()
+    )
+    species = species.withColumn("__cname", F.lower(F.trim("name"))).join(
+        converted, [id_col, "__cname"], "left_anti"
+    ).drop("__cname")
+
+    def dedup_first(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(id_col, "identifier").orderBy("pos")
+        return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+    def regroup(df: DataFrame, out: str) -> DataFrame:
+        return (
+            dedup_first(df)
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "name", "identifier"))
+                    ),
+                    lambda s: F.struct(
+                        s.getField("name").alias("name"),
+                        s.getField("identifier").alias("identifier"),
+                    ),
+                ).alias(out)
+            )
+        )
+
+    empty = "array<struct<name:string,identifier:string>>"
+    ids = docs.select(id_col)
+    return (
+        ids.join(regroup(species, species_col), id_col, "left")
+        .join(regroup(agents, agent_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(species_col), F.array().cast(empty)).alias(species_col),
+            F.coalesce(F.col(agent_col), F.array().cast(empty)).alias(agent_col),
+        )
+    )

@@ -518,6 +518,115 @@ SELECT doc_id,
 FROM j GROUP BY doc_id
 """
 
+# mirror of queries.enrich_reclassify: per-entry standardization computed
+# inline (the Spark side does the real broadcast lookup join; the lookup
+# is itself a pure function of n, so the oracle folds it)
+ORACLES["enrich_reclassify"] = """
+WITH entries AS (
+  SELECT doc_id, 0 AS pos, CAST(doc_id % 30 AS INTEGER) AS n, 'o' AS kind FROM documents
+  UNION ALL
+  SELECT doc_id, 1, CAST((doc_id * 7) % 30 AS INTEGER), 'o' FROM documents
+  UNION ALL
+  SELECT doc_id, 2, CAST((doc_id * 11) % 30 AS INTEGER), 't' FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 100000, CAST((doc_id * 11) % 30 AS INTEGER), 'o' FROM documents
+),
+std AS (
+  SELECT doc_id, pos,
+    CASE WHEN kind = 'o' THEN 'organism-' || CAST(n AS VARCHAR)
+         ELSE 'taxon-' || CAST(n AS VARCHAR) END AS orig_name,
+    CASE WHEN kind = 'o' AND n < 24 THEN 'taxon-' || CAST(n AS VARCHAR)
+         WHEN kind = 'o' THEN 'organism-' || CAST(n AS VARCHAR)
+         ELSE 'taxon-' || CAST(n AS VARCHAR) END AS name,
+    CASE WHEN kind = 'o' AND n < 24 THEN 'tax:' || CAST(2000 + n AS VARCHAR)
+         WHEN kind = 'o' THEN 'tax:' || CAST(1000 + n AS VARCHAR)
+         ELSE 'tax:' || CAST(3000 + n AS VARCHAR) END AS identifier,
+    CASE WHEN kind = 'o' AND n < 24 AND n % 3 = 0 THEN 'infectiousAgent'
+         ELSE 'host' END AS classification
+  FROM entries
+),
+conv AS (
+  SELECT DISTINCT doc_id, unnest([orig_name, name]) AS cname
+  FROM std WHERE classification = 'infectiousAgent'
+),
+sp AS (
+  SELECT s.* FROM std s
+  WHERE s.classification != 'infectiousAgent'
+    AND NOT EXISTS (SELECT 1 FROM conv c WHERE c.doc_id = s.doc_id AND c.cname = s.name)
+),
+ag AS (SELECT * FROM std WHERE classification = 'infectiousAgent'),
+spd AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, identifier ORDER BY pos) AS rn FROM sp
+) WHERE rn = 1),
+agd AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, identifier ORDER BY pos) AS rn FROM ag
+) WHERE rn = 1),
+spg AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_species,
+         string_agg(name || '|' || identifier, ',' ORDER BY pos) AS species_csv
+  FROM spd GROUP BY doc_id
+),
+agg_ AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_agents,
+         string_agg(name || '|' || identifier, ',' ORDER BY pos) AS agents_csv
+  FROM agd GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(spg.n_species, 0) AS n_species,
+       coalesce(spg.species_csv, '') AS species_csv,
+       coalesce(agg_.n_agents, 0) AS n_agents,
+       coalesce(agg_.agents_csv, '') AS agents_csv
+FROM documents d LEFT JOIN spg ON d.doc_id = spg.doc_id
+LEFT JOIN agg_ ON d.doc_id = agg_.doc_id
+"""
+
+# mirror of queries.enrich_lineage_expand: recursive-CTE ancestor closure
+# over the same deterministic taxonomy (parent(t) = max(t/7, 1), root 1)
+ORACLES["enrich_lineage_expand"] = """
+WITH RECURSIVE tax AS (
+  SELECT CAST(t AS INTEGER) AS taxon,
+         CASE WHEN t = 1 THEN NULL ELSE CAST(greatest(t // 7, 1) AS INTEGER) END AS parent
+  FROM range(1, 201) r(t)
+),
+anc AS (
+  SELECT taxon, taxon AS member FROM tax
+  UNION
+  SELECT a.taxon, x.parent AS member
+  FROM anc a JOIN tax x ON a.member = x.taxon
+  WHERE x.parent IS NOT NULL AND x.parent != a.member
+),
+d AS (
+  SELECT doc_id,
+         list_distinct([CAST(1 + doc_id % 200 AS INTEGER),
+                        CAST(1 + (doc_id * 3) % 200 AS INTEGER)]) AS tids
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(tids) AS taxon FROM d),
+hits AS (SELECT DISTINCT e.doc_id, a.member FROM ex e JOIN anc a USING (taxon)),
+entries AS (SELECT h.doc_id, h.member, t2.parent FROM hits h JOIN tax t2 ON h.member = t2.taxon),
+lin AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lineage,
+         string_agg(CAST(member AS VARCHAR) || '>' || CAST(coalesce(parent, 0) AS VARCHAR),
+                    ',' ORDER BY member) AS lineage_csv
+  FROM entries GROUP BY doc_id
+),
+implied AS (
+  SELECT DISTINCT e.doc_id, a.member AS tid
+  FROM ex e JOIN anc a USING (taxon) WHERE a.member != a.taxon
+),
+kept AS (
+  SELECT e.doc_id, e.taxon AS tid FROM ex e
+  WHERE NOT EXISTS (SELECT 1 FROM implied i WHERE i.doc_id = e.doc_id AND i.tid = e.taxon)
+),
+k AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+         string_agg(CAST(tid AS VARCHAR), ',' ORDER BY tid) AS kept_csv
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lineage, l.lineage_csv, k.n_kept, k.kept_csv
+FROM lin l JOIN k USING (doc_id)
+"""
+
 ORACLES["enrich_theta_contains"] = """
 WITH pats AS (SELECT DISTINCT lower(p_type) AS pattern FROM part)
 SELECT p.p_partkey, pats.pattern

@@ -377,6 +377,107 @@ def enrich_explode_collect(spark, sf_dir):
     )
 
 
+def enrich_lineage_expand(spark, sf_dir):
+    """J7's real payload (utils/lineage.py:140-307 + extract.py:332-360):
+    a deterministic taxonomy tree (parent(t) = max(t/7, 1), root 1),
+    closure computed by iterating the SMALL taxonomy table only, then one
+    broadcast join expands each doc's taxids into sorted-distinct
+    ``_meta.lineage`` entries; ancestor-removal drops taxids that are
+    proper ancestors of another taxid in the same doc."""
+    from .operators import lineage as LN
+
+    tax = spark.range(1, 201).select(
+        F.col("id").cast("int").alias("taxon"),
+        F.when(F.col("id") == 1, F.lit(None))
+        .otherwise(F.greatest(F.floor(F.col("id") / 7), F.lit(1)))
+        .cast("int")
+        .alias("parent_taxon"),
+    )
+    closure = LN.taxonomy_closure(tax)
+    did = F.col("doc_id")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.array(
+                (1 + did % 200).cast("int"), (1 + (did * 3) % 200).cast("int")
+            )
+        ).alias("taxids"),
+    )
+    lin = LN.expand_lineage(d, closure)
+    kept = LN.ancestor_removal(d, closure)
+    return lin.join(kept, "doc_id").select(
+        "doc_id",
+        F.size("_meta_lineage").alias("n_lineage"),
+        F.array_join(
+            F.transform(
+                "_meta_lineage",
+                lambda e: F.concat(
+                    e.getField("taxon").cast("string"), F.lit(">"),
+                    F.coalesce(e.getField("parent_taxon"), F.lit(0)).cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("lineage_csv"),
+        F.size("kept_taxids").alias("n_kept"),
+        F.array_join(
+            F.transform("kept_taxids", lambda x: x.cast("string")), ","
+        ).alias("kept_csv"),
+    )
+
+
+def enrich_reclassify(spark, sf_dir):
+    """J4's real payload (utils/pubtator.py:839-927): species +
+    infectiousAgent entries standardized through a broadcast lookup,
+    re-split by classification (moving misclassified entries between the
+    two fields), converted-name species filtered out, keep-first
+    identifier dedup. The fixture exercises every branch: matched host,
+    matched agent (moves out of species), unmatched pass-through, a raw
+    species entry named like an agent's standardized name (dropped by
+    the converted-name filter), and identifier collisions (deduped)."""
+    from .operators import standardize as SD
+
+    did = F.col("doc_id")
+    n1, n2, n3 = did % 30, (did * 7) % 30, (did * 11) % 30
+
+    def ent(n, base):
+        return F.struct(
+            F.concat(F.lit("organism-"), n.cast("string")).alias("name"),
+            F.concat(F.lit("tax:"), (base + n).cast("string")).alias("identifier"),
+        )
+
+    s3 = F.struct(
+        F.concat(F.lit("taxon-"), n3.cast("string")).alias("name"),
+        F.concat(F.lit("tax:"), (3000 + n3).cast("string")).alias("identifier"),
+    )
+    empty = "array<struct<name:string,identifier:string>>"
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.array(ent(n1, 1000), ent(n2, 1000)),
+            F.when(did % 4 == 0, F.array(s3)).otherwise(F.array().cast(empty)),
+        ).alias("species"),
+        F.array(ent(n3, 1000)).alias("infectiousAgent"),
+    )
+    lookup = spark.range(0, 24).select(
+        F.concat(F.lit("organism-"), F.col("id").cast("string")).alias("name_lc"),
+        F.concat(F.lit("taxon-"), F.col("id").cast("string")).alias("std_name"),
+        F.concat(F.lit("tax:"), (2000 + F.col("id")).cast("string")).alias("std_identifier"),
+        F.when(F.col("id") % 3 == 0, F.lit("infectiousAgent")).otherwise(F.lit("host")).alias("classification"),
+    )
+    out = SD.reclassify_species(docs, lookup)
+    render = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: F.concat(x.getField("name"), F.lit("|"), x.getField("identifier"))),
+        ",",
+    )
+    return out.select(
+        "doc_id",
+        F.size("species").alias("n_species"),
+        render("species").alias("species_csv"),
+        F.size("infectiousAgent").alias("n_agents"),
+        render("infectiousAgent").alias("agents_csv"),
+    )
+
+
 def enrich_theta_contains(spark, sf_dir):
     part = t(spark, sf_dir, "part")
     patterns = part.select(F.lower(F.col("p_type")).alias("pattern")).distinct()
@@ -813,6 +914,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_cache_miss": enrich_cache_miss,
     "enrich_explode_collect": enrich_explode_collect,
     "enrich_theta_contains": enrich_theta_contains,
+    "enrich_lineage_expand": enrich_lineage_expand,
+    "enrich_reclassify": enrich_reclassify,
     "tpch_q1": tpch_q1,
     "tpch_q3_top10": tpch_q3_top10,
     "tpch_q5ish": tpch_q5ish,
