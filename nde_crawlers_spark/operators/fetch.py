@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.synthetic import synth_fetch
-from .parse import parse_body
+from .parse import parse_record
 
 FETCH_SCHEMA = T.StructType(
     [
@@ -88,6 +88,24 @@ FUSED_SCHEMA = T.StructType(
             ])),
         ),
         T.StructField("outlinks", T.ArrayType(T.StringType())),
+        # 1->N fan-out: extra documents emitted by the same fetched record
+        # (SRA study -> dataset + N samples). Dataset spans stay in
+        # `spans`; each subdoc is (role, its own span sequence).
+        T.StructField(
+            "subdocs",
+            T.ArrayType(T.StructType([
+                T.StructField("role", T.StringType()),
+                T.StructField(
+                    "spans",
+                    T.ArrayType(T.StructType([
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ])),
+                ),
+            ])),
+        ),
     ]
 )
 
@@ -158,18 +176,33 @@ def fetch_parse(
             span_offsets = [0]
             flat_links: list[str] = []
             link_offsets = [0]
+            # subdoc fan-out: flat span arrays + two offset levels
+            # (spans-per-subdoc, subdocs-per-url)
+            sub_role: list[str] = []
+            ss_kind: list[str] = []
+            ss_text: list[str] = []
+            ss_media: list[str] = []
+            ss_off: list[int] = []
+            sspan_offsets = [0]
+            subdoc_offsets = [0]
             for u in canon:
                 f = synth_fetch(u, num_hosts, max_attempts)
                 statuses.append(f["status"])
                 attempts.append(f["attempts"])
                 nbytes.append(f["bytes"])
                 if f["status"] == 200:
-                    spans, links = parse_body(f["kind"], f["body"])
-                    for k, t, m, o in spans:
+                    docs, links = parse_record(f["kind"], f["body"])
+                    for k, t, m, o in docs[0][1]:
                         s_kind.append(k); s_text.append(t); s_media.append(m); s_off.append(o)
+                    for role, sspans in docs[1:]:
+                        sub_role.append(role)
+                        for k, t, m, o in sspans:
+                            ss_kind.append(k); ss_text.append(t); ss_media.append(m); ss_off.append(o)
+                        sspan_offsets.append(len(ss_kind))
                     flat_links.extend(links)
                 span_offsets.append(len(s_kind))
                 link_offsets.append(len(flat_links))
+                subdoc_offsets.append(len(sub_role))
             wall = int((time.monotonic() - t0) * 1000)
             n = len(canon)
             struct = pa.StructArray.from_arrays(
@@ -181,6 +214,18 @@ def fetch_parse(
             links_arr = pa.ListArray.from_arrays(
                 pa.array(link_offsets, pa.int32()), pa.array(flat_links, pa.string())
             )
+            ss_struct = pa.StructArray.from_arrays(
+                [pa.array(ss_kind, pa.string()), pa.array(ss_text, pa.string()),
+                 pa.array(ss_media, pa.string()), pa.array(ss_off, pa.int32())],
+                names=[f[0] for f in SPAN_FIELDS],
+            )
+            ss_spans = pa.ListArray.from_arrays(pa.array(sspan_offsets, pa.int32()), ss_struct)
+            subdoc_struct = pa.StructArray.from_arrays(
+                [pa.array(sub_role, pa.string()), ss_spans], names=["role", "spans"]
+            )
+            subdocs_arr = pa.ListArray.from_arrays(
+                pa.array(subdoc_offsets, pa.int32()), subdoc_struct
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column("url_hash"), b.column("canonical_url"), b.column("host"),
@@ -188,7 +233,7 @@ def fetch_parse(
                     pa.array(statuses, pa.int32()), pa.array(attempts, pa.int32()),
                     pa.array(nbytes, pa.int64()),
                     pa.array([wall] * n, pa.int64()),
-                    spans_arr, links_arr,
+                    spans_arr, links_arr, subdocs_arr,
                 ],
                 names=[f.name for f in FUSED_SCHEMA.fields],
             )

@@ -63,6 +63,7 @@ _HTML_RX = {
     "kw": re.compile(r'<meta name="keywords" content="(.*?)"/>'),
     "media": re.compile(r'<img src="(.*?)"/>'),
     "link": re.compile(r'<a href="(.*?)">'),
+    "sample": re.compile(r'<div class="sample"><b class="st">(.*?)</b><i class="sd">(.*?)</i></div>', re.S),
 }
 _XML_RX = {
     "title": re.compile(r"<title>(.*?)</title>", re.S),
@@ -72,11 +73,19 @@ _XML_RX = {
     "kw": re.compile(r"<subject>(.*?)</subject>"),
     "media": re.compile(r"<contentUrl>(.*?)</contentUrl>"),
     "link": re.compile(r"<relatedIdentifier>(.*?)</relatedIdentifier>"),
+    "sample": re.compile(r"<sample><sampleTitle>(.*?)</sampleTitle><sampleDesc>(.*?)</sampleDesc></sample>", re.S),
 }
 
 
-def parse_body(kind: str, body: str) -> tuple[list[tuple], list[str]]:
-    """-> (spans, outlinks); spans are (kind, text, media_ref, offset)."""
+def parse_record(kind: str, body: str) -> tuple[list[tuple[str, list[tuple]]], list[str]]:
+    """-> (docs, outlinks): the 1->N document fan-out parse. One fetched
+    record emits the dataset doc (role '') plus one doc per embedded
+    sample (role 's0', 's1', ... — the SRA study -> dataset + samples
+    shape, ncbi_sra/files/ncbi_sra.py:381+ and
+    vdj/files/dataset_parser.py). Each doc is (role, spans); spans are
+    (kind, text, media_ref, offset). Sample docs carry title +
+    description spans in canonical order."""
+    samples: list[tuple[str, str]]
     if kind == "soft":
         # line-oriented `!Key = value` fold into dict-of-scalar-or-list
         # (SOFT flat-file parse, ncbi_geo/parser.py:30-53 analog)
@@ -92,8 +101,8 @@ def parse_body(kind: str, body: str) -> tuple[list[tuple], list[str]]:
         kws = acc.get("Series_keyword", [])
         media = acc.get("Series_supplementary_file", [])
         links = acc.get("Series_relation", [])
-        return _assemble(title, desc, author, date, kws, media), list(links)
-    if kind == "json":
+        samples = list(zip(acc.get("Sample_title", []), acc.get("Sample_summary", [])))
+    elif kind == "json":
         rec = json.loads(body)
         title = rec.get("name", "")
         desc = rec.get("description", "")
@@ -102,6 +111,9 @@ def parse_body(kind: str, body: str) -> tuple[list[tuple], list[str]]:
         kws = rec.get("keywords", [])
         media = [d.get("contentUrl", "") for d in rec.get("distribution", [])]
         links = rec.get("links", [])
+        samples = [
+            (s.get("title", ""), s.get("description", "")) for s in rec.get("samples", [])
+        ]
     else:
         rx = _HTML_RX if kind == "html" else _XML_RX
         def one(k: str) -> str:
@@ -111,8 +123,22 @@ def parse_body(kind: str, body: str) -> tuple[list[tuple], list[str]]:
         kws = rx["kw"].findall(body)
         media = rx["media"].findall(body)
         links = rx["link"].findall(body)
+        samples = rx["sample"].findall(body)
 
-    return _assemble(title, desc, author, date, kws, media), list(links)
+    docs: list[tuple[str, list[tuple]]] = [("", _assemble(title, desc, author, date, kws, media))]
+    for j, (st, sd) in enumerate(samples):
+        docs.append((f"s{j}", [
+            ("title", st, "", 0),
+            ("description", sd, "", len(st) + 1),
+        ]))
+    return docs, list(links)
+
+
+def parse_body(kind: str, body: str) -> tuple[list[tuple], list[str]]:
+    """Dataset-doc-only view of ``parse_record``:
+    -> (spans, outlinks); spans are (kind, text, media_ref, offset)."""
+    docs, links = parse_record(kind, body)
+    return docs[0][1], links
 
 
 def _assemble(

@@ -183,11 +183,21 @@ class CrawlRun:
         # fused fetch+parse: bodies never cross the JVM<->Python boundary
         fetched = fetch_parse(selected, cfg.num_hosts, cfg.max_attempts).cache()
 
-        documents = (
-            fetched.filter(F.col("status") == 200)
-            .select(F.col("url_hash").alias("doc_id"), F.col("canonical_url"), F.col("spans"))
-            .withColumn("round", F.lit(r))
+        # 1->N fan-out: the dataset doc (doc_id = url_hash) plus one doc
+        # per embedded sample (doc_id = url_hash#role) — the SRA
+        # study -> dataset + samples shape (ncbi_sra.py:381+)
+        ok = fetched.filter(F.col("status") == 200)
+        dataset_docs = ok.select(
+            F.col("url_hash").alias("doc_id"), F.col("canonical_url"), F.col("spans")
         )
+        sample_docs = ok.select(
+            "url_hash", "canonical_url", F.explode("subdocs").alias("sd")
+        ).select(
+            F.concat(F.col("url_hash"), F.lit("#"), F.col("sd.role")).alias("doc_id"),
+            F.col("canonical_url"),
+            F.col("sd.spans").alias("spans"),
+        )
+        documents = dataset_docs.unionByName(sample_docs).withColumn("round", F.lit(r))
 
         outlinks = (
             fetched.select(F.explode("outlinks").alias("url"))

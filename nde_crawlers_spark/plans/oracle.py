@@ -20,7 +20,7 @@ import hashlib
 import re
 from dataclasses import dataclass, field
 
-from ..operators.parse import parse_body
+from ..operators.parse import parse_record
 from ..sources.synthetic import robots_rules, synth_fetch
 
 
@@ -139,8 +139,10 @@ def crawl_oracle(
             if f["status"] != 200:
                 res.failures.append((r, h, f["status"]))
                 continue
-            spans, links = parse_body(f["kind"], f["body"])
-            res.documents[h] = spans
+            docs, links = parse_record(f["kind"], f["body"])
+            for role, spans in docs:
+                key = h if role == "" else f"{h}#{role}"
+                res.documents[key] = spans
             n_docs += 1
             next_candidates.extend((u, discovered_priority) for u in links)
 

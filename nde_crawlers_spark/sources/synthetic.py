@@ -143,6 +143,16 @@ def synth_body(canonical_url: str, num_hosts: int) -> dict:
     keywords = [_words_for(f"kw{j}:{k}", 1) for j in range(1 + d[3] % 4)]
     author = f"author-{d[4] % 50:03d}"
     date = f"202{d[5] % 5}-{1 + d[6] % 12:02d}-{1 + d[7] % 28:02d}"
+    # 0-2 embedded samples: the SRA study -> dataset + N sample-docs
+    # fan-out shape (ncbi_sra/files/ncbi_sra.py:381+, one fetched record
+    # emits several documents)
+    samples = [
+        {
+            "title": _words_for(f"stitle{j}:{k}", 3),
+            "description": _words_for(f"sdesc{j}:{k}", 8),
+        }
+        for j in range(d[12] % 3)
+    ]
     n_media = d[8] % 3
     media = [
         f"https://media-{d[9 + j] % 20:02d}.example.org/files/{int.from_bytes(d[j:j+4], 'big') % 10**6}.{MEDIA_EXT[d[10 + j] % len(MEDIA_EXT)]}"
@@ -169,6 +179,7 @@ def synth_body(canonical_url: str, num_hosts: int) -> dict:
         "date": date,
         "media": media,
         "outlinks": outlinks,
+        "samples": samples,
     }
 
 
@@ -176,25 +187,36 @@ def render_body(page: dict) -> str:
     """Serialize the logical page into its wire format (the fetch payload
     that parse() must re-extract — html/xml/json per parser family)."""
     kind = page["kind"]
+    samples = page.get("samples", [])
     if kind == "html":
         kws = "".join(f'<meta name="keywords" content="{w}"/>' for w in page["keywords"])
         media = "".join(f'<img src="{m}"/>' for m in page["media"])
         links = "".join(f'<a href="{u}">link</a>' for u in page["outlinks"])
+        smp = "".join(
+            f'<div class="sample"><b class="st">{s["title"]}</b>'
+            f'<i class="sd">{s["description"]}</i></div>'
+            for s in samples
+        )
         return (
             f"<html><head><title>{page['title']}</title>{kws}</head>"
             f"<body><p class=\"desc\">{page['description']}</p>"
             f"<span class=\"author\">{page['author']}</span>"
-            f"<time>{page['date']}</time>{media}{links}</body></html>"
+            f"<time>{page['date']}</time>{media}{links}{smp}</body></html>"
         )
     if kind == "xml":
         kws = "".join(f"<subject>{w}</subject>" for w in page["keywords"])
         media = "".join(f"<contentUrl>{m}</contentUrl>" for m in page["media"])
         links = "".join(f"<relatedIdentifier>{u}</relatedIdentifier>" for u in page["outlinks"])
+        smp = "".join(
+            f"<sample><sampleTitle>{s['title']}</sampleTitle>"
+            f"<sampleDesc>{s['description']}</sampleDesc></sample>"
+            for s in samples
+        )
         return (
             f"<resource><titles><title>{page['title']}</title></titles>"
             f"<descriptions><description>{page['description']}</description></descriptions>"
             f"<creators><creatorName>{page['author']}</creatorName></creators>"
-            f"<dates><date>{page['date']}</date></dates>{kws}{media}{links}</resource>"
+            f"<dates><date>{page['date']}</date></dates>{kws}{media}{links}{smp}</resource>"
         )
     if kind == "json":
         import json
@@ -208,6 +230,9 @@ def render_body(page: dict) -> str:
                 "datePublished": page["date"],
                 "distribution": [{"contentUrl": m} for m in page["media"]],
                 "links": page["outlinks"],
+                "samples": [
+                    {"title": s["title"], "description": s["description"]} for s in samples
+                ],
             },
             sort_keys=True,
         )
@@ -223,6 +248,11 @@ def render_body(page: dict) -> str:
     lines += [f"!Series_keyword = {w}" for w in page["keywords"]]
     lines += [f"!Series_supplementary_file = {m}" for m in page["media"]]
     lines += [f"!Series_relation = {u}" for u in page["outlinks"]]
+    for s in samples:
+        lines += [
+            f"!Sample_title = {s['title']}",
+            f"!Sample_summary = {s['description']}",
+        ]
     return "\n".join(lines)
 
 

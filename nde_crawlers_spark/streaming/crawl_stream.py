@@ -117,8 +117,15 @@ class StreamingCrawl:
             fetchable, self.seen(before_batch=batch_id)
         ).cache()
         fetched = fetch_parse(unseen, self.num_hosts, colocate=True)
-        docs = fetched.filter(F.col("status") == 200).select(
+        ok = fetched.filter(F.col("status") == 200)
+        docs = ok.select(
             F.col("url_hash").alias("doc_id"), "canonical_url", "spans"
+        ).unionByName(
+            ok.select("url_hash", "canonical_url", F.explode("subdocs").alias("sd")).select(
+                F.concat(F.col("url_hash"), F.lit("#"), F.col("sd.role")).alias("doc_id"),
+                F.col("canonical_url"),
+                F.col("sd.spans").alias("spans"),
+            )
         )
         docs.write.mode("overwrite").parquet(self._dir(f"documents/batch={batch_id:06d}"))
         unseen.select("url_hash").write.mode("overwrite").parquet(

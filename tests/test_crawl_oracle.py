@@ -61,6 +61,13 @@ def test_crawl_matches_oracle(spark, oracle):
     )
     run.run(seeds=_seed_df(spark))
     _check_against_oracle(run, oracle)
+    # 1->N fan-out actually exercised: some fetched records emit sample
+    # docs (doc_id = url_hash#sK) alongside their dataset doc, and every
+    # sample doc's parent dataset doc exists
+    _, _, docs = _invariants(run)
+    sample_ids = [d for d in docs if "#s" in d]
+    assert len(sample_ids) > 0
+    assert all(d.split("#")[0] in docs for d in sample_ids)
 
 
 def test_crawl_resume_replays_exactly(spark, oracle):
