@@ -59,6 +59,7 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("body", T.StringType()),
         T.StructField("bytes", T.LongType()),
         T.StructField("fetch_wall_ms", T.LongType()),
+        T.StructField("retry_after_s", T.IntegerType()),
     ]
 )
 
@@ -78,6 +79,9 @@ FUSED_SCHEMA = T.StructType(
         T.StructField("attempts", T.IntegerType()),
         T.StructField("bytes", T.LongType()),
         T.StructField("fetch_wall_ms", T.LongType()),
+        # Retry-After seconds from the final attempt (0 unless the fetch
+        # ended 429) — consumed by the next round's host budgets
+        T.StructField("retry_after_s", T.IntegerType()),
         T.StructField(
             "spans",
             T.ArrayType(T.StructType([
@@ -146,6 +150,7 @@ def fetch_selected(
             out["body"] = [r["body"] for r in recs]
             out["bytes"] = [r["bytes"] for r in recs]
             out["fetch_wall_ms"] = wall
+            out["retry_after_s"] = [r["retry_after_s"] for r in recs]
             yield out
 
     return _partition(selected, colocate, partitions).mapInPandas(
@@ -185,11 +190,13 @@ def fetch_parse(
             ss_off: list[int] = []
             sspan_offsets = [0]
             subdoc_offsets = [0]
+            retry_afters: list[int] = []
             for u in canon:
                 f = synth_fetch(u, num_hosts, max_attempts)
                 statuses.append(f["status"])
                 attempts.append(f["attempts"])
                 nbytes.append(f["bytes"])
+                retry_afters.append(f["retry_after_s"])
                 if f["status"] == 200:
                     docs, links = parse_record(f["kind"], f["body"])
                     for k, t, m, o in docs[0][1]:
@@ -233,6 +240,7 @@ def fetch_parse(
                     pa.array(statuses, pa.int32()), pa.array(attempts, pa.int32()),
                     pa.array(nbytes, pa.int64()),
                     pa.array([wall] * n, pa.int64()),
+                    pa.array(retry_afters, pa.int32()),
                     spans_arr, links_arr, subdocs_arr,
                 ],
                 names=[f.name for f in FUSED_SCHEMA.fields],

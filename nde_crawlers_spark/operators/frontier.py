@@ -48,16 +48,37 @@ def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def with_host_budget(
-    candidates: DataFrame, robots: DataFrame, round_seconds: int = 30
+    candidates: DataFrame,
+    robots: DataFrame,
+    round_seconds: int = 30,
+    host_state: DataFrame | None = None,
+    current_round: int = 0,
 ) -> DataFrame:
     """Attach per-host round budget k = round_ms / crawl_delay_ms (min 1);
-    hosts missing from robots get the 500 ms reference default."""
+    hosts missing from robots get the 500 ms reference default.
+
+    ``host_state`` (host, next_allowed_round) closes the Retry-After
+    feedback loop (dataverse/files/dataverse.py:20-52): a host whose last
+    round ended in a 429 carries a cooldown — its budget is 0 until
+    ``current_round`` reaches next_allowed_round, so its frontier rows
+    stay queued instead of hammering the host again."""
     r = F.broadcast(robots.select("host", "crawl_delay_ms"))
     out = candidates.join(r, on="host", how="left")
     delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(500))
     budget = F.when(delay <= 0, F.lit(round_seconds * 1000)).otherwise(
         F.greatest(F.floor(F.lit(round_seconds * 1000) / delay), F.lit(1))
     )
+    if host_state is not None and "next_allowed_round" in host_state.columns:
+        hs = F.broadcast(host_state.select("host", "next_allowed_round"))
+        out = out.join(hs, on="host", how="left")
+        budget = F.when(
+            F.coalesce(F.col("next_allowed_round"), F.lit(0)) > F.lit(current_round),
+            F.lit(0),
+        ).otherwise(budget)
+        out = out.withColumn("host_budget", budget.cast("int")).drop(
+            "crawl_delay_ms", "next_allowed_round"
+        )
+        return out
     return out.withColumn("host_budget", budget.cast("int")).drop("crawl_delay_ms")
 
 

@@ -224,6 +224,17 @@ FROM frontier f JOIN robots r USING (host)
 GROUP BY f.host, r.crawl_delay_ms
 """
 
+_RA_COOLDOWN = "(" + HEXPOS.format(h="md5('ra:' || host)", i=1) + ") < 4"
+ORACLES["crawl_retry_after_budget"] = f"""
+WITH {FRONTIER_CTE}, {ROBOTS_CTE}
+SELECT f.host,
+       CAST(CASE WHEN {_RA_COOLDOWN.replace('host', 'f.host')} THEN 0 ELSE {BUDGET_EXPR} END AS INTEGER) AS budget,
+       count(*) AS queued,
+       least(CAST(CASE WHEN {_RA_COOLDOWN.replace('host', 'f.host')} THEN 0 ELSE {BUDGET_EXPR} END AS BIGINT), count(*)) AS selected
+FROM frontier f JOIN robots r USING (host)
+GROUP BY f.host, r.crawl_delay_ms
+"""
+
 ORACLES["crawl_host_lineage"] = f"""
 WITH {FRONTIER_CTE}
 SELECT f.host_bucket, count(*) AS urls, count(DISTINCT f.host) AS hosts,

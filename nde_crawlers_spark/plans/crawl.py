@@ -177,7 +177,18 @@ class CrawlRun:
         allowed = FR.robots_filter(unseen, robots)
         frontier_all = frontier.unionByName(allowed.select(*FRONTIER_COLS)).cache()
 
-        budgeted = FR.with_host_budget(frontier_all, robots, cfg.round_seconds)
+        # Retry-After feedback: the prior round's host_state carries
+        # next_allowed_round for hosts that 429'd — their budget is 0
+        # until the cooldown passes (rows stay in the frontier)
+        prev_state = (
+            self._read(r - 1, "host_state")
+            if r > 0 and os.path.isdir(os.path.join(self._rdir(r - 1), "host_state"))
+            else self._empty_host_state()
+        )
+        budgeted = FR.with_host_budget(
+            frontier_all, robots, cfg.round_seconds,
+            host_state=prev_state, current_round=r,
+        )
         selected = FR.topk_per_host(budgeted, salt_factor=cfg.salt_factor).drop("host_budget").cache()
 
         # fused fetch+parse: bodies never cross the JVM<->Python boundary
@@ -209,16 +220,22 @@ class CrawlRun:
         ).select(*FRONTIER_COLS)
 
         # host_state (FIXTURES F6): cumulative per-host politeness ledger —
-        # fetch counts and the earliest next-allowed time implied by the
-        # budget actually spent this round
+        # fetch counts, bytes, and the Retry-After cooldown: a host whose
+        # round ended with a (retry-exhausted) 429 is barred for
+        # ceil(max_retry_after / round_seconds) rounds. READ back by
+        # with_host_budget at the top of the next round — the feedback
+        # loop the round-1 audit found missing.
         spent = fetched.groupBy("host").agg(
-            F.count("*").alias("fetched_round"), F.sum("bytes").alias("bytes_round")
+            F.count("*").alias("fetched_round"),
+            F.sum("bytes").alias("bytes_round"),
+            F.max(
+                F.when(F.col("status") == 429, F.col("retry_after_s")).otherwise(0)
+            ).alias("ra_s"),
         )
-        prev_state = (
-            self._read(r - 1, "host_state")
-            if r > 0 and os.path.isdir(os.path.join(self._rdir(r - 1), "host_state"))
-            else self.spark.createDataFrame([], "host string, fetched_total long, bytes_total long")
-        )
+        new_nar = F.when(
+            F.col("ra_s") > 0,
+            F.lit(r) + F.ceil(F.col("ra_s") / F.lit(float(cfg.round_seconds))),
+        ).otherwise(F.lit(None))
         host_state = (
             prev_state.join(spent, "host", "full")
             .select(
@@ -227,6 +244,10 @@ class CrawlRun:
                  + F.coalesce(F.col("fetched_round"), F.lit(0))).alias("fetched_total"),
                 (F.coalesce(F.col("bytes_total"), F.lit(0))
                  + F.coalesce(F.col("bytes_round"), F.lit(0))).alias("bytes_total"),
+                F.greatest(
+                    F.coalesce(F.col("next_allowed_round"), F.lit(0)),
+                    F.coalesce(new_nar, F.lit(0)),
+                ).cast("int").alias("next_allowed_round"),
             )
         )
 
@@ -343,6 +364,11 @@ class CrawlRun:
 
     def _empty_robots(self) -> DataFrame:
         return self.spark.createDataFrame([], ROBOTS_SCHEMA)
+
+    def _empty_host_state(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "host string, fetched_total long, bytes_total long, next_allowed_round int"
+        )
 
     # ---------- driver ----------
     def run(self, seeds: DataFrame | None = None, resume: bool = False) -> list[dict]:

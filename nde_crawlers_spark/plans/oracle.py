@@ -90,6 +90,7 @@ def crawl_oracle(
     res = OracleResult()
     frontier: dict[str, tuple] = {}  # url_hash -> (priority, seq, canon, host)
     robots: dict[str, dict] = {}
+    cooldown: dict[str, int] = {}    # host -> next_allowed_round (Retry-After)
     candidates = [(s["url"], int(s["priority"])) for s in seeds]
 
     for r in range(max_rounds):
@@ -124,6 +125,8 @@ def crawl_oracle(
             per_host.setdefault(host, []).append((prio, seq, h, canon))
         selected: list[tuple] = []
         for host, items in per_host.items():
+            if cooldown.get(host, 0) > r:
+                continue  # Retry-After cooldown: budget 0 this round
             delay = robots[host]["crawl_delay_ms"]
             k = round_seconds * 1000 if delay <= 0 else max(round_seconds * 1000 // delay, 1)
             for prio, seq, h, canon in sorted(items)[:k]:
@@ -131,6 +134,7 @@ def crawl_oracle(
 
         # fetch + parse
         n_docs = 0
+        ra_by_host: dict[str, int] = {}
         next_candidates: list[tuple] = []
         for prio, seq, h, canon, host in sorted(selected):
             res.order.append((r, prio, seq, h))
@@ -138,6 +142,8 @@ def crawl_oracle(
             f = synth_fetch(canon, num_hosts, max_attempts)
             if f["status"] != 200:
                 res.failures.append((r, h, f["status"]))
+                if f["status"] == 429:
+                    ra_by_host[host] = max(ra_by_host.get(host, 0), f["retry_after_s"])
                 continue
             docs, links = parse_record(f["kind"], f["body"])
             for role, spans in docs:
@@ -145,6 +151,13 @@ def crawl_oracle(
                 res.documents[key] = spans
             n_docs += 1
             next_candidates.extend((u, discovered_priority) for u in links)
+
+        # Retry-After feedback: hosts that ended the round in a 429 are
+        # barred for ceil(ra / round_seconds) rounds (mirror of
+        # plans/crawl.py host_state.next_allowed_round)
+        for host, ra in ra_by_host.items():
+            nar = r + -(-ra // round_seconds)  # ceil
+            cooldown[host] = max(cooldown.get(host, 0), nar)
 
         res.rounds.append(
             {"round": r, "selected": len(selected), "documents": n_docs,

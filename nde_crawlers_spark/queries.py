@@ -142,6 +142,35 @@ def crawl_politeness_budget(spark, sf_dir):
     )
 
 
+def crawl_retry_after_budget(spark, sf_dir):
+    """The Retry-After feedback loop as an oracle-checked query
+    (dataverse/files/dataverse.py:20-52 -> plans/crawl.py host_state):
+    hosts flagged in cooldown (derived purely from the host hash, ~25%)
+    carry next_allowed_round=1 in host_state; at current_round=0 their
+    budget collapses to 0 while everyone else keeps the politeness
+    budget — their queued URLs stay in the frontier."""
+    fr = _frontier(spark, sf_dir)
+    robots = _derived_robots(fr)
+    rad = U.hex_digit(F.md5(F.concat(F.lit("ra:"), F.col("host"))), 1)
+    host_state = fr.select("host").distinct().select(
+        "host",
+        F.when(rad < 4, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("next_allowed_round"),
+    )
+    budgeted = FR.with_host_budget(
+        fr, robots, round_seconds=2, host_state=host_state, current_round=0
+    )
+    return (
+        budgeted.groupBy("host", "host_budget")
+        .agg(F.count("*").alias("queued"))
+        .select(
+            "host",
+            F.col("host_budget").cast("int").alias("budget"),
+            "queued",
+            F.least(F.col("host_budget").cast("long"), F.col("queued")).alias("selected"),
+        )
+    )
+
+
 def crawl_host_lineage(spark, sf_dir):
     fr = _frontier(spark, sf_dir)
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -892,6 +921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_robots_filter": crawl_robots_filter,
     "crawl_frontier_topk": crawl_frontier_topk,
     "crawl_politeness_budget": crawl_politeness_budget,
+    "crawl_retry_after_budget": crawl_retry_after_budget,
     "crawl_host_lineage": crawl_host_lineage,
     "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,

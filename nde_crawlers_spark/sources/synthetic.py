@@ -123,6 +123,14 @@ def synth_status(url: str, max_attempts: int = 3) -> tuple[int, int]:
     return status, max_attempts
 
 
+def retry_after_s(url: str) -> int:
+    """Deterministic Retry-After header value (2..8 s) a host sends with
+    a 429 — the dataverse cooldown analog (dataverse/files/dataverse.py:
+    20-52). Pure function of the URL so every engine sees the same
+    cooldown."""
+    return 2 + int(_frac("ra:" + url) * 7)
+
+
 def _words_for(key: str, n: int) -> str:
     d = _h(key)
     return " ".join(WORDS[d[i % 16] % len(WORDS)] for i in range(n))
@@ -266,6 +274,7 @@ def synth_fetch(canonical_url: str, num_hosts: int, max_attempts: int = 3) -> di
             "kind": "",
             "body": "",
             "bytes": 0,
+            "retry_after_s": retry_after_s(canonical_url) if status == 429 else 0,
         }
     page = synth_body(canonical_url, num_hosts)
     body = render_body(page)
@@ -275,4 +284,5 @@ def synth_fetch(canonical_url: str, num_hosts: int, max_attempts: int = 3) -> di
         "kind": page["kind"],
         "body": body,
         "bytes": len(body.encode("utf-8")),
+        "retry_after_s": 0,
     }

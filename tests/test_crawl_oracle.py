@@ -144,3 +144,34 @@ def test_crawl_order_independent_of_partitioning(spark, oracle):
         _check_against_oracle(run, oracle)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_retry_after_cooldown_matches_oracle(spark):
+    """Retry-After feedback actually exercised: max_attempts=1 on a
+    single-host frontier makes final-429s happen (verified below), the
+    429'd host is barred for ceil(ra/round_seconds) rounds on BOTH sides,
+    and ordering/seen still match exactly. Without the Spark-side
+    feedback loop the crawl order diverges here."""
+    seeds = [
+        {"url": f"https://host-0000.example.org/records/{i}", "priority": i % 10}
+        for i in range(200)
+    ]
+    oracle = crawl_oracle(seeds, 10, round_seconds=4, max_rounds=6, max_attempts=1)
+    f429 = [x for x in oracle.failures if x[2] == 429]
+    assert len(f429) > 0  # the scenario must actually hit the 429 path
+
+    run = CrawlRun(
+        spark, tempfile.mkdtemp(prefix="crawl_ra_"),
+        CrawlConfig(num_hosts=10, round_seconds=4, max_rounds=6, max_attempts=1),
+    )
+    run.run(seeds=spark.createDataFrame(
+        [(s["url"], s["priority"]) for s in seeds], ["url", "priority"]))
+    order = [
+        (r["round"], r["priority"], r["seq"], r["url_hash"])
+        for r in run.crawl_order().select("round", "priority", "seq", "url_hash").collect()
+    ]
+    assert order == sorted(oracle.order), "crawl ordering diverged under cooldown"
+    assert {r["url_hash"] for r in run.seen().collect()} == oracle.seen
+    # the ledger recorded the cooldown
+    hs = run.host_state()
+    assert hs.filter(hs.next_allowed_round > 0).count() > 0
