@@ -160,3 +160,102 @@ class IncrementalHarvest:
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
             os.path.join(self.state_dir, "data")
         )
+
+    # ---------------- OAI resumptionToken chains (S5) ----------------
+    # The reference walks each source's token chain strictly sequentially
+    # (figshare_oai-pmh/files/oai_helper.py:36-185: each response's
+    # resumptionToken feeds the next request). The Spark-first shape is
+    # BSP over chains: every live source advances exactly ONE page per
+    # round inside an Arrow batch stage — sequential within a source
+    # (the token data dependency), parallel across sources. Per-round
+    # token state commits atomically, so a killed walk resumes mid-chain
+    # with no duplicate records (page dirs are overwrite-idempotent).
+
+    def _oai_dir(self, *parts: str) -> str:
+        return os.path.join(self.state_dir, "oai", *parts)
+
+    def _oai_tokens_path(self, rnd: int) -> str:
+        return self._oai_dir(f"tokens_{rnd:04d}.json")
+
+    def _oai_committed_round(self) -> int:
+        rnd = -1
+        base = self._oai_dir()
+        if os.path.isdir(base):
+            for f in os.listdir(base):
+                if f.startswith("tokens_") and f.endswith(".json"):
+                    rnd = max(rnd, int(f[7:11]))
+        return rnd
+
+    def harvest_token_chains(
+        self,
+        sources: list[tuple[str, int]],
+        page_size: int = 25,
+        resume: bool = False,
+        fail_at_round: int | None = None,
+        max_rounds: int = 10_000,
+    ) -> int:
+        """Walk every source's resumptionToken chain to exhaustion.
+        ``sources`` = [(source_id, total_records)]. Returns rounds run.
+        ``fail_at_round`` injects a crash for the resume test."""
+        import pandas as pd
+
+        from ..sources.synthetic import oai_list_records
+
+        totals = dict(sources)
+        start = 0
+        if resume:
+            last = self._oai_committed_round()
+            if last >= 0:
+                with open(self._oai_tokens_path(last)) as f:
+                    chains = json.load(f)
+                start = last + 1
+            else:
+                chains = {s: None for s, _ in sources}
+        else:
+            chains = {s: None for s, _ in sources}
+
+        schema = "source_id string, rec_seq int, payload string, next_token string"
+
+        def _fetch(batches):
+            for pdf in batches:
+                rows = []
+                for sid, tok in zip(pdf["source_id"], pdf["token"]):
+                    recs, nxt = oai_list_records(sid, tok if tok else None, totals[sid], page_size)
+                    for s, i, p in recs:
+                        rows.append((s, i, p, nxt or ""))
+                    if not recs:
+                        rows.append((sid, -1, "", nxt or ""))
+                yield pd.DataFrame(rows, columns=["source_id", "rec_seq", "payload", "next_token"])
+
+        rnd = start
+        # live = sources whose chain has not terminated (token None means
+        # fresh start only on round 0 of that source)
+        live = {s: t for s, t in chains.items() if rnd == 0 or t}
+        while live and rnd < max_rounds:
+            if fail_at_round is not None and rnd == fail_at_round:
+                raise RuntimeError(f"injected failure before OAI round {rnd}")
+            frontier = self.spark.createDataFrame(
+                sorted((s, t or "") for s, t in live.items()), "source_id string, token string"
+            )
+            page = frontier.mapInPandas(_fetch, schema=schema)
+            out = page.filter(F.col("rec_seq") >= 0).withColumn("round", F.lit(rnd))
+            out.write.mode("overwrite").parquet(self._oai_dir("data", f"round={rnd:04d}"))
+            nxt_rows = (
+                page.select("source_id", "next_token").distinct().collect()
+            )
+            live = {
+                r["source_id"]: r["next_token"] for r in nxt_rows if r["next_token"]
+            }
+            tmp = self._oai_tokens_path(rnd) + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(live, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, self._oai_tokens_path(rnd))
+            rnd += 1
+        return rnd - start
+
+    def oai_records(self) -> DataFrame:
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self._oai_dir("data")
+        )

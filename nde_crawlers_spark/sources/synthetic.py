@@ -123,6 +123,23 @@ def synth_status(url: str, max_attempts: int = 3) -> tuple[int, int]:
     return status, max_attempts
 
 
+def oai_list_records(
+    source_id: str, token: str | None, total: int, page_size: int = 25
+) -> tuple[list[tuple[str, int, str]], str | None]:
+    """Pure-function OAI-PMH endpoint: ListRecords(source, resumptionToken)
+    -> (records, next_token). Token encodes the cursor, exactly like the
+    reference's sequential token walk (figshare_oai-pmh/files/
+    oai_helper.py:36-185); None terminates the chain. Records are
+    (source_id, rec_seq, payload)."""
+    start = 0 if token is None else int(token.rsplit("@", 1)[1])
+    end = min(start + page_size, total)
+    recs = [
+        (source_id, i, _words_for(f"oai:{source_id}:{i}", 6)) for i in range(start, end)
+    ]
+    nxt = f"{source_id}@{end}" if end < total else None
+    return recs, nxt
+
+
 def retry_after_s(url: str) -> int:
     """Deterministic Retry-After header value (2..8 s) a host sends with
     a 429 — the dataverse cooldown analog (dataverse/files/dataverse.py:

@@ -144,3 +144,39 @@ def test_ngram_jaccard_df_cap_bounds_candidates(spark):
     # the candidate set is quadratic (what the cap exists to prevent)
     uncapped = ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.0, max_shingle_df=None)
     assert uncapped.count() == 60 * 59 // 2
+
+
+def test_oai_token_chain_walk_and_resume(spark):
+    """S5: sequential resumptionToken chains per source, parallel across
+    sources, BSP one-page-per-round; a kill mid-walk resumes from the
+    last committed token state with no duplicate or missing records."""
+    import pytest as _pytest
+
+    from nde_crawlers_spark.plans.incremental import IncrementalHarvest
+
+    sources = [("srcA", 60), ("srcB", 25), ("srcC", 0), ("srcD", 101)]
+    expected = {(s, i) for s, n in sources for i in range(n)}
+
+    # uninterrupted walk
+    h1 = IncrementalHarvest(spark, tempfile.mkdtemp(prefix="oai1_"))
+    rounds = h1.harvest_token_chains(sources, page_size=25)
+    got = {(r["source_id"], r["rec_seq"]) for r in h1.oai_records().collect()}
+    assert got == expected
+    assert rounds == 5  # srcD needs ceil(101/25) = 5 pages
+    # chains advanced together: round 0 carries a page from every
+    # non-empty source, later rounds only the still-live ones
+    per_round = {
+        r["round"]: r["n"]
+        for r in h1.oai_records().groupBy("round").agg(F.countDistinct("source_id").alias("n")).collect()
+    }
+    assert per_round[0] == 3 and per_round[4] == 1
+
+    # killed at round 2, resumed: identical record set, no dupes
+    h2 = IncrementalHarvest(spark, tempfile.mkdtemp(prefix="oai2_"))
+    with _pytest.raises(RuntimeError):
+        h2.harvest_token_chains(sources, page_size=25, fail_at_round=2)
+    h2.harvest_token_chains(sources, page_size=25, resume=True)
+    rows = h2.oai_records().collect()
+    got2 = [(r["source_id"], r["rec_seq"]) for r in rows]
+    assert set(got2) == expected
+    assert len(got2) == len(expected)  # no duplicates across rounds
