@@ -46,6 +46,10 @@ HEADLINE = [
     "dedup_simhash64_hamming",
     "ann_ivf_topk",
     "nde_wrapper_pass",
+    "nde_record_normalize",
+    "enrich_lineage_expand",
+    "enrich_reclassify",
+    "merge_apply_1x1",
     "tpch_q1",
     "tpch_q5ish",
     "window_topk_orders",

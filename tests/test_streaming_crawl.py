@@ -31,7 +31,10 @@ def test_streaming_crawl_drain_and_incremental(spark):
     n1 = docs1.count()
     seen1 = {r["url_hash"] for r in sc.seen().collect()}
     assert n1 > 0
-    assert len(seen1) >= n1  # failures are seen but produce no doc
+    # failures are seen but produce no doc; sample docs (url_hash#role)
+    # fan out beyond the seen set, so compare dataset docs only
+    n_dataset = docs1.filter(~F.col("doc_id").contains("#")).count()
+    assert len(seen1) >= n_dataset
     # spans well-formed
     row = docs1.first()
     kinds = [s["kind"] for s in row["spans"]]
