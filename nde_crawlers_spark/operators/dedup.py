@@ -353,14 +353,22 @@ def embedding_near_dup_pairs(
     correlated real-world embeddings, not just isotropic synthetic ones."""
     from ..functions import vectors as V
 
+    # norms are per-ROW: compute once before the self-join so the
+    # per-pair work is a single codegen'd dot product
     b = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        V.hyperplane_bucket(F.col(vec_col), bucket_bits, dim).alias("bucket"),
+        V.norm_pd(dim)(F.col(vec_col)).alias("n"),
+        V.hyperplane_bucket_pd(bucket_bits, dim)(F.col(vec_col)).alias("bucket"),
     )
     return (
         b.alias("a")
         .join(b.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cosine", F.round(V.cosine(F.col("a.v"), F.col("b.v")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                V.cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"), dim), 6
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )

@@ -43,18 +43,29 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector against the corpus
     (self-matches excluded). ``queries`` has the same (id_col, vec_col)
-    schema and is broadcast."""
+    schema and is broadcast. Norms are per-row (computed before the
+    join); the per-pair work is one codegen'd dot product."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            V.norm_pd(dim)(F.col(vec_col)).alias("qn"),
+        )
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        V.norm_pd(dim)(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(V.cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim), 6),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     return _topk_per_query(scored, k)
@@ -75,35 +86,37 @@ def ivf_topk(
 
     The codebook here is deterministic (the first ``nlist`` vectors) so
     the DuckDB oracle reproduces it; production swaps in k-means
-    centroids — the plan shape (broadcast codebook -> argmax assignment
-    -> equi-join on list id -> per-query top-k) is identical, which is
-    the point: at 10^9 vectors the candidate join touches ~nprobe/nlist
-    of the corpus instead of all of it."""
-    cent = F.broadcast(
-        emb.filter(F.col(id_col) < nlist).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid")
-        )
-    )
+    centroids — the plan shape (broadcast numpy codebook -> batch argmax
+    assignment -> equi-join on list id -> per-query top-k) is identical,
+    which is the point: at 10^9 vectors the candidate join touches
+    ~nprobe/nlist of the corpus instead of all of it, and the assignment
+    itself is a map-only Arrow batch (no codebook crossJoin row blowup,
+    no per-row window shuffle)."""
+    cent_rows = sorted(
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col(id_col) < nlist).select(id_col, vec_col).collect()
+    )  # nlist rows — the broadcast codebook (driver-side by design)
 
     def _assign(df: DataFrame, n: int) -> DataFrame:
-        scored = df.crossJoin(cent).withColumn(
-            "ccos", F.round(V.cosine(F.col("v"), F.col("centroid")), 6)
-        )
-        w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid").asc())
-        return (
-            scored.withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") <= n)
-            .select("vid", "v", "cid")
+        assign = V.nearest_centroids_pd(cent_rows, n)
+        # norms computed ONCE per row and carried through, so the final
+        # candidate join never recomputes them per pair
+        return df.select(
+            "vid", "v", V.norm_pd()(F.col("v")).alias("vn"),
+            F.explode(assign(F.col("v"))).alias("cid"),
         )
 
     inv = _assign(emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")), 1)
     probes = _assign(
         queries.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")), nprobe
-    ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cid")
+    ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "cid")
     scored = (
         inv.join(probes, "cid")
         .filter(F.col("vid") != F.col("query_id"))
-        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn(
+            "cosine",
+            F.round(V.cosine_prenormed(F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")), 6),
+        )
         .select("query_id", F.col("vid").alias("neighbor_id"), "cosine")
         .distinct()  # a candidate may appear via both probes
     )
@@ -123,22 +136,28 @@ def lsh_topk(
     hyperplane LSH bucket are scored (recall < 1, cost /2^bits; balance
     holds on anisotropic embeddings because the planes are random, not
     axis-aligned). Same output schema as brute_force_topk."""
+    bucket = V.hyperplane_bucket_pd(bucket_bits, dim)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            V.hyperplane_bucket(F.col(vec_col), bucket_bits, dim).alias("bucket"),
+            V.norm_pd(dim)(F.col(vec_col)).alias("qn"),
+            bucket(F.col(vec_col)).alias("bucket"),
         )
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        V.hyperplane_bucket(F.col(vec_col), bucket_bits, dim).alias("bucket"),
+        V.norm_pd(dim)(F.col(vec_col)).alias("cn"),
+        bucket(F.col(vec_col)).alias("bucket"),
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(V.cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim), 6),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     return _topk_per_query(scored, k)

@@ -164,6 +164,14 @@ COSINE = """round(
        THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))
        ELSE 0.0 END, 6)"""
 
+# raw (unrounded) form — used where cosines ORDER a computation (IVF
+# centroid assignment): raw doubles are bit-identical across engines, so
+# ordering on them is deterministic; rounding before ordering would
+# re-introduce engine round() divergence at tie boundaries
+COSINE_RAW = """CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0
+       THEN list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))
+       ELSE 0.0 END"""
+
 SIGN_BUCKET = (
     "("
     + " + ".join(f"CASE WHEN {{v}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(8))
@@ -356,7 +364,7 @@ ORACLES["ann_ivf_topk"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < 8),
 ascore AS (
-  SELECT e.vec_id AS vid, e.v, c.cid, {COSINE.format(a='e.v', b='c.centroid')} AS ccos
+  SELECT e.vec_id AS vid, e.v, c.cid, {COSINE_RAW.format(a='e.v', b='c.centroid')} AS ccos
   FROM e CROSS JOIN cent c
 ),
 aranked AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crn FROM ascore),
