@@ -170,6 +170,21 @@ def schema_violation_nde(
     return v.otherwise(F.lit(None).cast("string"))
 
 
+def promote_doi_id(id_col: Column, doi_col: Column) -> tuple[Column, Column]:
+    """merge_duplicates (utils/utils.py:189-204): a record whose doi is a
+    single value becomes addressable BY that doi (_id = doi) so
+    cross-source duplicates collapse at upsert time; a literal
+    'none'/'NONE' doi is dropped instead. ``doi_col`` is the canonical
+    always-array form; multi-doi records keep their original _id.
+    Returns (new_id, new_doi) column pair."""
+    one = F.size(doi_col) == 1
+    v = F.try_element_at(doi_col, F.lit(1))  # NULL (not error) on empty arrays
+    is_none = F.lower(v) == "none"
+    new_id = F.when(one & ~is_none, v).otherwise(id_col)
+    new_doi = F.when(one & is_none, F.array().cast("array<string>")).otherwise(doi_col)
+    return new_id, new_doi
+
+
 def spans_to_nde(docs: DataFrame, catalog_name: str = "nde-spark") -> DataFrame:
     """The uploader surface: interleaved crawl spans -> a full NDE record
     in ``NDE_SCHEMA`` shape. Every mapping rule is a row-local column

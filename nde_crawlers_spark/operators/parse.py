@@ -28,7 +28,9 @@ from __future__ import annotations
 
 import json
 import re
+import xml.etree.ElementTree as ET
 from collections.abc import Iterator
+from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -65,16 +67,50 @@ _HTML_RX = {
     "link": re.compile(r'<a href="(.*?)">'),
     "sample": re.compile(r'<div class="sample"><b class="st">(.*?)</b><i class="sd">(.*?)</i></div>', re.S),
 }
-_XML_RX = {
-    "title": re.compile(r"<title>(.*?)</title>", re.S),
-    "desc": re.compile(r"<description>(.*?)</description>", re.S),
-    "author": re.compile(r"<creatorName>(.*?)</creatorName>", re.S),
-    "date": re.compile(r"<date>(.*?)</date>", re.S),
-    "kw": re.compile(r"<subject>(.*?)</subject>"),
-    "media": re.compile(r"<contentUrl>(.*?)</contentUrl>"),
-    "link": re.compile(r"<relatedIdentifier>(.*?)</relatedIdentifier>"),
-    "sample": re.compile(r"<sample><sampleTitle>(.*?)</sampleTitle><sampleDesc>(.*?)</sampleDesc></sample>", re.S),
-}
+# (xml is parsed with ElementTree; html JSON-LD pages with HTMLParser —
+# the regex table below is the fast path for plain tag-structured html)
+
+
+class _HtmlDoc(HTMLParser):
+    """Real HTMLParser extraction — the JSON-LD scrape-fallback path
+    (S13): collects ``<script type="application/ld+json">`` payloads and
+    ``<a href>`` outlinks from pages whose metadata lives only in the
+    embedded schema.org block. Regex stays the fast path for the plain
+    tag-structured pages (one substring probe decides)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.in_ld = False
+        self.ld_blocks: list[str] = []
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "script" and a.get("type") == "application/ld+json":
+            self.in_ld = True
+            self.ld_blocks.append("")
+        elif tag == "a" and "href" in a:
+            self.links.append(a["href"])
+
+    def handle_endtag(self, tag):
+        if tag == "script":
+            self.in_ld = False
+
+    def handle_data(self, data):
+        if self.in_ld:
+            self.ld_blocks[-1] += data
+
+
+def _parse_json_family(rec: dict):
+    """Shared field extraction for raw-JSON bodies and JSON-LD blocks."""
+    title = rec.get("name", "")
+    desc = rec.get("description", "")
+    author = (rec.get("author") or {}).get("name", "")
+    date = rec.get("datePublished", "")
+    kws = rec.get("keywords", [])
+    media = [d.get("contentUrl", "") for d in rec.get("distribution", [])]
+    samples = [(s.get("title", ""), s.get("description", "")) for s in rec.get("samples", [])]
+    return title, desc, author, date, kws, media, samples
 
 
 def parse_record(kind: str, body: str) -> tuple[list[tuple[str, list[tuple]]], list[str]]:
@@ -104,18 +140,32 @@ def parse_record(kind: str, body: str) -> tuple[list[tuple[str, list[tuple]]], l
         samples = list(zip(acc.get("Sample_title", []), acc.get("Sample_summary", [])))
     elif kind == "json":
         rec = json.loads(body)
-        title = rec.get("name", "")
-        desc = rec.get("description", "")
-        author = (rec.get("author") or {}).get("name", "")
-        date = rec.get("datePublished", "")
-        kws = rec.get("keywords", [])
-        media = [d.get("contentUrl", "") for d in rec.get("distribution", [])]
+        title, desc, author, date, kws, media, samples = _parse_json_family(rec)
         links = rec.get("links", [])
+    elif kind == "html" and "application/ld+json" in body:
+        # JSON-LD scrape fallback: metadata lives only in the embedded
+        # schema.org block — real HTMLParser extraction, not regex
+        doc = _HtmlDoc()
+        doc.feed(body)
+        rec = json.loads(doc.ld_blocks[0]) if doc.ld_blocks else {}
+        title, desc, author, date, kws, media, samples = _parse_json_family(rec)
+        links = doc.links
+    elif kind == "xml":
+        # real tree parse (ElementTree), not regex: tolerant of attribute
+        # noise / reordering a regex would miss
+        root = ET.fromstring(body)
+        find = lambda p: (root.findtext(f".//{p}") or "")  # noqa: E731
+        title, desc = find("title"), find("description")
+        author, date = find("creatorName"), find("date")
+        kws = [e.text or "" for e in root.iter("subject")]
+        media = [e.text or "" for e in root.iter("contentUrl")]
+        links = [e.text or "" for e in root.iter("relatedIdentifier")]
         samples = [
-            (s.get("title", ""), s.get("description", "")) for s in rec.get("samples", [])
+            (s.findtext("sampleTitle") or "", s.findtext("sampleDesc") or "")
+            for s in root.iter("sample")
         ]
     else:
-        rx = _HTML_RX if kind == "html" else _XML_RX
+        rx = _HTML_RX
         def one(k: str) -> str:
             m = rx[k].search(body)
             return m.group(1) if m else ""

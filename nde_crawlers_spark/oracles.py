@@ -824,6 +824,31 @@ SELECT _id, type,
 FROM rec
 """
 
+ORACLES["nde_doi_promote"] = """
+WITH d AS (
+  SELECT doc_id,
+         source || ':doc:' || CAST(doc_id AS VARCHAR) AS _id,
+         CASE CAST(doc_id % 7 AS INTEGER)
+           WHEN 0 THEN CAST([] AS VARCHAR[])
+           WHEN 1 THEN ['none']
+           WHEN 6 THEN ['NONE']
+           WHEN 5 THEN ['10.5281/zen.' || CAST(doc_id % 997 AS VARCHAR),
+                        '10.999/alt.' || CAST(doc_id AS VARCHAR)]
+           ELSE ['10.5281/zen.' || CAST(doc_id % 997 AS VARCHAR)]
+         END AS doi
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    CASE WHEN len(doi) = 1 AND lower(doi[1]) != 'none' THEN doi[1] ELSE _id END AS _id,
+    CASE WHEN len(doi) = 1 AND lower(doi[1]) = 'none' THEN CAST([] AS VARCHAR[]) ELSE doi END AS doi
+  FROM d
+)
+SELECT doc_id, _id, CAST(len(doi) AS INTEGER) AS n_doi,
+       coalesce(array_to_string(doi, ','), '') AS doi_csv
+FROM p
+"""
+
 ORACLES["setops_union_by_name"] = """
 WITH u AS (
   (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0)

@@ -85,14 +85,72 @@ class CrawlConfig:
     extra: dict = field(default_factory=dict)
 
 
+class ConcurrentRunError(RuntimeError):
+    """Another live process holds this run directory's single-flight lock."""
+
+
 class CrawlRun:
-    """One named crawl run rooted at ``run_dir`` (created if missing)."""
+    """One named crawl run rooted at ``run_dir`` (created if missing).
+
+    Single-flight: ``run()`` takes an exclusive lock file (the ``flock``
+    analog of the reference's cron-driven dumpers — two overlapping runs
+    would double-fetch and corrupt round state). The lock records the
+    holder's pid; a lock whose pid is dead is STALE and silently
+    reclaimed (crash recovery), a lock whose pid is alive raises
+    ``ConcurrentRunError``."""
 
     def __init__(self, spark: SparkSession, run_dir: str, config: CrawlConfig | None = None):
         self.spark = spark
         self.run_dir = run_dir
         self.cfg = config or CrawlConfig()
         os.makedirs(run_dir, exist_ok=True)
+
+    # ---------- single-flight lock ----------
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self.run_dir, "_LOCK")
+
+    def _acquire_lock(self) -> None:
+        while True:
+            try:
+                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "acquired_at": time.time()}, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                return
+            except FileExistsError:
+                try:
+                    with open(self._lock_path) as f:
+                        holder = json.load(f)
+                    pid = int(holder.get("pid", -1))
+                except (OSError, ValueError):
+                    pid = -1  # unreadable/corrupt lock -> treat as stale
+                if pid > 0 and self._pid_alive(pid):
+                    raise ConcurrentRunError(
+                        f"run_dir {self.run_dir} is locked by live pid {pid}"
+                    )
+                # stale (dead holder): reclaim
+                try:
+                    os.unlink(self._lock_path)
+                except FileNotFoundError:
+                    pass
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists but owned elsewhere
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(self._lock_path)
+        except FileNotFoundError:
+            pass
 
     # ---------- checkpoint layout ----------
     def _rdir(self, r: int) -> str:
@@ -373,7 +431,15 @@ class CrawlRun:
     # ---------- driver ----------
     def run(self, seeds: DataFrame | None = None, resume: bool = False) -> list[dict]:
         """Run (or resume) the crawl to cfg.max_rounds. ``seeds`` must have
-        (url, priority); required unless resuming past round 0."""
+        (url, priority); required unless resuming past round 0. Raises
+        ``ConcurrentRunError`` if another live process holds the run."""
+        self._acquire_lock()
+        try:
+            return self._run_locked(seeds, resume)
+        finally:
+            self._release_lock()
+
+    def _run_locked(self, seeds: DataFrame | None, resume: bool) -> list[dict]:
         done = self.committed_rounds() if resume else []
         if not resume:
             # fresh run: clear any prior state

@@ -900,6 +900,35 @@ def nde_record_normalize(spark, sf_dir):
     )
 
 
+def nde_doi_promote(spark, sf_dir):
+    """merge_duplicates (utils/utils.py:189-204): single-doi records take
+    the doi as their _id; 'none' dois are dropped; multi-doi records keep
+    their original _id. The fixture cycles through all branches."""
+    from .operators import nde_schema as NS
+
+    did = F.col("doc_id")
+    doi_one = F.concat(F.lit("10.5281/zen."), (did % 997).cast("string"))
+    doi = (
+        F.when(did % 7 == 0, F.array().cast("array<string>"))
+        .when(did % 7 == 1, F.array(F.lit("none")))
+        .when(did % 7 == 6, F.array(F.lit("NONE")))
+        .when(did % 7 == 5, F.array(doi_one, F.concat(F.lit("10.999/alt."), did.cast("string"))))
+        .otherwise(F.array(doi_one))
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(":doc:"), did.cast("string")).alias("_id"),
+        doi.alias("doi"),
+    )
+    new_id, new_doi = NS.promote_doi_id(F.col("_id"), F.col("doi"))
+    return d.select(
+        "doc_id",
+        new_id.alias("_id"),
+        F.size(new_doi).alias("n_doi"),
+        F.array_join(new_doi, ",").alias("doi_csv"),
+    )
+
+
 def setops_union_by_name(spark, sf_dir):
     """Per-source stream union with missing columns (builder merge shape:
     unionByName(allowMissingColumns=True), SURVEY §2.8)."""
@@ -961,5 +990,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nde_wrapper_pass": nde_wrapper_pass,
     "nde_quarantine_counts": nde_quarantine_counts,
     "nde_record_normalize": nde_record_normalize,
+    "nde_doi_promote": nde_doi_promote,
     "setops_union_by_name": setops_union_by_name,
 }

@@ -163,6 +163,10 @@ def synth_body(canonical_url: str, num_hosts: int) -> dict:
     k = canonical_url
     d = _h("body:" + k)
     kind = ["html", "xml", "json", "soft"][d[0] % 4]
+    # ~25% of html pages carry their metadata ONLY as an embedded
+    # schema.org JSON-LD script (the JSON-LD scrape-fallback family,
+    # hub/dataload JSON-LD sources) — exercises the HTMLParser path
+    jsonld = kind == "html" and d[13] % 4 == 0
     title = _words_for("title:" + k, 4 + d[1] % 4)
     desc = _words_for("desc:" + k, 20 + d[2] % 30)
     keywords = [_words_for(f"kw{j}:{k}", 1) for j in range(1 + d[3] % 4)]
@@ -205,6 +209,7 @@ def synth_body(canonical_url: str, num_hosts: int) -> dict:
         "media": media,
         "outlinks": outlinks,
         "samples": samples,
+        "jsonld": jsonld,
     }
 
 
@@ -213,6 +218,28 @@ def render_body(page: dict) -> str:
     that parse() must re-extract — html/xml/json per parser family)."""
     kind = page["kind"]
     samples = page.get("samples", [])
+    if kind == "html" and page.get("jsonld"):
+        import json
+
+        payload = json.dumps(
+            {
+                "name": page["title"],
+                "description": page["description"],
+                "keywords": page["keywords"],
+                "author": {"name": page["author"]},
+                "datePublished": page["date"],
+                "distribution": [{"contentUrl": m} for m in page["media"]],
+                "samples": [
+                    {"title": s["title"], "description": s["description"]} for s in samples
+                ],
+            },
+            sort_keys=True,
+        )
+        links = "".join(f'<a href="{u}">link</a>' for u in page["outlinks"])
+        return (
+            f'<html><head><script type="application/ld+json">{payload}</script></head>'
+            f"<body>{links}</body></html>"
+        )
     if kind == "html":
         kws = "".join(f'<meta name="keywords" content="{w}"/>' for w in page["keywords"])
         media = "".join(f'<img src="{m}"/>' for m in page["media"])

@@ -180,3 +180,38 @@ def test_oai_token_chain_walk_and_resume(spark):
     got2 = [(r["source_id"], r["rec_seq"]) for r in rows]
     assert set(got2) == expected
     assert len(got2) == len(expected)  # no duplicates across rounds
+
+
+def test_single_flight_run_lock(spark):
+    """The flock analog: a second run against a LIVE-held run_dir raises;
+    a stale lock (dead pid) is silently reclaimed."""
+    import json
+    import os
+    import subprocess
+
+    import pytest as _pytest
+
+    from nde_crawlers_spark.plans.crawl import ConcurrentRunError, CrawlConfig, CrawlRun
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    d = tempfile.mkdtemp(prefix="lock_")
+    run = CrawlRun(spark, d, CrawlConfig(num_hosts=6, round_seconds=2, max_rounds=1))
+    seeds = spark.createDataFrame(
+        [(s["url"], s["priority"]) for s in make_seeds(20, 6)], ["url", "priority"]
+    )
+
+    # live holder (this very process) -> refused
+    with open(os.path.join(d, "_LOCK"), "w") as f:
+        json.dump({"pid": os.getpid(), "acquired_at": 0}, f)
+    with _pytest.raises(ConcurrentRunError):
+        run.run(seeds=seeds)
+
+    # stale holder (a child that has already exited) -> reclaimed, run ok
+    child = subprocess.run(["python", "-c", "import os; print(os.getpid())"],
+                           capture_output=True, text=True)
+    dead_pid = int(child.stdout.strip())
+    with open(os.path.join(d, "_LOCK"), "w") as f:
+        json.dump({"pid": dead_pid, "acquired_at": 0}, f)
+    metas = run.run(seeds=seeds)
+    assert len(metas) == 1
+    assert not os.path.exists(os.path.join(d, "_LOCK"))  # released

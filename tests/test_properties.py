@@ -76,3 +76,47 @@ def test_fetch_corpus_deterministic_and_roundtrips(canon, num_hosts):
     assert links == page["outlinks"]
     offs = [o for _k, _t, _m, o in spans]
     assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_jsonld_page_parses_via_htmlparser():
+    """S13: a page whose metadata lives ONLY in an embedded schema.org
+    JSON-LD script must parse to the same spans as the equivalent raw
+    JSON body, with outlinks recovered from the anchor tags."""
+    import json as _json
+
+    from nde_crawlers_spark.operators.parse import parse_record
+    from nde_crawlers_spark.sources.synthetic import render_body, synth_body
+
+    # find a canonical URL whose html page is a JSON-LD page
+    page = None
+    for i in range(3000):
+        p = synth_body(f"https://host-0001.example.org/records/{i}", 10)
+        if p["kind"] == "html" and p["jsonld"]:
+            page = p
+            break
+    assert page is not None
+    body = render_body(page)
+    assert "application/ld+json" in body
+    docs, links = parse_record("html", body)
+    assert links == page["outlinks"]
+
+    # equivalent raw-JSON body (same logical record, json wire format)
+    jbody = _json.dumps(
+        {
+            "name": page["title"],
+            "description": page["description"],
+            "keywords": page["keywords"],
+            "author": {"name": page["author"]},
+            "datePublished": page["date"],
+            "distribution": [{"contentUrl": m} for m in page["media"]],
+            "samples": [
+                {"title": s["title"], "description": s["description"]}
+                for s in page["samples"]
+            ],
+            "links": page["outlinks"],
+        },
+        sort_keys=True,
+    )
+    jdocs, jlinks = parse_record("json", jbody)
+    assert docs == jdocs
+    assert links == jlinks
