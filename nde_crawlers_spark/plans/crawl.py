@@ -50,7 +50,6 @@ from ..functions import urls as U
 from ..operators import frontier as FR
 from ..operators import seen as SN
 from ..operators.fetch import fetch_parse
-from ..sources.synthetic import robots_rules
 
 ROBOTS_SCHEMA = T.StructType(
     [
@@ -196,16 +195,25 @@ class CrawlRun:
 
     # ---------- robots ----------
     def _update_robots(self, robots: DataFrame, candidates: DataFrame) -> DataFrame:
-        """Fetch robots rules for hosts not yet in the cache (the
-        robots_cache incremental-table analog of the reference's
-        HTTPCACHE, ncbi_geo_crawler/files/settings.py:31-35)."""
+        """Fetch robots.txt BODIES for hosts not yet in the cache and run
+        them through the real parser (operators/robots.py::
+        parse_robots_txt) — the full ROBOTSTXT_OBEY loop, not a shortcut
+        to the rules (the robots_cache incremental-table analog of the
+        reference's HTTPCACHE, ncbi_geo_crawler/files/settings.py:31-35).
+        """
+        from ..operators.robots import parse_robots_txt
+        from ..sources.synthetic import render_robots_txt
+
         new_hosts = (
             candidates.select("host").distinct().join(robots, "host", "left_anti")
         )
 
         def _fetch_robots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                rows = [robots_rules(h) for h in pdf["host"]]
+                rows = []
+                for h in pdf["host"]:
+                    r = parse_robots_txt(render_robots_txt(h))
+                    rows.append((h, r["disallow_prefixes"], r["crawl_delay_ms"]))
                 yield pd.DataFrame(rows, columns=["host", "disallow_prefixes", "crawl_delay_ms"])
 
         fetched = new_hosts.mapInPandas(_fetch_robots, schema=ROBOTS_SCHEMA)

@@ -263,6 +263,24 @@ def text_quality_filter(spark, sf_dir):
     return TO.quality_filter(docs, min_tokens=10, min_quality=0.4).select("doc_id", "n_chars")
 
 
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting next to whitespace counting: letter runs,
+    digit runs, and single punctuation marks each count as one token (the
+    GPT-2-pretokenizer shape) — the fertility ratio (bpe/ws) is the
+    standard corpus-quality diagnostic for tokenizer budgeting."""
+    docs = t(spark, sf_dir, "documents")
+    pat = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+    ws = F.size(TX.tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(1)))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws"),
+        bpe.alias("n_bpe"),
+        F.when(ws > 0, ftrunc(bpe.cast("double") / ws.cast("double"), 4))
+        .otherwise(F.lit(0.0)).alias("fertility"),
+    )
+
+
 # ----------------------------------------------------------------- merge --
 def merge_priority_lastwriter(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -964,6 +982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_analyze": text_analyze,
     "text_lang_agreement": text_lang_agreement,
     "text_quality_filter": text_quality_filter,
+    "text_bpe_tokens": text_bpe_tokens,
     "merge_priority_lastwriter": merge_priority_lastwriter,
     "merge_version_groups": merge_version_groups,
     "merge_key_dedup_1x1": merge_key_dedup_1x1,

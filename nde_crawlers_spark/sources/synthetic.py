@@ -100,6 +100,18 @@ def robots_rules(host: str) -> dict:
     return {"host": host, "disallow_prefixes": disallow, "crawl_delay_ms": delay}
 
 
+def render_robots_txt(host: str) -> str:
+    """Serialize a host's robots rules into an actual robots.txt body —
+    the wire form the crawl plan fetches and runs through the REAL parser
+    (operators/robots.py::parse_robots_txt). parse(render(host)) must
+    round-trip to robots_rules(host) exactly (property-tested)."""
+    r = robots_rules(host)
+    lines = ["# synthetic robots", "User-agent: *"]
+    lines += [f"Disallow: {p}" for p in r["disallow_prefixes"]]
+    lines.append(f"Crawl-delay: {r['crawl_delay_ms'] / 1000:g}")
+    return "\n".join(lines)
+
+
 def _status_draw(url: str, attempt: int) -> int:
     f = _frac(f"status:{url}#a{attempt}")
     if f < 0.93:

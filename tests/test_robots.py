@@ -53,3 +53,23 @@ def test_parse_robots_bodies_batch(spark):
     assert rows["h1.org"]["crawl_delay_ms"] == 500
     assert rows["h2.org"]["disallow_prefixes"] == []
     assert rows["h3.org"]["crawl_delay_ms"] == 500
+
+
+def test_robots_render_parse_roundtrip():
+    """The crawl plan fetches robots.txt BODIES and parses them with the
+    real parser; parse(render(host)) must round-trip to the semantic
+    rules exactly for every host shape (no-disallow, disallow, 0-delay,
+    2s-delay)."""
+    from nde_crawlers_spark.operators.robots import parse_robots_txt
+    from nde_crawlers_spark.sources.synthetic import render_robots_txt, robots_rules
+
+    seen_shapes = set()
+    for i in range(300):
+        host = f"host-{i:04d}.example.org"
+        want = robots_rules(host)
+        got = parse_robots_txt(render_robots_txt(host))
+        assert got["disallow_prefixes"] == want["disallow_prefixes"], host
+        assert got["crawl_delay_ms"] == want["crawl_delay_ms"], host
+        seen_shapes.add((bool(want["disallow_prefixes"]), want["crawl_delay_ms"]))
+    # the corpus actually exercises all rule shapes
+    assert len(seen_shapes) >= 4
