@@ -71,6 +71,57 @@ def brute_force_topk(
     return _topk_per_query(scored, k)
 
 
+def kmeans_codebook(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd k-means codebook for IVF: init = the first k
+    vectors by id, fixed iteration count, cosine assignment with stable
+    cid-ascending tie-break, and EXACT decimal centroid means (a parallel
+    double mean is partition-order nondeterministic — the same discipline
+    as queries.dsum). Everything distributed: assignment is the same
+    map-only Arrow batch ``nearest_centroids_pd`` the serving path uses;
+    the centroid update is one posexplode + groupBy((cid, dim)) — k*dim
+    result rows, trivially collectible.
+
+    Returns the [(cid, centroid)] list ``ivf_topk`` accepts as
+    ``codebook``."""
+    cent = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    cent = [(i, v) for i, (_, v) in enumerate(cent)]
+    base = emb.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        assign = V.nearest_centroids_pd(cent, 1, dim)
+        assigned = base.select(
+            F.element_at(assign(F.col("v")), 1).alias("cid"), "v"
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(28,12)")) / F.count(F.lit(1)))
+                .cast("double").alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.getField("m")
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {int(r["cid"]): [float(x) for x in r["centroid"]] for r in means}
+        # empty lists keep their previous centroid (standard practice)
+        cent = [(cid, new.get(cid, vec)) for cid, vec in cent]
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -79,20 +130,22 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: vectors are assigned to their nearest
     centroid (inverted lists); a query scores only the lists of its
     ``nprobe`` nearest centroids.
 
-    The codebook here is deterministic (the first ``nlist`` vectors) so
-    the DuckDB oracle reproduces it; production swaps in k-means
-    centroids — the plan shape (broadcast numpy codebook -> batch argmax
-    assignment -> equi-join on list id -> per-query top-k) is identical,
-    which is the point: at 10^9 vectors the candidate join touches
-    ~nprobe/nlist of the corpus instead of all of it, and the assignment
-    itself is a map-only Arrow batch (no codebook crossJoin row blowup,
-    no per-row window shuffle)."""
-    cent_rows = sorted(
+    The default codebook is deterministic (the first ``nlist`` vectors)
+    so the DuckDB oracle reproduces it; pass ``codebook`` (e.g. from
+    ``kmeans_codebook``) for trained centroids — the plan shape
+    (broadcast numpy codebook -> batch argmax assignment -> equi-join on
+    list id -> per-query top-k) is identical either way, which is the
+    point: at 10^9 vectors the candidate join touches ~nprobe/nlist of
+    the corpus instead of all of it, and the assignment itself is a
+    map-only Arrow batch (no codebook crossJoin row blowup, no per-row
+    window shuffle)."""
+    cent_rows = codebook if codebook is not None else sorted(
         (r[0], list(r[1]))
         for r in emb.filter(F.col(id_col) < nlist).select(id_col, vec_col).collect()
     )  # nlist rows — the broadcast codebook (driver-side by design)

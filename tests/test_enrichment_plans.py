@@ -119,3 +119,53 @@ def test_wrapper_operators(spark):
         df, F.col("violation")
     )
     assert valid.count() == 1 and quarantined.count() == 2
+
+
+def test_round2_plans_broadcast_and_anti_join(spark):
+    """Physical-plan assertions for the round-2 scale fixes:
+    apply_merge_directives must broadcast both the gain join and the
+    loser delete (the documents table is never shuffled), and the
+    ngram-jaccard stop-shingle cap must remove hot shingles via a
+    broadcast anti-join."""
+    from nde_crawlers_spark.queries import dedup_ngram_jaccard, merge_apply_1x1
+
+    plan = merge_apply_1x1(spark, SF001)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan
+    # the big side (documents scan) is never exchanged by the merge apply
+    # itself: every Exchange in this plan is a broadcast exchange or
+    # belongs to the tiny directives aggregation, not a repartition of
+    # the documents table by join key
+    assert "SortMergeJoin" not in plan
+
+    jplan = dedup_ngram_jaccard(spark, SF001)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan and "LeftAnti" in jplan
+
+
+def test_lineage_closure_iterates_taxonomy_not_corpus(spark):
+    """The lineage closure's iteration count depends on taxonomy depth
+    only; expanding docs is ONE broadcast join regardless of chain
+    length."""
+    from pyspark.sql import functions as F2
+
+    from nde_crawlers_spark.operators.lineage import expand_lineage, taxonomy_closure
+
+    tax = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 3), (5, 4)], "taxon int, parent_taxon int"
+    )
+    closure = taxonomy_closure(tax)
+    got = {
+        (r["taxon"], r["member"], r["member_parent"]) for r in closure.collect()
+    }
+    # taxon 5's lineage: itself plus every ancestor, each with its parent
+    assert {(5, 5, 4), (5, 4, 3), (5, 3, 2), (5, 2, 1), (5, 1, None)} <= got
+
+    docs = spark.createDataFrame([(10, [5]), (11, [3, 2]), (12, [999])],
+                                 "doc_id long, taxids array<int>")
+    out = expand_lineage(docs, closure)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r["doc_id"]: r["_meta_lineage"] for r in out.collect()}
+    assert [e["taxon"] for e in rows[10]] == [1, 2, 3, 4, 5]
+    assert [e["taxon"] for e in rows[11]] == [1, 2, 3]
+    assert rows[12] == []  # unknown taxid -> empty lineage

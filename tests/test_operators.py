@@ -215,3 +215,45 @@ def test_single_flight_run_lock(spark):
     metas = run.run(seeds=seeds)
     assert len(metas) == 1
     assert not os.path.exists(os.path.join(d, "_LOCK"))  # released
+
+
+def test_kmeans_codebook_and_ivf_recall(spark):
+    """Deterministic Lloyd codebook: on three well-separated direction
+    clusters the trained centroids separate the corpus (each cluster maps
+    to one list), and IVF with the trained codebook recovers brute-force
+    top-k for in-cluster queries."""
+    from nde_crawlers_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, kmeans_codebook,
+    )
+
+    dim, per = 64, 40
+    rows = []
+    for c in range(3):
+        base = [0.0] * dim
+        base[c * 20] = 10.0  # three orthogonal cluster directions
+        for i in range(per):
+            v = list(base)
+            for d in range(dim):
+                v[d] += (((i * 31 + d * 7 + c * 13) % 11) - 5) / 10.0  # jitter
+            rows.append((c * per + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cb = kmeans_codebook(emb, k=3, iters=4)
+    assert len(cb) == 3
+    # determinism: retraining gives the identical codebook
+    assert cb == kmeans_codebook(emb, k=3, iters=4)
+    # each trained centroid is dominated by one cluster direction
+    dom = sorted(max(range(64), key=lambda d: abs(v[d])) for _, v in cb)
+    assert dom == [0, 20, 40]
+
+    q = emb.filter(F.col("vec_id").isin([0, 45, 85]))
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, q, k=5, nprobe=1, codebook=cb).collect()
+    }
+    hits = sum(1 for k2 in exact if approx.get(k2) == exact[k2])
+    assert hits / len(exact) >= 0.9  # in-cluster queries: near-total recall
