@@ -144,7 +144,10 @@ def run_headline() -> None:
         t0 = time.monotonic()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
-    fb = fetch_normalize_bench(spark, 1_000_000, runs=1)
+    # best-of-2: single-sample wall times on a shared VM swing ~2x with
+    # ambient load; the scaling protocol (--scaling) is the rigorous
+    # best-of-3 pinned measurement
+    fb = fetch_normalize_bench(spark, 1_000_000, runs=2)
     times["fetch_normalize_1m"] = fb["secs"]
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
