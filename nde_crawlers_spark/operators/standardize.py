@@ -34,6 +34,39 @@ from pyspark.sql import functions as F
 #   classification in ('host', 'infectiousAgent')
 
 
+def apply_drop_rules(
+    entities: DataFrame,
+    rules: list[dict],
+    closure: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The EXTRACT-NER heuristic drop rules (utils/extract.py:23-59
+    ADVANCED_DROP_RULES): an entity row is dropped when its casefolded
+    name or its taxid matches a rule, and — for rules with
+    ``ignore_children`` — when its taxid is a DESCENDANT of the rule's
+    taxid ('omicron'/'other sequences': the whole subtree is suspect).
+    Descendant tests reuse the lineage closure (operators/lineage.py):
+    descendants of rule r = closure rows with member == r.id, taxon !=
+    r.id — one small broadcast anti-join, no per-row recursion.
+
+    ``entities``: (id_col, ..., name, taxid). Returns surviving rows."""
+    names = [str(r["name"]).lower().strip() for r in rules]
+    ids = [int(r["id"]) for r in rules]
+    direct = F.lower(F.trim(F.col("name"))).isin(names) | F.col("taxid").isin(ids)
+    out = entities.filter(~direct)
+    child_roots = [int(r["id"]) for r in rules if r.get("ignore_children")]
+    if closure is not None and child_roots:
+        descendants = (
+            closure.filter(
+                F.col("member").isin(child_roots) & (F.col("member") != F.col("taxon"))
+            )
+            .select(F.col("taxon").alias("taxid"))
+            .distinct()
+        )
+        out = out.join(F.broadcast(descendants), "taxid", "left_anti")
+    return out
+
+
 def reclassify_species(
     docs: DataFrame,
     lookup: DataFrame,

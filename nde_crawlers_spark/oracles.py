@@ -610,6 +610,47 @@ FROM documents d LEFT JOIN spg ON d.doc_id = spg.doc_id
 LEFT JOIN agg_ ON d.doc_id = agg_.doc_id
 """
 
+# mirror of queries.enrich_drop_rules: same taxonomy closure; drops by
+# name, by taxid, and by descendant-of-rule-taxid (ignore_children)
+ORACLES["enrich_drop_rules"] = """
+WITH RECURSIVE tax AS (
+  SELECT CAST(t AS INTEGER) AS taxon,
+         CASE WHEN t = 1 THEN NULL ELSE CAST(greatest(t // 7, 1) AS INTEGER) END AS parent
+  FROM range(1, 201) r(t)
+),
+anc AS (
+  SELECT taxon, taxon AS member FROM tax
+  UNION
+  SELECT a.taxon, x.parent AS member
+  FROM anc a JOIN tax x ON a.member = x.taxon
+  WHERE x.parent IS NOT NULL AND x.parent != a.member
+),
+e AS (
+  SELECT doc_id, 0 AS pos,
+         'ent-' || CAST(1 + doc_id % 200 AS VARCHAR) AS name,
+         CAST(1 + doc_id % 200 AS INTEGER) AS taxid FROM documents
+  UNION ALL
+  SELECT doc_id, 1,
+         CASE WHEN doc_id % 9 = 0 THEN 'china'
+              ELSE 'ent-' || CAST(1 + (doc_id * 3) % 200 AS VARCHAR) END,
+         CAST(1 + (doc_id * 3) % 200 AS INTEGER) FROM documents
+  UNION ALL
+  SELECT doc_id, 2,
+         'ent-' || CAST(1 + (doc_id * 11) % 200 AS VARCHAR),
+         CAST(1 + (doc_id * 11) % 200 AS INTEGER) FROM documents
+),
+desc3 AS (SELECT DISTINCT taxon AS taxid FROM anc WHERE member = 3 AND taxon != 3),
+kept AS (
+  SELECT * FROM e
+  WHERE NOT (lower(trim(name)) IN ('china', 'clade-3', 'ent-50')
+             OR taxid IN (3034371, 3, 50))
+    AND taxid NOT IN (SELECT taxid FROM desc3)
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+       string_agg(name || '|' || CAST(taxid AS VARCHAR), ',' ORDER BY pos) AS kept_csv
+FROM kept GROUP BY doc_id
+"""
+
 # mirror of queries.enrich_lineage_expand: recursive-CTE ancestor closure
 # over the same deterministic taxonomy (parent(t) = max(t/7, 1), root 1)
 ORACLES["enrich_lineage_expand"] = """

@@ -525,6 +525,58 @@ def enrich_reclassify(spark, sf_dir):
     )
 
 
+def enrich_drop_rules(spark, sf_dir):
+    """J17's heuristic layer (utils/extract.py:23-59 ADVANCED_DROP_RULES):
+    NER entities dropped by name match ('china' is a place), by taxid
+    match, and — with ignore_children — by membership in a rule taxid's
+    subtree, computed via the lineage closure. Same deterministic
+    taxonomy as enrich_lineage_expand."""
+    from .operators import lineage as LN
+    from .operators import standardize as SD
+
+    tax = spark.range(1, 201).select(
+        F.col("id").cast("int").alias("taxon"),
+        F.when(F.col("id") == 1, F.lit(None))
+        .otherwise(F.greatest(F.floor(F.col("id") / 7), F.lit(1)))
+        .cast("int")
+        .alias("parent_taxon"),
+    )
+    closure = LN.taxonomy_closure(tax)
+    did = F.col("doc_id")
+    tids = [(1 + did % 200), (1 + (did * 3) % 200), (1 + (did * 11) % 200)]
+    ents = []
+    for pos, tid in enumerate(tids):
+        name = (
+            F.when((did % 9 == 0) & (F.lit(pos) == 1), F.lit("china"))
+            .otherwise(F.concat(F.lit("ent-"), tid.cast("string")))
+        )
+        ents.append(
+            t(spark, sf_dir, "documents").select(
+                "doc_id", F.lit(pos).alias("pos"),
+                name.alias("name"), tid.cast("int").alias("taxid"),
+            )
+        )
+    entities = ents[0].unionByName(ents[1]).unionByName(ents[2])
+    rules = [
+        {"name": "china", "id": 3034371, "ignore_children": False},
+        {"name": "clade-3", "id": 3, "ignore_children": True},
+        {"name": "ent-50", "id": 50, "ignore_children": False},
+    ]
+    kept = SD.apply_drop_rules(entities, rules, closure)
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "name", "taxid"))),
+                lambda s: F.concat(
+                    s.getField("name"), F.lit("|"), s.getField("taxid").cast("string")
+                ),
+            ),
+            ",",
+        ).alias("kept_csv"),
+    )
+
+
 def enrich_theta_contains(spark, sf_dir):
     part = t(spark, sf_dir, "part")
     patterns = part.select(F.lower(F.col("p_type")).alias("pattern")).distinct()
@@ -994,6 +1046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_theta_contains": enrich_theta_contains,
     "enrich_lineage_expand": enrich_lineage_expand,
     "enrich_reclassify": enrich_reclassify,
+    "enrich_drop_rules": enrich_drop_rules,
     "tpch_q1": tpch_q1,
     "tpch_q3_top10": tpch_q3_top10,
     "tpch_q5ish": tpch_q5ish,
