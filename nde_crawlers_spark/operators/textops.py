@@ -73,11 +73,35 @@ def _quality_from_stats(text_col: str) -> Column:
 
 def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document analysis: token count, predicted language, quality
-    score, fingerprint, simhash — three codegen'd aggregations (token
-    stats, 4-gram fingerprint, simhash votes) joined on the doc id."""
-    from .dedup import simhash16_agg, spread
+    score, fingerprint, simhash — TWO codegen'd aggregations joined on
+    the doc id: the token explode feeds ONE fused groupBy (token count +
+    per-language stopword hits + the 16 simhash bit votes share the same
+    exploded rows — one scan, one shuffle, map-side combined), and the
+    4-gram explode feeds the fingerprint min. Bit-identical to the
+    separate token_stats + simhash16_agg composition (oracle-verified)."""
+    from .dedup import spread
 
-    stats = token_stats(docs, id_col, text_col)
+    odd = "'1','3','5','7','9','b','d','f'"
+    ex = spread(docs).select(
+        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("t")
+    ).select(id_col, "t", F.md5("t").alias("h"))
+    aggs = [F.count("*").alias("n_tokens")]
+    for lang in TX.LANG_ORDER:
+        aggs.append(
+            F.sum(F.when(F.col("t").isin(*TX.LANG_STOPWORDS[lang]), 1).otherwise(0)).alias(f"s_{lang}")
+        )
+    aggs.append(F.sum(F.when(F.col("t").isin(*TX.EN_STOPWORDS), 1).otherwise(0)).alias("sw_hits"))
+    for b in range(16):
+        aggs.append(
+            F.sum(
+                F.when(F.expr(f"substring(h, {b + 1}, 1) in ({odd})"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+        )
+    stats = ex.groupBy(id_col).agg(*aggs)
+    simhash = sum(
+        [F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)],
+        F.lit(0),
+    )
     rowlocal = docs.select(
         F.col(id_col), F.col(text_col).alias("__text"),
         F.md5(F.lower(F.col(text_col))).alias("__fp_fallback"),
@@ -86,18 +110,24 @@ def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col), F.explode(TX.word_ngrams(TX.tokens(F.col(text_col)), 4)).alias("g")
     )
     fp = grams.groupBy(id_col).agg(F.min(F.md5(F.col("g"))).alias("__fp"))
-    sh = simhash16_agg(docs, id_col, text_col).withColumnRenamed("id", id_col)
     return (
-        rowlocal.join(stats, id_col)
+        rowlocal.join(stats, id_col, "left")
         .join(fp, id_col, "left")
-        .join(sh, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("int").alias("n_tokens"),
+            *[F.coalesce(F.col(f"s_{lg}"), F.lit(0)).alias(f"s_{lg}") for lg in TX.LANG_ORDER],
+            F.coalesce(F.col("sw_hits"), F.lit(0)).alias("sw_hits"),
+            simhash.cast("int").alias("simhash"),
+            F.col("__text"), F.col("__fp_fallback"), F.col("__fp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
             _lang_pred_from_stats().alias("lang_pred"),
             _quality_from_stats("__text").alias("quality"),
             F.coalesce(F.col("__fp"), F.col("__fp_fallback")).alias("fingerprint"),
-            F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"),
+            F.col("simhash"),
         )
     )
 
