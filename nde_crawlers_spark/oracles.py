@@ -901,6 +901,44 @@ SELECT doc_id, _id, CAST(len(doi) AS INTEGER) AS n_doi,
 FROM p
 """
 
+# mirror of queries.uploader_registry: per-source chains as CASE logic
+ORACLES["uploader_registry"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         upper(source) || ':REC:' || CAST(doc_id AS VARCHAR) AS _id,
+         CASE CAST(doc_id % 7 AS INTEGER)
+           WHEN 0 THEN CAST([] AS VARCHAR[])
+           WHEN 1 THEN ['none']
+           WHEN 6 THEN ['NONE']
+           WHEN 5 THEN ['10.5281/zen.' || CAST(doc_id % 997 AS VARCHAR),
+                        '10.999/alt.' || CAST(doc_id AS VARCHAR)]
+           ELSE ['10.5281/zen.' || CAST(doc_id % 997 AS VARCHAR)]
+         END AS doi,
+         ['Author-' || CAST(doc_id % 40 AS VARCHAR),
+          (['n/a','unknown','co-1','co-2','none','co-3'])[CAST(doc_id % 6 AS INTEGER) + 1]
+         ] AS authors
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source,
+    CASE WHEN source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) != 'none'
+         THEN doi[1] ELSE _id END AS _id,
+    CASE WHEN source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) = 'none'
+         THEN CAST([] AS VARCHAR[]) ELSE doi END AS doi,
+    CASE WHEN source IN ('src2', 'src3')
+         THEN list_filter(authors, a -> NOT list_contains(
+              ['n/a','na','unknown','not applicable','none','null','other'],
+              trim(lower(a))))
+         ELSE authors END AS authors
+  FROM d
+)
+SELECT doc_id, source, lower(_id) AS _id,
+       CAST(len(doi) AS INTEGER) AS n_doi,
+       coalesce(array_to_string(doi, ','), '') AS doi_csv,
+       coalesce(array_to_string(authors, ','), '') AS authors_csv
+FROM p
+"""
+
 ORACLES["setops_union_by_name"] = """
 WITH u AS (
   (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0)

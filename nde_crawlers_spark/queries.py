@@ -999,6 +999,45 @@ def nde_doi_promote(spark, sf_dir):
     )
 
 
+def uploader_registry(spark, sf_dir):
+    """The per-source uploader chains as data (uploaders.py): zenodo-like
+    sources (src0/src1) promote single DOIs into _id, geo-like sources
+    (src2/src3) scrub placeholder author entries, everyone casefolds the
+    _id — one dispatch over the source column, one unioned output."""
+    from .uploaders import run_uploader
+
+    did = F.col("doc_id")
+    doi_one = F.concat(F.lit("10.5281/zen."), (did % 997).cast("string"))
+    doi = (
+        F.when(did % 7 == 0, F.array().cast("array<string>"))
+        .when(did % 7 == 1, F.array(F.lit("none")))
+        .when(did % 7 == 6, F.array(F.lit("NONE")))
+        .when(did % 7 == 5, F.array(doi_one, F.concat(F.lit("10.999/alt."), did.cast("string"))))
+        .otherwise(F.array(doi_one))
+    )
+    a2name = F.element_at(
+        F.array(F.lit("n/a"), F.lit("unknown"), F.lit("co-1"),
+                F.lit("co-2"), F.lit("none"), F.lit("co-3")),
+        (did % 6).cast("int") + 1,
+    )
+    ent = lambda n: F.struct(n.alias("name"), F.lit(None).cast("string").alias("identifier"))  # noqa: E731
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.concat(F.upper("source"), F.lit(":REC:"), did.cast("string")).alias("_id"),
+        doi.alias("doi"),
+        F.array(ent(F.concat(F.lit("Author-"), (did % 40).cast("string"))), ent(a2name)).alias("author"),
+    )
+    out = run_uploader(docs)
+    return out.select(
+        "doc_id", "source", "_id",
+        F.size("doi").alias("n_doi"),
+        F.array_join("doi", ",").alias("doi_csv"),
+        F.array_join(
+            F.transform("author", lambda x: x.getField("name")), ","
+        ).alias("authors_csv"),
+    )
+
+
 def setops_union_by_name(spark, sf_dir):
     """Per-source stream union with missing columns (builder merge shape:
     unionByName(allowMissingColumns=True), SURVEY §2.8)."""
@@ -1063,5 +1102,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nde_quarantine_counts": nde_quarantine_counts,
     "nde_record_normalize": nde_record_normalize,
     "nde_doi_promote": nde_doi_promote,
+    "uploader_registry": uploader_registry,
     "setops_union_by_name": setops_union_by_name,
 }
