@@ -105,3 +105,76 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
 
     cols = media.select("media_ref", "media_kind", "payload")
     return cols.repartition(F.col("media_ref")).mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32,
+                  fake: bool = False) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas stage (1 row -> 1
+    row, image rows only). Decode/resample is STUBBED behind ``fake``
+    (PIL absent); the fake emits a deterministic payload of exactly
+    width*height bytes so downstream size invariants are testable. The
+    Spark-side plumbing — filter pushdown to image rows, batch shape,
+    binary output schema — is real."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize requires PIL (not in container); fake=True for the stub"
+                    )
+                seed = hashlib.sha256(bytes(payload)).digest()
+                out = (seed * (width * height // len(seed) + 1))[: width * height]
+                rows.append((ref, out, width, height))
+            yield pd.DataFrame(rows, columns=["media_ref", "payload", "width", "height"])
+
+    imgs = media.filter(F.col("media_kind") == "image").select("media_ref", "payload")
+    return imgs.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 4,
+                  fake: bool = False) -> DataFrame:
+    """Video frame sampling as a 1->N mapInPandas fan-out (one output row
+    per sampled frame, video rows only) — the multimodal analog of the
+    parse fan-out. ffmpeg is STUBBED behind ``fake``: the fake derives a
+    deterministic frame count (1..max_frames) and per-frame payload from
+    the source bytes, keeping the fan-out plumbing (row multiplication,
+    frame index/timestamp columns, binary payloads) real and tested."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "frame sampling requires ffmpeg (not in container); fake=True for the stub"
+                    )
+                seed = hashlib.sha256(bytes(payload)).digest()
+                n = 1 + seed[0] % max_frames
+                for i in range(n):
+                    fp = hashlib.sha256(seed + bytes([i])).digest()
+                    rows.append((ref, i, i * every_ms, fp))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "ts_ms", "payload"])
+
+    vids = media.filter(F.col("media_kind") == "video").select("media_ref", "payload")
+    return vids.mapInPandas(_frames, schema=FRAME_SCHEMA)

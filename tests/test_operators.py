@@ -257,3 +257,40 @@ def test_kmeans_codebook_and_ivf_recall(spark):
     }
     hits = sum(1 for k2 in exact if approx.get(k2) == exact[k2])
     assert hits / len(exact) >= 0.9  # in-cluster queries: near-total recall
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize (1->1, images only) and frame sampling (1->N fan-out,
+    videos only): stubbed decode, REAL Spark plumbing — schema, filters,
+    row multiplication, deterministic payload sizes."""
+    import pytest as _pytest
+
+    from nde_crawlers_spark.operators.multimodal import (
+        media_table_from_spans, resize_images, sample_frames,
+    )
+
+    media = media_table_from_spans(_mini_docs(spark)).cache()
+    kinds = {r["media_kind"] for r in media.select("media_kind").distinct().collect()}
+    assert "image" in kinds and "video" in kinds
+
+    with _pytest.raises(Exception):
+        resize_images(media, fake=False).collect()  # honest stub
+
+    rs = resize_images(media, width=8, height=4, fake=True).collect()
+    assert len(rs) == media.filter(F.col("media_kind") == "image").count()
+    assert all(len(r["payload"]) == 32 for r in rs)
+
+    fr = sample_frames(media, every_ms=500, max_frames=3, fake=True)
+    rows = fr.collect()
+    n_videos = media.filter(F.col("media_kind") == "video").count()
+    assert len(rows) >= n_videos  # 1..3 frames per video
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_ref"], []).append((r["frame_idx"], r["ts_ms"]))
+    for ref, frames in per.items():
+        idxs = sorted(i for i, _ in frames)
+        assert idxs == list(range(len(idxs)))          # dense frame indices
+        assert all(ts == i * 500 for i, ts in frames)  # timestamps stride
+    # determinism: same fan-out on a second run
+    assert fr.count() == len(rows)
+    media.unpersist()
