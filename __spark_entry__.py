@@ -111,13 +111,13 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = gated.select(
         F.col("_id"),
         F.col("name"),
-        F.element_at(F.col("author"), 1).getField("name").alias("author"),
+        F.try_element_at(F.col("author"), F.lit(1)).getField("name").alias("author"),
         W.add_date(F.col("datePublished")).alias("date"),
         F.size("keywords").alias("n_keywords"),
         F.size("distribution").alias("n_media"),
         W.completeness_score(
             required=[F.col("name"), F.col("datePublished")],
-            recommended=[F.col("description"), F.element_at(F.col("author"), 1).getField("name")],
+            recommended=[F.col("description"), F.try_element_at(F.col("author"), F.lit(1)).getField("name")],
         ).alias("score"),
         F.col("description").alias("text"),
     )

@@ -36,14 +36,18 @@ def spread(df: DataFrame) -> DataFrame:
     >> defaultParallelism splits and this is a no-op; the repartition only
     fires for pathological inputs, where its cost is trivial."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    # Probe the scan's file list, not df.rdd.getNumPartitions(): the RDD
-    # probe forces a conversion of the analyzed plan per call (a repeated
-    # driver-side cost the round-1 audit flagged). inputFiles() is driver
-    # metadata only — no job. Few-files == few scan splits is the exact
-    # pathology this guard exists for; at corpus scale (thousands of
-    # files) it's a no-op, and non-scan inputs (len 0) are left alone.
+    # Two-stage probe. inputFiles() is free driver metadata; when the scan
+    # already has >= target files it certainly has >= target splits and we
+    # short-circuit — this is the only path that runs at corpus scale, so
+    # the plan->RDD conversion cost (flagged in the round-1 audit) never
+    # recurs there. Only when the file count is low (or zero: in-memory /
+    # streaming inputs, which inputFiles() can't see) do we pay the exact
+    # partition probe — and a large splittable file that already scans as
+    # >= target splits is then correctly left alone.
     nfiles = len(df.inputFiles())
-    if 0 < nfiles < target:
+    if nfiles >= target:
+        return df
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

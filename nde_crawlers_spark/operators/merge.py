@@ -142,7 +142,15 @@ def apply_merge_directives(
             catalog_col,
             F.when(
                 F.col("__gain").isNotNull(),
-                F.array_distinct(F.concat(F.col(catalog_col), F.col("__gain"))),
+                # keeper's array coalesced first: a NULL-catalog winner must
+                # still KEEP the absorbed loser entries (concat(NULL, x) is
+                # NULL and would silently drop them)
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col(catalog_col), F.array().cast(docs.schema[catalog_col].dataType)),
+                        F.col("__gain"),
+                    )
+                ),
             ).otherwise(F.col(catalog_col)),
         )
         .drop("__gain")

@@ -152,8 +152,12 @@ def schema_violation_nde(
             catalog_col,
             lambda e: e.getField("archivedAt").isNull() | (e.getField("archivedAt") == ""),
         )
+        # NULL catalog must be caught explicitly: F.size(NULL) and
+        # F.exists(NULL, ...) both yield NULL, so without the isNull()
+        # disjunct a null-catalog record would sail through as valid —
+        # check_schema (utils/utils.py:117) asserts the field is present.
         v = v.when(
-            (F.size(catalog_col) == 0) | missing_archived,
+            catalog_col.isNull() | (F.size(catalog_col) == 0) | missing_archived,
             F.lit("missing_included_in_data_catalog_archived_at"),
         )
     v = v.when(
@@ -206,7 +210,8 @@ def spans_to_nde(docs: DataFrame, catalog_name: str = "nde-spark") -> DataFrame:
 
     def first_text(kind: str) -> Column:
         hits = F.filter(s, lambda e: e.getField("kind") == kind)
-        return F.element_at(hits, 1).getField("text")
+        # NULL when the kind is absent (try_: no ANSI error on empty)
+        return F.try_element_at(hits, F.lit(1)).getField("text")
 
     media_refs = F.transform(
         F.filter(s, lambda e: e.getField("kind") == "media"),

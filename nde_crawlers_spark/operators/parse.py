@@ -219,7 +219,9 @@ def spans_to_fields(docs: DataFrame) -> DataFrame:
 
     def first_text(kind: str) -> F.Column:
         hits = F.filter(s, lambda e: e.getField("kind") == kind)
-        return F.coalesce(F.element_at(hits, 1).getField("text"), F.lit(""))
+        # try_element_at: NULL (not an ANSI error) when no span of the
+        # kind exists — the coalesce supplies the empty default
+        return F.coalesce(F.try_element_at(hits, F.lit(1)).getField("text"), F.lit(""))
 
     def all_of(kind: str, field: str) -> F.Column:
         return F.transform(

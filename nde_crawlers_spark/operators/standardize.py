@@ -9,8 +9,9 @@ misclassified entries between the two fields
 1. species + infectiousAgent entries are processed as ONE combined list
    (order: species first, then agents — pubtator.py:862),
 2. each entry is standardized via the lookup; entries the lookup does
-   not know pass through unchanged and default to the species side
-   (process_section leaves them without a classification),
+   not know pass through unchanged and KEEP their original side
+   (process_section leaves them without a classification, so a curated
+   entry already on the infectiousAgent side stays there),
 3. the combined list is re-split by classification — this is what moves
    a virus mislabeled as species into infectiousAgent, and a host
    mislabeled as agent back into species,
@@ -98,9 +99,15 @@ def reclassify_species(
             id_col, "pos", "orig_name",
             F.coalesce(F.col("std_name"), F.col("orig_name")).alias("name"),
             F.coalesce(F.col("std_identifier"), F.col("orig_ident")).alias("identifier"),
-            # unmatched entries carry no classification -> species side,
-            # mirroring process_section's pass-through
-            F.coalesce(F.col("classification"), F.lit("host")).alias("classification"),
+            # unmatched entries pass through UNCHANGED, keeping their
+            # ORIGINAL side (pubtator.py process_section leaves them
+            # without a classification, so the re-split keeps curated
+            # infectiousAgent entries on the agent side): the pos encoding
+            # carries the side (tag*100000 + pos).
+            F.coalesce(
+                F.col("classification"),
+                F.when(F.col("pos") >= 100000, F.lit("infectiousAgent")).otherwise(F.lit("host")),
+            ).alias("classification"),
         )
     )
     agents = std.filter(F.col("classification") == "infectiousAgent")

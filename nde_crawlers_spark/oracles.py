@@ -505,7 +505,10 @@ WITH d AS (
   SELECT doc_id, source,
          source || ':' || CAST(doc_id AS VARCHAR) AS _id,
          [upper(source) || ':' || CAST(doc_id AS VARCHAR),
-          'SRC' || CAST((doc_id + 1) % 20 AS VARCHAR) || ':' || CAST((doc_id * 7) % 500 AS VARCHAR)] AS identifiers
+          'SRC' || CAST((doc_id + 1) % 20 AS VARCHAR) || ':' || CAST((doc_id * 7) % 500 AS VARCHAR)]
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ['SRC' || CAST((doc_id + 1) % 20 AS VARCHAR) || ':' || CAST((doc_id + 21) % 500 AS VARCHAR)]
+                 ELSE [] END AS identifiers
   FROM documents
 ),
 ex AS (
@@ -533,7 +536,7 @@ GROUP BY r.r_name
 
 ORACLES["enrich_cache_miss"] = """
 SELECT DISTINCT l_suppkey AS suppkey FROM lineitem
-WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 != 0)
 """
 
 ORACLES["enrich_explode_collect"] = """
@@ -572,6 +575,8 @@ std AS (
          WHEN kind = 'o' THEN 'tax:' || CAST(1000 + n AS VARCHAR)
          ELSE 'tax:' || CAST(3000 + n AS VARCHAR) END AS identifier,
     CASE WHEN kind = 'o' AND n < 24 AND n % 3 = 0 THEN 'infectiousAgent'
+         WHEN kind = 'o' AND n < 24 THEN 'host'
+         WHEN pos >= 100000 THEN 'infectiousAgent'
          ELSE 'host' END AS classification
   FROM entries
 ),

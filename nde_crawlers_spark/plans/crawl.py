@@ -110,30 +110,48 @@ class CrawlRun:
         return os.path.join(self.run_dir, "_LOCK")
 
     def _acquire_lock(self) -> None:
-        while True:
-            try:
-                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    json.dump({"pid": os.getpid(), "acquired_at": time.time()}, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                return
-            except FileExistsError:
+        """Create-or-reclaim under an flock'd guard file.
+
+        The naive unlink/recreate reclaim has a race: two processes that
+        both read the same dead pid both unlink — A can unlink the FRESH
+        lock B just created, and two runs proceed concurrently. The whole
+        examine/reclaim/create sequence therefore runs inside an
+        exclusive flock on a persistent sidecar (never unlinked, so its
+        inode is stable and the classic flock-then-unlink race can't
+        occur). Liveness semantics are unchanged: the lock file records
+        the holder's pid; dead pid == stale == reclaimed."""
+        import fcntl
+
+        guard = os.open(self._lock_path + ".guard", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(guard, fcntl.LOCK_EX)  # short critical section
+            while True:
                 try:
-                    with open(self._lock_path) as f:
-                        holder = json.load(f)
-                    pid = int(holder.get("pid", -1))
-                except (OSError, ValueError):
-                    pid = -1  # unreadable/corrupt lock -> treat as stale
-                if pid > 0 and self._pid_alive(pid):
-                    raise ConcurrentRunError(
-                        f"run_dir {self.run_dir} is locked by live pid {pid}"
-                    )
-                # stale (dead holder): reclaim
-                try:
-                    os.unlink(self._lock_path)
-                except FileNotFoundError:
-                    pass
+                    fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    with os.fdopen(fd, "w") as f:
+                        json.dump({"pid": os.getpid(), "acquired_at": time.time()}, f)
+                        f.flush()
+                        os.fsync(f.fileno())
+                    return
+                except FileExistsError:
+                    try:
+                        with open(self._lock_path) as f:
+                            holder = json.load(f)
+                        pid = int(holder.get("pid", -1))
+                    except (OSError, ValueError):
+                        pid = -1  # unreadable/corrupt lock -> treat as stale
+                    if pid > 0 and self._pid_alive(pid):
+                        raise ConcurrentRunError(
+                            f"run_dir {self.run_dir} is locked by live pid {pid}"
+                        )
+                    # stale (dead holder): reclaim — safe, we hold the guard
+                    try:
+                        os.unlink(self._lock_path)
+                    except FileNotFoundError:
+                        pass
+        finally:
+            fcntl.flock(guard, fcntl.LOCK_UN)
+            os.close(guard)
 
     @staticmethod
     def _pid_alive(pid: int) -> bool:

@@ -318,14 +318,30 @@ def merge_identifier_dedup(spark, sf_dir):
     normalize each doc's identifier array with lower(), equi-join the
     exploded identifiers against the OTHER sources' primary _ids, and
     emit (loser_id, winner_id) merge directives — the Mongo $lookup
-    pipeline as an explode + equi-join."""
+    pipeline as an explode + equi-join.
+
+    The fixture exercises all three paths of builder.py:226-272: a
+    same-source identifier (filtered by the cross-source guard), a
+    dangling identifier (no _id match), and — for every third doc — a
+    PLANTED cross-source collision: doc d carries the _id of doc
+    (d+21) % 500, which lives in source src_{(d+1)%20} != src_{d%20},
+    so the match path emits a real directive (the round-2 fixture
+    never matched and passed vacuously on zero rows)."""
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.lit("SRC"), ((did + 1) % 20).cast("string"),
+        F.lit(":"), ((did + 21) % 500).cast("string"),
+    )
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "source",
-        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string")).alias("_id"),
-        F.array(
-            F.concat(F.upper("source"), F.lit(":"), F.col("doc_id").cast("string")),
-            F.concat(F.lit("SRC"), ((F.col("doc_id") + 1) % 20).cast("string"),
-                     F.lit(":"), ((F.col("doc_id") * 7) % 500).cast("string")),
+        F.concat(F.col("source"), F.lit(":"), did.cast("string")).alias("_id"),
+        F.concat(
+            F.array(
+                F.concat(F.upper("source"), F.lit(":"), did.cast("string")),
+                F.concat(F.lit("SRC"), ((did + 1) % 20).cast("string"),
+                         F.lit(":"), ((did * 7) % 500).cast("string")),
+            ),
+            F.when(did % 3 == 0, F.array(planted)).otherwise(F.array().cast("array<string>")),
         ).alias("identifiers"),
     )
     exploded = docs.select(
@@ -398,8 +414,18 @@ def enrich_broadcast_lookup(spark, sf_dir):
 
 
 def enrich_cache_miss(spark, sf_dir):
+    """The memo-cache miss set (utils/pmid_helper.py:770-771): keys this
+    batch needs that the cache does not yet hold. The cache is the
+    supplier table minus every third key, so the anti-join's MATCH path
+    (cached keys dropped) and MISS path (uncached keys emitted) are both
+    genuinely exercised — a full cache would make the query pass
+    vacuously on zero rows."""
     li = t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("suppkey"))
-    sup = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("suppkey"))
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 != 0)
+        .select(F.col("s_suppkey").alias("suppkey"))
+    )
     return EN.cache_misses(li, sup, "suppkey")
 
 

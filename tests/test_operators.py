@@ -294,3 +294,62 @@ def test_multimodal_resize_and_frame_sample(spark):
     # determinism: same fan-out on a second run
     assert fr.count() == len(rows)
     media.unpersist()
+
+
+def test_null_catalog_is_quarantined(spark):
+    """ADVICE r2: a record whose includedInDataCatalog is NULL must be
+    quarantined (check_schema utils/utils.py:117 asserts presence) —
+    F.size(NULL)/F.exists(NULL, ..) are NULL, so the gate needs the
+    explicit isNull() disjunct."""
+    from nde_crawlers_spark.operators.nde_schema import schema_violation_nde
+
+    df = spark.createDataFrame(
+        [
+            ("Dataset", "https://x.org/1", "Open", None),
+            ("Dataset", "https://x.org/2", "Open", []),
+            ("Dataset", "https://x.org/3", "Open", [("cat", "u", "u")]),
+            ("Dataset", "https://x.org/4", "Open", [("cat", "u", None)]),
+        ],
+        "type string, url string, access string, "
+        "includedInDataCatalog array<struct<name:string,url:string,archivedAt:string>>",
+    )
+    v = schema_violation_nde(
+        F.col("type"), F.col("url"), F.col("access"), F.col("includedInDataCatalog")
+    )
+    got = [r[0] for r in df.select(v).collect()]
+    miss = "missing_included_in_data_catalog_archived_at"
+    assert got == [miss, miss, None, miss]
+
+
+def test_merge_directives_null_keeper_catalog(spark):
+    """ADVICE r2: a keeper with a NULL catalog array must still absorb
+    the loser's entries (concat(NULL, gain) is NULL and would silently
+    drop them)."""
+    from nde_crawlers_spark.operators.merge import apply_merge_directives
+
+    docs = spark.createDataFrame(
+        [
+            ("k", None),
+            ("l", [("src1", "u1", "u1")]),
+            ("x", [("src2", "u2", "u2")]),
+        ],
+        "doc_id string, includedInDataCatalog array<struct<name:string,url:string,archivedAt:string>>",
+    )
+    directives = spark.createDataFrame([("k", "l")], "keep_id string, drop_id string")
+    out = {r["doc_id"]: r["includedInDataCatalog"]
+           for r in apply_merge_directives(docs, directives).collect()}
+    assert set(out) == {"k", "x"}                       # loser deleted
+    assert [e["name"] for e in out["k"]] == ["src1"]    # gain kept, not NULLed
+
+
+def test_spread_non_file_input(spark):
+    """ADVICE r2: spread() must also widen non-file inputs
+    (createDataFrame has no inputFiles, but a single-partition frame is
+    exactly the pathology the guard targets)."""
+    from nde_crawlers_spark.operators.dedup import spread
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int").coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    widened = spread(df)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.count() == 10
