@@ -906,9 +906,25 @@ SELECT doc_id, _id, CAST(len(doi) AS INTEGER) AS n_doi,
 FROM p
 """
 
-# mirror of queries.uploader_registry: per-source chains as CASE logic
+# mirror of queries.uploader_registry: the full registry dispatch — doi
+# promote (zenodo), placeholder scrub (geo), PubTator reclassification +
+# funder lookup (immport), lineage annotation (ncbi_sra), NER drop rules
+# (pubtator) — with family CTEs restricted to their sources and the
+# same renderings
 ORACLES["uploader_registry"] = """
-WITH d AS (
+WITH RECURSIVE tax AS (
+  SELECT CAST(t AS INTEGER) AS taxon,
+         CASE WHEN t = 1 THEN NULL ELSE CAST(greatest(t // 7, 1) AS INTEGER) END AS parent
+  FROM range(1, 201) r(t)
+),
+anc AS (
+  SELECT taxon, taxon AS member FROM tax
+  UNION
+  SELECT a.taxon, x.parent AS member
+  FROM anc a JOIN tax x ON a.member = x.taxon
+  WHERE x.parent IS NOT NULL AND x.parent != a.member
+),
+d AS (
   SELECT doc_id, source,
          upper(source) || ':REC:' || CAST(doc_id AS VARCHAR) AS _id,
          CASE CAST(doc_id % 7 AS INTEGER)
@@ -921,27 +937,151 @@ WITH d AS (
          END AS doi,
          ['Author-' || CAST(doc_id % 40 AS VARCHAR),
           (['n/a','unknown','co-1','co-2','none','co-3'])[CAST(doc_id % 6 AS INTEGER) + 1]
-         ] AS authors
+         ] AS authors,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE 'grant:' || CAST((doc_id * 3) % 89 AS VARCHAR) END AS funding_id,
+         CAST(doc_id % 30 AS INTEGER) AS n1,
+         CAST((doc_id * 7) % 30 AS INTEGER) AS n2,
+         CAST((doc_id * 11) % 30 AS INTEGER) AS n3
   FROM documents
 ),
+-- immport family (src4/src5): PubTator reclassification
+entries AS (
+  SELECT doc_id, 0 AS pos, n1 AS n, 'o' AS kind FROM d WHERE source IN ('src4','src5')
+  UNION ALL
+  SELECT doc_id, 1, n2, 'o' FROM d WHERE source IN ('src4','src5')
+  UNION ALL
+  SELECT doc_id, 2, n3, 't' FROM d WHERE source IN ('src4','src5') AND doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 100000, n3, 'o' FROM d WHERE source IN ('src4','src5')
+),
+std AS (
+  SELECT doc_id, pos,
+    CASE WHEN kind = 'o' THEN 'organism-' || CAST(n AS VARCHAR)
+         ELSE 'taxon-' || CAST(n AS VARCHAR) END AS orig_name,
+    CASE WHEN kind = 'o' AND n < 24 THEN 'taxon-' || CAST(n AS VARCHAR)
+         WHEN kind = 'o' THEN 'organism-' || CAST(n AS VARCHAR)
+         ELSE 'taxon-' || CAST(n AS VARCHAR) END AS name,
+    CASE WHEN kind = 'o' AND n < 24 THEN 'tax:' || CAST(2000 + n AS VARCHAR)
+         WHEN kind = 'o' THEN 'tax:' || CAST(1000 + n AS VARCHAR)
+         ELSE 'tax:' || CAST(3000 + n AS VARCHAR) END AS identifier,
+    CASE WHEN kind = 'o' AND n < 24 AND n % 3 = 0 THEN 'infectiousAgent'
+         WHEN kind = 'o' AND n < 24 THEN 'host'
+         WHEN pos >= 100000 THEN 'infectiousAgent'
+         ELSE 'host' END AS classification
+  FROM entries
+),
+conv AS (
+  SELECT DISTINCT doc_id, unnest([orig_name, name]) AS cname
+  FROM std WHERE classification = 'infectiousAgent'
+),
+sp AS (
+  SELECT s.* FROM std s
+  WHERE s.classification != 'infectiousAgent'
+    AND NOT EXISTS (SELECT 1 FROM conv c WHERE c.doc_id = s.doc_id AND c.cname = s.name)
+),
+ag AS (SELECT * FROM std WHERE classification = 'infectiousAgent'),
+spd AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, identifier ORDER BY pos) AS rn FROM sp
+) WHERE rn = 1),
+agd AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, identifier ORDER BY pos) AS rn FROM ag
+) WHERE rn = 1),
+spg AS (
+  SELECT doc_id, string_agg(name || '|' || identifier, ',' ORDER BY pos) AS species_csv
+  FROM spd GROUP BY doc_id
+),
+agg_ AS (
+  SELECT doc_id, string_agg(name || '|' || identifier, ',' ORDER BY pos) AS agents_csv
+  FROM agd GROUP BY doc_id
+),
+-- ncbi_sra family (src6/src7): lineage annotation
+lex AS (
+  SELECT doc_id,
+         unnest(list_distinct([CAST(1 + doc_id % 200 AS INTEGER),
+                               CAST(1 + (doc_id * 3) % 200 AS INTEGER)])) AS taxon
+  FROM d WHERE source IN ('src6','src7')
+),
+lhits AS (SELECT DISTINCT e.doc_id, a.member FROM lex e JOIN anc a USING (taxon)),
+lentries AS (SELECT h.doc_id, h.member, t2.parent FROM lhits h JOIN tax t2 ON h.member = t2.taxon),
+lin AS (
+  SELECT doc_id,
+         string_agg(CAST(member AS VARCHAR) || '>' || CAST(coalesce(parent, 0) AS VARCHAR),
+                    ',' ORDER BY member) AS lineage_csv
+  FROM lentries GROUP BY doc_id
+),
+-- pubtator-NER family (src8/src9): heuristic drop rules
+ne AS (
+  SELECT doc_id, 0 AS pos,
+         'ent-' || CAST(1 + doc_id % 200 AS VARCHAR) AS name,
+         CAST(1 + doc_id % 200 AS INTEGER) AS taxid FROM d WHERE source IN ('src8','src9')
+  UNION ALL
+  SELECT doc_id, 1,
+         CASE WHEN doc_id % 9 = 0 THEN 'china'
+              ELSE 'ent-' || CAST(1 + (doc_id * 3) % 200 AS VARCHAR) END,
+         CAST(1 + (doc_id * 3) % 200 AS INTEGER) FROM d WHERE source IN ('src8','src9')
+  UNION ALL
+  SELECT doc_id, 2,
+         'ent-' || CAST(1 + (doc_id * 11) % 200 AS VARCHAR),
+         CAST(1 + (doc_id * 11) % 200 AS INTEGER) FROM d WHERE source IN ('src8','src9')
+),
+desc3 AS (SELECT DISTINCT taxon AS taxid FROM anc WHERE member = 3 AND taxon != 3),
+nkept AS (
+  SELECT * FROM ne
+  WHERE NOT (lower(trim(name)) IN ('china', 'clade-3', 'ent-50')
+             OR taxid IN (3034371, 3, 50))
+    AND taxid NOT IN (SELECT taxid FROM desc3)
+),
+keptg AS (
+  SELECT doc_id, string_agg(name || '|' || CAST(taxid AS VARCHAR), ',' ORDER BY pos) AS ner_csv
+  FROM nkept GROUP BY doc_id
+),
+-- row-local stages (doi promote, placeholder scrub) + original renderings
 p AS (
-  SELECT doc_id, source,
-    CASE WHEN source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) != 'none'
+  SELECT d.doc_id, d.source, d.funding_id, d.n1, d.n2, d.n3,
+    CASE WHEN d.source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) != 'none'
          THEN doi[1] ELSE _id END AS _id,
-    CASE WHEN source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) = 'none'
+    CASE WHEN d.source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) = 'none'
          THEN CAST([] AS VARCHAR[]) ELSE doi END AS doi,
-    CASE WHEN source IN ('src2', 'src3')
+    CASE WHEN d.source IN ('src2', 'src3')
          THEN list_filter(authors, a -> NOT list_contains(
               ['n/a','na','unknown','not applicable','none','null','other'],
               trim(lower(a))))
          ELSE authors END AS authors
   FROM d
 )
-SELECT doc_id, source, lower(_id) AS _id,
-       CAST(len(doi) AS INTEGER) AS n_doi,
-       coalesce(array_to_string(doi, ','), '') AS doi_csv,
-       coalesce(array_to_string(authors, ','), '') AS authors_csv
+SELECT p.doc_id, p.source, lower(p._id) AS _id,
+       CAST(len(p.doi) AS INTEGER) AS n_doi,
+       coalesce(array_to_string(p.doi, ','), '') AS doi_csv,
+       coalesce(array_to_string(p.authors, ','), '') AS authors_csv,
+       CASE WHEN p.source IN ('src4','src5') THEN coalesce(spg.species_csv, '')
+            ELSE 'organism-' || CAST(p.n1 AS VARCHAR) || '|tax:' || CAST(1000 + p.n1 AS VARCHAR)
+                 || ',organism-' || CAST(p.n2 AS VARCHAR) || '|tax:' || CAST(1000 + p.n2 AS VARCHAR)
+                 || CASE WHEN p.doc_id % 4 = 0
+                         THEN ',taxon-' || CAST(p.n3 AS VARCHAR) || '|tax:' || CAST(3000 + p.n3 AS VARCHAR)
+                         ELSE '' END
+       END AS species_csv,
+       CASE WHEN p.source IN ('src4','src5') THEN coalesce(agg_.agents_csv, '')
+            ELSE 'organism-' || CAST(p.n3 AS VARCHAR) || '|tax:' || CAST(1000 + p.n3 AS VARCHAR)
+       END AS agents_csv,
+       CASE WHEN p.source IN ('src6','src7') THEN coalesce(lin.lineage_csv, '')
+            ELSE '' END AS lineage_csv,
+       CASE WHEN p.source IN ('src8','src9') THEN coalesce(keptg.ner_csv, '')
+            ELSE 'ent-' || CAST(1 + p.doc_id % 200 AS VARCHAR) || '|' || CAST(1 + p.doc_id % 200 AS VARCHAR)
+                 || ',' || (CASE WHEN p.doc_id % 9 = 0 THEN 'china'
+                                 ELSE 'ent-' || CAST(1 + (p.doc_id * 3) % 200 AS VARCHAR) END)
+                 || '|' || CAST(1 + (p.doc_id * 3) % 200 AS VARCHAR)
+                 || ',ent-' || CAST(1 + (p.doc_id * 11) % 200 AS VARCHAR)
+                 || '|' || CAST(1 + (p.doc_id * 11) % 200 AS VARCHAR)
+       END AS ner_csv,
+       CASE WHEN p.source IN ('src4','src5') AND p.funding_id IS NOT NULL
+            THEN 'funder-' || CAST(((p.doc_id * 3) % 89) % 7 AS VARCHAR)
+            ELSE '' END AS funder
 FROM p
+LEFT JOIN spg ON p.doc_id = spg.doc_id
+LEFT JOIN agg_ ON p.doc_id = agg_.doc_id
+LEFT JOIN lin ON p.doc_id = lin.doc_id
+LEFT JOIN keptg ON p.doc_id = keptg.doc_id
 """
 
 ORACLES["setops_union_by_name"] = """

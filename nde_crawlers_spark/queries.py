@@ -1025,13 +1025,14 @@ def nde_doi_promote(spark, sf_dir):
     )
 
 
-def uploader_registry(spark, sf_dir):
-    """The per-source uploader chains as data (uploaders.py): zenodo-like
-    sources (src0/src1) promote single DOIs into _id, geo-like sources
-    (src2/src3) scrub placeholder author entries, everyone casefolds the
-    _id — one dispatch over the source column, one unioned output."""
-    from .uploaders import run_uploader
-
+def _uploader_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-shaped records carrying every registry stage's input
+    columns, derived deterministically from ``documents`` (the identical
+    derivation lives in the oracle SQL): doi arrays (zenodo), author
+    entities with placeholder candidates (geo), species/infectiousAgent
+    entries (immport reclassification), taxids (ncbi_sra lineage), NER
+    entities (pubtator drop rules), and a sometimes-NULL funding id
+    (immport funder lookup)."""
     did = F.col("doc_id")
     doi_one = F.concat(F.lit("10.5281/zen."), (did % 997).cast("string"))
     doi = (
@@ -1046,14 +1047,102 @@ def uploader_registry(spark, sf_dir):
                 F.lit("co-2"), F.lit("none"), F.lit("co-3")),
         (did % 6).cast("int") + 1,
     )
-    ent = lambda n: F.struct(n.alias("name"), F.lit(None).cast("string").alias("identifier"))  # noqa: E731
-    docs = t(spark, sf_dir, "documents").select(
+    aent = lambda n: F.struct(n.alias("name"), F.lit(None).cast("string").alias("identifier"))  # noqa: E731
+    n1, n2, n3 = did % 30, (did * 7) % 30, (did * 11) % 30
+
+    def sent(n, base):
+        return F.struct(
+            F.concat(F.lit("organism-"), n.cast("string")).alias("name"),
+            F.concat(F.lit("tax:"), (base + n).cast("string")).alias("identifier"),
+        )
+
+    s3 = F.struct(
+        F.concat(F.lit("taxon-"), n3.cast("string")).alias("name"),
+        F.concat(F.lit("tax:"), (3000 + n3).cast("string")).alias("identifier"),
+    )
+    empty_ent = "array<struct<name:string,identifier:string>>"
+    tids = [(1 + did % 200), (1 + (did * 3) % 200), (1 + (did * 11) % 200)]
+    ner_entries = []
+    for pos, tid in enumerate(tids):
+        name = (
+            F.when((did % 9 == 0) & (F.lit(pos) == 1), F.lit("china"))
+            .otherwise(F.concat(F.lit("ent-"), tid.cast("string")))
+        )
+        ner_entries.append(F.struct(name.alias("name"), tid.cast("int").alias("taxid")))
+    return t(spark, sf_dir, "documents").select(
         "doc_id", "source",
         F.concat(F.upper("source"), F.lit(":REC:"), did.cast("string")).alias("_id"),
         doi.alias("doi"),
-        F.array(ent(F.concat(F.lit("Author-"), (did % 40).cast("string"))), ent(a2name)).alias("author"),
+        F.array(aent(F.concat(F.lit("Author-"), (did % 40).cast("string"))), aent(a2name)).alias("author"),
+        F.concat(
+            F.array(sent(n1, 1000), sent(n2, 1000)),
+            F.when(did % 4 == 0, F.array(s3)).otherwise(F.array().cast(empty_ent)),
+        ).alias("species"),
+        F.array(sent(n3, 1000)).alias("infectiousAgent"),
+        F.array_distinct(F.array(tids[0].cast("int"), tids[1].cast("int"))).alias("taxids"),
+        F.array(*ner_entries).alias("ner"),
+        F.when(did % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("grant:"), ((did * 3) % 89).cast("string"))).alias("funding_id"),
     )
-    out = run_uploader(docs)
+
+
+def _uploader_lookups(spark: SparkSession):
+    """The registry's shared enrichment inputs: the PubTator species
+    lookup, the taxonomy closure, the NER drop rules, and the funder
+    memo table — all small broadcast-side dims."""
+    from .operators import lineage as LN
+
+    species_lookup = spark.range(0, 24).select(
+        F.concat(F.lit("organism-"), F.col("id").cast("string")).alias("name_lc"),
+        F.concat(F.lit("taxon-"), F.col("id").cast("string")).alias("std_name"),
+        F.concat(F.lit("tax:"), (2000 + F.col("id")).cast("string")).alias("std_identifier"),
+        F.when(F.col("id") % 3 == 0, F.lit("infectiousAgent")).otherwise(F.lit("host")).alias("classification"),
+    )
+    tax = spark.range(1, 201).select(
+        F.col("id").cast("int").alias("taxon"),
+        F.when(F.col("id") == 1, F.lit(None))
+        .otherwise(F.greatest(F.floor(F.col("id") / 7), F.lit(1)))
+        .cast("int")
+        .alias("parent_taxon"),
+    )
+    closure = LN.taxonomy_closure(tax)
+    ner_rules = [
+        {"name": "china", "id": 3034371, "ignore_children": False},
+        {"name": "clade-3", "id": 3, "ignore_children": True},
+        {"name": "ent-50", "id": 50, "ignore_children": False},
+    ]
+    funding_lookup = spark.range(0, 89).select(
+        F.concat(F.lit("grant:"), F.col("id").cast("string")).alias("funding_id"),
+        F.concat(F.lit("funder-"), (F.col("id") % 7).cast("string")).alias("funder_name"),
+    )
+    return species_lookup, closure, ner_rules, funding_lookup
+
+
+def uploader_registry(spark, sf_dir):
+    """The per-source uploader chains as data (uploaders.py), with the
+    HEAVY enrichment operators dispatched as registry stages: zenodo
+    sources (src0/1) promote DOIs into _id, geo sources (src2/3) scrub
+    placeholder authors, immport sources (src4/5) run the full PubTator
+    reclassification + funder lookup, ncbi_sra sources (src6/7) get
+    taxonomy lineage annotation, pubtator-NER sources (src8/9) get the
+    heuristic drop rules, and everyone casefolds the _id. Row-local
+    stages are when()-dispatched (one scan for all 20 sources); each
+    operator stage costs one subset + one join regardless of #sources."""
+    from .uploaders import run_uploader
+
+    docs = _uploader_fixture(spark, sf_dir)
+    species_lookup, closure, ner_rules, funding_lookup = _uploader_lookups(spark)
+    out = run_uploader(
+        docs,
+        species_lookup=species_lookup,
+        closure=closure,
+        ner_rules=ner_rules,
+        funding_lookup=funding_lookup,
+    )
+    rend = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: F.concat(x.getField("name"), F.lit("|"), x.getField("identifier"))),
+        ",",
+    )
     return out.select(
         "doc_id", "source", "_id",
         F.size("doi").alias("n_doi"),
@@ -1061,6 +1150,26 @@ def uploader_registry(spark, sf_dir):
         F.array_join(
             F.transform("author", lambda x: x.getField("name")), ","
         ).alias("authors_csv"),
+        rend("species").alias("species_csv"),
+        rend("infectiousAgent").alias("agents_csv"),
+        F.array_join(
+            F.transform(
+                "_meta_lineage",
+                lambda e: F.concat(
+                    e.getField("taxon").cast("string"), F.lit(">"),
+                    F.coalesce(e.getField("parent_taxon"), F.lit(0)).cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("lineage_csv"),
+        F.array_join(
+            F.transform(
+                "ner",
+                lambda x: F.concat(x.getField("name"), F.lit("|"), x.getField("taxid").cast("string")),
+            ),
+            ",",
+        ).alias("ner_csv"),
+        F.coalesce(F.col("funder_name"), F.lit("")).alias("funder"),
     )
 
 

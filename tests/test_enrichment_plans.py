@@ -169,3 +169,78 @@ def test_lineage_closure_iterates_taxonomy_not_corpus(spark):
     assert [e["taxon"] for e in rows[10]] == [1, 2, 3, 4, 5]
     assert [e["taxon"] for e in rows[11]] == [1, 2, 3]
     assert rows[12] == []  # unknown taxid -> empty lineage
+
+
+def test_uploader_plan_scans_independent_of_sources(spark):
+    """The registry dispatch's scan count is bounded by the number of
+    OPERATOR-STAGE KINDS (base + reclassify/lineage/drop-rule subsets),
+    never by the number of registered sources: row-local stages
+    (doi promote, placeholder, casefold) are when()-dispatched columns,
+    and the funder lookup is a broadcast join on the main frame. A
+    registry twice the size must produce the identical physical scan
+    count (the round-2 design built a filter-union branch per source)."""
+    import re
+
+    from nde_crawlers_spark.queries import _uploader_fixture, _uploader_lookups
+    from nde_crawlers_spark.uploaders import UPLOADERS, UploaderSpec, run_uploader
+
+    docs = _uploader_fixture(spark, SF001)
+    lookups = _uploader_lookups(spark)
+
+    def n_scans(registry):
+        out = run_uploader(
+            docs, registry,
+            species_lookup=lookups[0], closure=lookups[1],
+            ner_rules=lookups[2], funding_lookup=lookups[3],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Scan parquet|FileScan parquet", plan))
+
+    base = n_scans(UPLOADERS)
+    doubled = dict(UPLOADERS)
+    for i in range(10, 40):  # 30 extra sources across all families
+        doubled[f"src{i}"] = UploaderSpec(
+            family="mixed",
+            promote_doi=(i % 3 == 0),
+            placeholder_fields=("author",) if i % 3 == 1 else (),
+            reclassify=(i % 5 == 0),
+            lineage=(i % 5 == 1),
+            drop_rules=(i % 5 == 2),
+            funding=(i % 5 == 3),
+        )
+    assert n_scans(doubled) == base
+    # The absolute count is a CONSTANT of the stage vocabulary (each
+    # operator stage re-reads its subset a bounded number of times:
+    # reclassify = 2 posexplode sides + the ids frame, lineage = explode
+    # + join-back, drop rules = 1), never a function of #sources.
+    assert base <= 12
+
+
+def test_uploader_registry_enrichment_chains(spark):
+    """The three enrichment families actually transform their rows:
+    immport rows are reclassified + funder-enriched, ncbi_sra rows carry
+    lineage, pubtator rows lose dropped NER entities; default-family
+    rows pass through untouched (except the universal casefold)."""
+    from nde_crawlers_spark.queries import _uploader_fixture, _uploader_lookups
+    from nde_crawlers_spark.uploaders import run_uploader
+
+    docs = _uploader_fixture(spark, SF001)
+    sl, closure, rules, fl = _uploader_lookups(spark)
+    out = run_uploader(docs, species_lookup=sl, closure=closure,
+                       ner_rules=rules, funding_lookup=fl).cache()
+
+    # immport (src4/src5): matched species were standardized (taxon- name)
+    imm = out.filter(F.col("source") == "src4")
+    std_names = imm.select(F.explode("species").alias("e")).select("e.name")
+    assert std_names.filter(F.col("name").startswith("taxon-")).count() > 0
+    assert imm.filter(F.col("funder_name").isNotNull()).count() > 0
+    # ncbi_sra (src6/src7): lineage non-empty; others empty
+    assert out.filter((F.col("source") == "src6") & (F.size("_meta_lineage") == 0)).count() == 0
+    assert out.filter((F.col("source") == "src0") & (F.size("_meta_lineage") > 0)).count() == 0
+    # pubtator (src8/src9): rule-hit entities dropped
+    s8 = out.filter(F.col("source") == "src8").select(F.explode("ner").alias("e"))
+    assert s8.filter(F.col("e.name") == "china").count() == 0
+    # default family (src10+): casefolded _id only
+    d10 = out.filter(F.col("source") == "src10").select("_id").first()
+    assert d10["_id"].startswith("src10:rec:")
+    out.unpersist()
