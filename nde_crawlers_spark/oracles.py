@@ -910,9 +910,11 @@ FROM p
 # promote (zenodo), placeholder scrub (geo), PubTator reclassification +
 # funder lookup (immport), lineage annotation (ncbi_sra), NER drop rules
 # (pubtator) — with family CTEs restricted to their sources and the
-# same renderings
-ORACLES["uploader_registry"] = """
-WITH RECURSIVE tax AS (
+# same renderings. The CTE chain is shared with nde_pipeline_e2e (which
+# composes the registry with the builder merge + wrapper gate), so the
+# two oracles cannot drift.
+_UPLOADER_CTES = """
+tax AS (
   SELECT CAST(t AS INTEGER) AS taxon,
          CASE WHEN t = 1 THEN NULL ELSE CAST(greatest(t // 7, 1) AS INTEGER) END AS parent
   FROM range(1, 201) r(t)
@@ -927,6 +929,14 @@ anc AS (
 d AS (
   SELECT doc_id, source,
          upper(source) || ':REC:' || CAST(doc_id AS VARCHAR) AS _id,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE (['Dataset','ComputationalTool','ResourceCatalog','Dataset'])[CAST(doc_id % 4 AS INTEGER) + 1]
+         END AS type,
+         CASE WHEN doc_id % 23 = 0 THEN NULL
+              ELSE 'https://' || source || '.example.org/rec/' || CAST(doc_id AS VARCHAR)
+         END AS url,
+         (['Open','Restricted','Closed','Embargoed','Invalid-Value'])[CAST(doc_id % 5 AS INTEGER) + 1] AS access,
+         {prefix4} AS dup_key,
          CASE CAST(doc_id % 7 AS INTEGER)
            WHEN 0 THEN CAST([] AS VARCHAR[])
            WHEN 1 THEN ['none']
@@ -944,6 +954,9 @@ d AS (
          CAST((doc_id * 7) % 30 AS INTEGER) AS n2,
          CAST((doc_id * 11) % 30 AS INTEGER) AS n3
   FROM documents
+),
+darch AS (
+  SELECT *, CASE WHEN doc_id % 11 = 0 THEN NULL ELSE url END AS archived FROM d
 ),
 -- immport family (src4/src5): PubTator reclassification
 entries AS (
@@ -1039,6 +1052,10 @@ keptg AS (
 -- row-local stages (doi promote, placeholder scrub) + original renderings
 p AS (
   SELECT d.doc_id, d.source, d.funding_id, d.n1, d.n2, d.n3,
+    d.type, d.url, d.access, d.archived, d.dup_key,
+    CASE WHEN d.source IN ('src4','src5') AND d.funding_id IS NOT NULL
+         THEN 'funder-' || CAST(((d.doc_id * 3) % 89) % 7 AS VARCHAR)
+         ELSE NULL END AS funder_name,
     CASE WHEN d.source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) != 'none'
          THEN doi[1] ELSE _id END AS _id,
     CASE WHEN d.source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) = 'none'
@@ -1048,8 +1065,11 @@ p AS (
               ['n/a','na','unknown','not applicable','none','null','other'],
               trim(lower(a))))
          ELSE authors END AS authors
-  FROM d
-)
+  FROM darch d
+)"""
+
+ORACLES["uploader_registry"] = """
+WITH RECURSIVE """ + _UPLOADER_CTES.format(prefix4=PREFIX4_KEY) + """
 SELECT p.doc_id, p.source, lower(p._id) AS _id,
        CAST(len(p.doi) AS INTEGER) AS n_doi,
        coalesce(array_to_string(p.doi, ','), '') AS doi_csv,
@@ -1082,6 +1102,65 @@ LEFT JOIN spg ON p.doc_id = spg.doc_id
 LEFT JOIN agg_ ON p.doc_id = agg_.doc_id
 LEFT JOIN lin ON p.doc_id = lin.doc_id
 LEFT JOIN keptg ON p.doc_id = keptg.doc_id
+"""
+
+# mirror of queries.nde_pipeline_e2e: the registry CTE chain composed
+# with the builder merge (1x1 key dedup -> directive application) and the
+# wrapper gate + completeness score — the reference's full §3.3 hub
+# lifecycle as one statement over the same fixture.
+ORACLES["nde_pipeline_e2e"] = """
+WITH RECURSIVE """ + _UPLOADER_CTES.format(prefix4=PREFIX4_KEY) + """,
+a1 AS (SELECT dup_key, min(doc_id) AS keep_id FROM p WHERE doc_id % 2 = 0 GROUP BY dup_key HAVING count(*) = 1),
+b1 AS (SELECT dup_key, min(doc_id) AS drop_id FROM p WHERE doc_id % 2 = 1 GROUP BY dup_key HAVING count(*) = 1),
+dir AS (SELECT keep_id, drop_id FROM a1 JOIN b1 USING (dup_key)),
+g AS (SELECT dir.keep_id, k2.source AS lname, k2.url AS lurl, k2.archived AS larch
+      FROM dir JOIN p k2 ON k2.doc_id = dir.drop_id),
+m AS (
+  SELECT k.*, g.lname, g.lurl, g.larch,
+         (g.keep_id IS NOT NULL) AS gained,
+         (g.keep_id IS NOT NULL AND k.source = g.lname
+          AND k.url IS NOT DISTINCT FROM g.lurl
+          AND k.archived IS NOT DISTINCT FROM g.larch) AS same_entry
+  FROM p k LEFT JOIN g ON k.doc_id = g.keep_id
+  WHERE k.doc_id NOT IN (SELECT drop_id FROM dir)
+),
+v AS (
+  SELECT *,
+    CASE WHEN type IS NULL OR type = '' THEN 'missing_type'
+         WHEN url IS NULL OR url = '' THEN 'missing_url'
+         WHEN archived IS NULL OR archived = ''
+              OR (gained AND NOT same_entry AND (larch IS NULL OR larch = ''))
+              THEN 'missing_included_in_data_catalog_archived_at'
+         WHEN access IS NOT NULL AND access NOT IN ('Open','Restricted','Closed','Embargoed')
+              THEN 'invalid_conditions_of_access'
+         ELSE NULL END AS violation
+  FROM m
+)
+SELECT v.doc_id, v.source, lower(v._id) AS _id, v.type,
+       CAST(CASE WHEN gained AND NOT same_entry THEN 2 ELSE 1 END AS INTEGER) AS n_catalog,
+       CASE WHEN gained AND NOT same_entry
+            THEN array_to_string(list_sort([v.source || '@' || coalesce(v.archived, 'NULL'),
+                                            v.lname || '@' || coalesce(v.larch, 'NULL')]), ',')
+            ELSE v.source || '@' || coalesce(v.archived, 'NULL') END AS catalog_csv,
+       CASE WHEN v.source IN ('src4','src5') THEN coalesce(spg.species_csv, '')
+            ELSE 'organism-' || CAST(v.n1 AS VARCHAR) || '|tax:' || CAST(1000 + v.n1 AS VARCHAR)
+                 || ',organism-' || CAST(v.n2 AS VARCHAR) || '|tax:' || CAST(1000 + v.n2 AS VARCHAR)
+                 || CASE WHEN v.doc_id % 4 = 0
+                         THEN ',taxon-' || CAST(v.n3 AS VARCHAR) || '|tax:' || CAST(3000 + v.n3 AS VARCHAR)
+                         ELSE '' END
+       END AS species_csv,
+       CASE WHEN v.source IN ('src6','src7') THEN coalesce(lin.lineage_csv, '')
+            ELSE '' END AS lineage_csv,
+       coalesce(v.funder_name, '') AS funder,
+       round(0.6 * ((CASE WHEN v.type IS NOT NULL AND v.type != '' THEN 1 ELSE 0 END
+                   + CASE WHEN v.url IS NOT NULL AND v.url != '' THEN 1 ELSE 0 END) / 2.0)
+           + 0.4 * ((CASE WHEN v.funder_name IS NOT NULL AND v.funder_name != '' THEN 1 ELSE 0 END
+                   + CASE WHEN v.funding_id IS NOT NULL AND v.funding_id != '' THEN 1 ELSE 0 END) / 2.0),
+             2) AS score
+FROM v
+LEFT JOIN spg ON v.doc_id = spg.doc_id
+LEFT JOIN lin ON v.doc_id = lin.doc_id
+WHERE v.violation IS NULL
 """
 
 ORACLES["setops_union_by_name"] = """

@@ -1069,9 +1069,28 @@ def _uploader_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.concat(F.lit("ent-"), tid.cast("string")))
         )
         ner_entries.append(F.struct(name.alias("name"), tid.cast("int").alias("taxid")))
+    url = F.when(did % 23 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/rec/"), did.cast("string"))
+    )
+    archived = F.when(did % 11 == 0, F.lit(None).cast("string")).otherwise(url)
+    typ = F.when(did % 17 == 0, F.lit(None).cast("string")).otherwise(
+        F.element_at(
+            F.array(F.lit("Dataset"), F.lit("ComputationalTool"),
+                    F.lit("ResourceCatalog"), F.lit("Dataset")),
+            (did % 4).cast("int") + 1,
+        )
+    )
     return t(spark, sf_dir, "documents").select(
-        "doc_id", "source",
+        "doc_id", "source", "text",
         F.concat(F.upper("source"), F.lit(":REC:"), did.cast("string")).alias("_id"),
+        typ.alias("type"),
+        url.alias("url"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _NDE_ACCESS]), (did % 5).cast("int") + 1
+        ).alias("conditionsOfAccess"),
+        F.array(F.struct(
+            F.col("source").alias("name"), url.alias("url"), archived.alias("archivedAt"),
+        )).alias("includedInDataCatalog"),
         doi.alias("doi"),
         F.array(aent(F.concat(F.lit("Author-"), (did % 40).cast("string"))), aent(a2name)).alias("author"),
         F.concat(
@@ -1173,6 +1192,87 @@ def uploader_registry(spark, sf_dir):
     )
 
 
+def nde_pipeline_e2e(spark, sf_dir):
+    """The FULL hub lifecycle (SURVEY §3.3) as ONE composed lazy plan —
+    the reference's load_data chain -> builder merge -> upload wrapper
+    (utils/utils.py:352-403 -> hub/databuild/builder.py):
+
+        source records -> uploader-registry dispatch (doi promote,
+        placeholder scrub, PubTator reclassify, lineage, NER drop rules,
+        funder lookup, casefold) -> cross-source 1x1 key dedup ->
+        merge-directive APPLICATION (winners absorb losers' catalogs,
+        losers deleted) -> check_schema gate (valid side) ->
+        completeness score.
+
+    Every stage is the SAME operator the per-stage oracle queries check
+    in isolation; this row verifies their composition. The DuckDB oracle
+    composes the identical stages over the identical fixture."""
+    from .operators import nde_schema as NS
+    from .uploaders import run_uploader
+
+    docs = _uploader_fixture(spark, sf_dir)
+    species_lookup, closure, ner_rules, funding_lookup = _uploader_lookups(spark)
+    up = run_uploader(
+        docs,
+        species_lookup=species_lookup,
+        closure=closure,
+        ner_rules=ner_rules,
+        funding_lookup=funding_lookup,
+    ).withColumn("dup_key", DD.content_key(prefix_tokens=4))
+
+    did = F.col("doc_id")
+    a = up.filter(did % 2 == 0).select("dup_key", "doc_id")
+    b = up.filter(did % 2 == 1).select("dup_key", "doc_id")
+    directives = MG.key_dedup_1x1(a, b, "dup_key").select("keep_id", "drop_id")
+    merged = MG.apply_merge_directives(up, directives)
+
+    viol = NS.schema_violation_nde(
+        F.col("type"), F.col("url"), F.col("conditionsOfAccess"),
+        F.col("includedInDataCatalog"),
+    )
+    from .operators import wrapper as W
+
+    score = W.completeness_score(
+        required=[F.col("type"), F.col("url")],
+        recommended=[F.col("funder_name"), F.col("funding_id")],
+    )
+    rend = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: F.concat(x.getField("name"), F.lit("|"), x.getField("identifier"))),
+        ",",
+    )
+    return (
+        merged.withColumn("violation", viol)
+        .filter(F.col("violation").isNull())
+        .select(
+            "doc_id", "source", "_id", "type",
+            F.size("includedInDataCatalog").alias("n_catalog"),
+            F.array_join(
+                F.array_sort(F.transform(
+                    "includedInDataCatalog",
+                    lambda x: F.concat(
+                        x.getField("name"), F.lit("@"),
+                        F.coalesce(x.getField("archivedAt"), F.lit("NULL")),
+                    ),
+                )),
+                ",",
+            ).alias("catalog_csv"),
+            rend("species").alias("species_csv"),
+            F.array_join(
+                F.transform(
+                    "_meta_lineage",
+                    lambda e: F.concat(
+                        e.getField("taxon").cast("string"), F.lit(">"),
+                        F.coalesce(e.getField("parent_taxon"), F.lit(0)).cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("lineage_csv"),
+            F.coalesce(F.col("funder_name"), F.lit("")).alias("funder"),
+            score.alias("score"),
+        )
+    )
+
+
 def setops_union_by_name(spark, sf_dir):
     """Per-source stream union with missing columns (builder merge shape:
     unionByName(allowMissingColumns=True), SURVEY §2.8)."""
@@ -1238,5 +1338,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nde_record_normalize": nde_record_normalize,
     "nde_doi_promote": nde_doi_promote,
     "uploader_registry": uploader_registry,
+    "nde_pipeline_e2e": nde_pipeline_e2e,
     "setops_union_by_name": setops_union_by_name,
 }

@@ -244,3 +244,28 @@ def test_uploader_registry_enrichment_chains(spark):
     d10 = out.filter(F.col("source") == "src10").select("_id").first()
     assert d10["_id"].startswith("src10:rec:")
     out.unpersist()
+
+
+def test_pipeline_e2e_no_extra_shuffles(spark):
+    """The composed hub lifecycle (registry dispatch -> 1x1 key dedup ->
+    directive application -> wrapper gate) stays ONE lazy plan whose
+    shuffle count is bounded by the registry plan plus the merge stage's
+    own budget (two key-dedup aggregations, the gain join, the loser
+    anti-join) — composition must not multiply corpus shuffles. Catalyst
+    also PRUNES unused stage joins (the pipeline output omits `ner`, so
+    the drop-rules join disappears), which this guards too."""
+    import re
+
+    from nde_crawlers_spark.queries import QUERIES
+
+    def counts(name):
+        plan = QUERIES[name](spark, SF001)._jdf.queryExecution().executedPlan().toString()
+        return (
+            len(re.findall(r"Exchange", plan)),
+            len(re.findall(r"SortMergeJoin", plan)),
+        )
+
+    ex_reg, smj_reg = counts("uploader_registry")
+    ex_pipe, smj_pipe = counts("nde_pipeline_e2e")
+    assert ex_pipe <= ex_reg + 12
+    assert smj_pipe <= smj_reg + 6
