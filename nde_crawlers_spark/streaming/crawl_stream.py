@@ -45,33 +45,89 @@ CAND_SCHEMA = "url string, priority int, asof_s double"
 
 class StreamingCrawl:
     """File-source streaming crawl rooted at ``root`` with directories:
-    candidates/ (input), documents/, seen/, deferred/, checkpoint/."""
+    candidates/ (input), documents/, seen/, seen_compacted/, deferred/,
+    checkpoint/.
+
+    The seen table is COMPACTED every ``compact_every`` micro-batches:
+    committed per-batch deltas are folded into one hash-partitioned
+    snapshot (``seen_compacted/upto=N``, data written before the
+    ``_COMMIT`` marker), and each batch's anti-join reads snapshot +
+    uncompacted tail only — O(compact_every) inputs per batch instead of
+    the O(total-history) union round 2 shipped. This is the parquet
+    stand-in for Iceberg's bucket(url_hash) table with periodic rewrite
+    compaction; per-batch deltas are retained (cheap, append-only) so any
+    replayed batch can still reconstruct its strictly-earlier view."""
 
     def __init__(self, spark: SparkSession, root: str, num_hosts: int,
-                 crawl_delay_ms: int = 500):
+                 crawl_delay_ms: int = 500, compact_every: int = 8,
+                 compact_partitions: int = 16):
         self.spark = spark
         self.root = root
         self.num_hosts = num_hosts
         self.crawl_delay_ms = crawl_delay_ms
-        for d in ("candidates", "documents", "seen", "deferred"):
+        self.compact_every = compact_every
+        self.compact_partitions = compact_partitions
+        for d in ("candidates", "documents", "seen", "seen_compacted", "deferred"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _snapshots(self, before_batch: int | None = None) -> list[int]:
+        """Committed compaction snapshot ids (marker present), optionally
+        restricted to snapshots strictly older than ``before_batch`` —
+        a replayed batch must never see a snapshot that already folded
+        its own delta in."""
+        base = self._dir("seen_compacted")
+        out = []
+        for d in sorted(os.listdir(base)):
+            if d.startswith("upto=") and os.path.exists(os.path.join(base, d, "_COMMIT")):
+                upto = int(d.split("=")[1])
+                if before_batch is None or upto < before_batch:
+                    out.append(upto)
+        return out
+
     def seen(self, before_batch: int | None = None) -> DataFrame:
-        """The persistent seen table. ``before_batch`` excludes that batch
-        id and later — the REPLAY guard: a re-run of micro-batch N (crash
-        after the seen write, before the checkpoint commit) must compute
-        its unseen set against only batches < N, or it would see its own
-        partial output and permanently drop the batch's documents."""
+        """The persistent seen table: newest eligible compacted snapshot
+        + the uncompacted batch-delta tail. ``before_batch`` excludes
+        that batch id and later — the REPLAY guard: a re-run of
+        micro-batch N (crash after the seen write, before the checkpoint
+        commit) must compute its unseen set against only batches < N, or
+        it would see its own partial output and permanently drop the
+        batch's documents."""
+        snaps = self._snapshots(before_batch)
+        upto = max(snaps) if snaps else -1
         base = self._dir("seen")
-        dirs = sorted(d for d in os.listdir(base) if d.startswith("batch="))
-        if before_batch is not None:
-            dirs = [d for d in dirs if int(d.split("=")[1]) < before_batch]
-        if not dirs:
+        tail = []
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("batch="):
+                continue
+            b = int(d.split("=")[1])
+            if b > upto and (before_batch is None or b < before_batch):
+                tail.append(os.path.join(base, d))
+        parts = tail
+        if upto >= 0:
+            parts = [os.path.join(self._dir("seen_compacted"), f"upto={upto:06d}", "data")] + tail
+        if not parts:
             return self.spark.createDataFrame([], "url_hash string")
-        return self.spark.read.parquet(*[os.path.join(base, d) for d in dirs])
+        return self.spark.read.parquet(*parts)
+
+    def _compact(self, upto: int) -> None:
+        """Fold every seen delta <= ``upto`` (plus the previous snapshot)
+        into one hash-partitioned snapshot. Idempotent: a replayed batch
+        recomputes the identical snapshot and overwrites it; the marker
+        is renamed into place last (data-before-marker)."""
+        snap = self.seen(before_batch=upto + 1)
+        outdir = os.path.join(self._dir("seen_compacted"), f"upto={upto:06d}")
+        snap.repartition(self.compact_partitions, "url_hash").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(outdir, "data"))
+        tmp = os.path.join(outdir, f"_COMMIT.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            f.write('{"upto": %d}' % upto)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(outdir, "_COMMIT"))
 
     def documents(self) -> DataFrame:
         return self.spark.read.parquet(self._dir("documents") + "/*")
@@ -135,3 +191,5 @@ class StreamingCrawl:
             "url", "priority", (F.col("asof_s") + F.lit(1.0)).alias("asof_s")
         ).write.mode("overwrite").parquet(self._dir(f"deferred/batch={batch_id:06d}"))
         unseen.unpersist()
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            self._compact(batch_id)

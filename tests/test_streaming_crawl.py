@@ -146,3 +146,62 @@ def test_streaming_crawl_three_batches_defer_retry_and_replay(spark):
     assert after_seen == before_seen
     assert after_docs == before_docs
     assert len(after_seen) > 0
+
+
+def test_streaming_seen_compaction_bounds_batch_inputs(spark):
+    """Crossing a compaction boundary folds the seen deltas into one
+    snapshot: the per-batch seen read touches at most
+    1 snapshot + compact_every tail deltas (round 2 read ALL history
+    every micro-batch), the seen SET is unchanged, and the replay guard
+    still sees only strictly-earlier state."""
+    import os as _os
+
+    root = tempfile.mkdtemp(prefix="scomp_")
+    sc = StreamingCrawl(spark, root, num_hosts=6, crawl_delay_ms=500,
+                        compact_every=2)
+
+    all_seeds = make_seeds(60, 6)
+    for i, lo in enumerate((0, 20, 40)):  # three drains -> batch ids 0,1,2
+        _write_candidates(
+            spark, root, f"b{i}",
+            [(s["url"], s["priority"], 10.0 * i) for s in all_seeds[lo:lo + 20]],
+        )
+        sc.run_available_now()
+
+    # compaction fired at batch 1 (compact_every=2) and is committed
+    assert sc._snapshots() == [1]
+    assert _os.path.exists(
+        _os.path.join(root, "seen_compacted", "upto=000001", "_COMMIT")
+    )
+
+    # the current seen() plan reads snapshot + tail only: 2 input dirs,
+    # strictly fewer than the 3 on-disk batch deltas
+    inputs = {_os.path.dirname(f) for f in sc.seen().inputFiles()}
+    assert len(inputs) == 2
+    batch_dirs = [d for d in _os.listdir(_os.path.join(root, "seen"))
+                  if d.startswith("batch=")]
+    assert len(batch_dirs) == 3
+
+    # seen SET identical to the raw union of all deltas; still no dups
+    raw = spark.read.parquet(
+        *[_os.path.join(root, "seen", d) for d in sorted(batch_dirs)]
+    )
+    assert {r["url_hash"] for r in sc.seen().collect()} == {
+        r["url_hash"] for r in raw.collect()
+    }
+    assert sc.seen().groupBy("url_hash").count().filter(F.col("count") > 1).count() == 0
+
+    # replay guard: batch 2's view must NOT include batch 2's own delta,
+    # and must come from the snapshot (upto=1) + nothing else
+    view2 = sc.seen(before_batch=2)
+    inputs2 = {_os.path.dirname(f) for f in view2.inputFiles()}
+    assert len(inputs2) == 1 and "upto=000001" in next(iter(inputs2))
+    b2 = {r["url_hash"] for r in spark.read.parquet(
+        _os.path.join(root, "seen", "batch=000002")).collect()}
+    assert not ({r["url_hash"] for r in view2.collect()} & b2)
+
+    # replay guard vs the snapshot itself: a re-run of batch 1 must not
+    # see snapshot upto=1 (which folded batch 1 in) — only batch 0
+    view1 = sc.seen(before_batch=1)
+    inputs1 = {_os.path.dirname(f) for f in view1.inputFiles()}
+    assert len(inputs1) == 1 and "batch=000000" in next(iter(inputs1))
