@@ -63,3 +63,50 @@ def test_token_bucket_rate_and_checkpoint_resume(spark):
     }
     expect = {u for u, _p, _s in sorted(((f"u{i:02d}", i % 3, i) for i in range(6)), key=lambda x: (x[1], x[2]))[:4]}
     assert got_fetch == expect
+
+
+def test_run_vectorized_bucket_matches_per_row_loop():
+    """The refill-run closed form must be BIT-IDENTICAL to the per-row
+    token-bucket loop it replaced (decisions, tokens_left, final state),
+    including ties in asof_s, out-of-order times (no refill on backward
+    rows), burst clamping, and the infinite-rate path."""
+    import numpy as np
+
+    BURST = 4.0
+
+    def per_row(times, tokens, last_refill, rate):
+        decisions, toks, emitted = [], [], 0
+        for now in times:
+            if now > last_refill:
+                tokens = min(BURST, tokens + (now - last_refill) * rate)
+                last_refill = now
+            if tokens >= 1.0:
+                tokens -= 1.0
+                emitted += 1
+                decisions.append(True)
+            else:
+                decisions.append(False)
+            toks.append(tokens)
+        return decisions, toks, tokens, last_refill, emitted
+
+    from nde_crawlers_spark.streaming.politeness import bucket_schedule
+
+    def run_vectorized(times, tokens, last_refill, rate):
+        d, tk, tok, lr, em = bucket_schedule(times, tokens, last_refill, 0, rate)
+        return d, tk, tok, lr, em
+
+    rng = np.random.default_rng(7)
+    for rate in (2.0, 0.37, float("inf")):
+        for trial in range(30):
+            n = int(rng.integers(1, 200))
+            # duplicate-heavy, occasionally backward times
+            base = np.sort(rng.choice(np.arange(0, 20, 0.5), size=n))
+            if trial % 3 == 0:
+                rng.shuffle(base)  # out-of-order event times
+            tokens0 = float(rng.uniform(0, 4))
+            lr0 = float(rng.uniform(0, 5))
+            a = per_row(base, tokens0, lr0, rate)
+            b = run_vectorized(base, tokens0, lr0, rate)
+            assert a[0] == b[0], (rate, trial)
+            assert a[1] == b[1], (rate, trial)          # exact float equality
+            assert (a[2], a[3], a[4]) == (b[2], b[3], b[4])
