@@ -33,22 +33,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def taxonomy_closure(taxonomy: DataFrame, max_depth: int = 64) -> DataFrame:
+def taxonomy_closure(
+    taxonomy: DataFrame, max_depth: int = 64, checkpoint_every: int = 16
+) -> DataFrame:
     """(taxon, parent_taxon) -> ancestors-or-self closure
     (taxon, member, member_parent): every taxon in the lineage chain of
     ``taxon``, each with its own parent (NULL at the root).
 
     Iterates ONLY over the taxonomy table (small; cache-friendly); the
     loop runs until the frontier empties or ``max_depth`` — a safety
-    bound against cyclic input, not a tuning knob."""
+    bound against cyclic input, not a tuning knob. Every
+    ``checkpoint_every`` levels the frontier and accumulated union are
+    ``localCheckpoint``-ed (eager), truncating the lineage so the plan
+    depth — and Catalyst's per-level analysis cost — stays bounded for
+    deep chains (NCBI reaches ~40 ranks; pathological inputs deeper)."""
     tax = taxonomy.select("taxon", "parent_taxon").cache()
     parents = tax.withColumnRenamed("taxon", "member").withColumnRenamed(
         "parent_taxon", "member_parent"
     )
     # level 0: every taxon is a member of its own lineage
     frontier = tax.select("taxon", F.col("taxon").alias("member"))
-    levels = [frontier]
-    for _ in range(max_depth):
+    closure = frontier
+    for level in range(1, max_depth + 1):
         step = (
             frontier.join(
                 tax.select(F.col("taxon").alias("member"), F.col("parent_taxon").alias("p")),
@@ -62,11 +68,12 @@ def taxonomy_closure(taxonomy: DataFrame, max_depth: int = 64) -> DataFrame:
         if step.isEmpty():
             step.unpersist()
             break
-        levels.append(step)
+        closure = closure.unionByName(step)
         frontier = step
-    closure = levels[0]
-    for lv in levels[1:]:
-        closure = closure.unionByName(lv)
+        if checkpoint_every and level % checkpoint_every == 0:
+            # cut the union/join lineage: plan depth resets to O(1)
+            frontier = frontier.localCheckpoint(eager=True)
+            closure = closure.localCheckpoint(eager=True)
     return closure.distinct().join(parents, "member", "left").select(
         "taxon", "member", "member_parent"
     )

@@ -104,6 +104,7 @@ def apply_merge_directives(
     directives: DataFrame,
     id_col: str = "doc_id",
     catalog_col: str = "includedInDataCatalog",
+    broadcast_directives: bool = True,
 ) -> DataFrame:
     """APPLY (keep_id, drop_id) merge directives to the documents table —
     the half of the dedup the reference does in
@@ -111,12 +112,16 @@ def apply_merge_directives(
     ``includedInDataCatalog`` array absorbs each loser's entries
     (distinct), and loser rows are deleted.
 
-    Plan shape: directives are tiny relative to docs (one row per
-    duplicate pair), so both the gain join and the loser delete are
-    broadcast joins against docs — one pass over the corpus, no shuffle
-    of the documents themselves. Loser contributions are ordered by
-    drop_id before flattening, so the merged array is independent of
-    partitioning."""
+    Plan shape: directives are usually tiny relative to docs (one row
+    per duplicate pair), so by default both the gain join and the loser
+    delete are broadcast joins against docs — one pass over the corpus,
+    no shuffle of the documents themselves. For a dedup WAVE whose
+    directive set exceeds broadcast limits (a 10^8-pair backfill), pass
+    ``broadcast_directives=False``: the same plan runs as shuffle joins
+    on the id key (Catalyst picks sort-merge/shuffled-hash, AQE splits
+    skew), identical output (tests/test_operators.py asserts both modes
+    byte-equal). Loser contributions are ordered by drop_id before
+    flattening, so the merged array is independent of partitioning."""
     loser_cat = (
         directives.join(
             docs.select(F.col(id_col).alias("drop_id"), F.col(catalog_col).alias("__cat")),
@@ -134,9 +139,10 @@ def apply_merge_directives(
             ).alias("__gain")
         )
     )
+    gains = loser_cat.withColumnRenamed("keep_id", id_col)
     merged = (
         docs.join(
-            F.broadcast(loser_cat.withColumnRenamed("keep_id", id_col)), id_col, "left"
+            F.broadcast(gains) if broadcast_directives else gains, id_col, "left"
         )
         .withColumn(
             catalog_col,
@@ -156,4 +162,6 @@ def apply_merge_directives(
         .drop("__gain")
     )
     losers = directives.select(F.col("drop_id").alias(id_col)).distinct()
-    return merged.join(F.broadcast(losers), id_col, "left_anti")
+    return merged.join(
+        F.broadcast(losers) if broadcast_directives else losers, id_col, "left_anti"
+    )

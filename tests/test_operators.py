@@ -353,3 +353,72 @@ def test_spread_non_file_input(spark):
     widened = spread(df)
     assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert widened.count() == 10
+
+
+def test_taxonomy_closure_depth50_checkpointed(spark):
+    """A 50-deep parent chain: the closure is complete AND the plan depth
+    stays bounded (localCheckpoint every 16 levels truncates lineage, so
+    the final plan does not contain 50 stacked unions/joins)."""
+    from nde_crawlers_spark.operators.lineage import taxonomy_closure
+
+    tax = spark.createDataFrame(
+        [(1, None)] + [(i, i - 1) for i in range(2, 51)], "taxon int, parent_taxon int"
+    )
+    closure = taxonomy_closure(tax, checkpoint_every=16)
+    rows = closure.collect()
+    # taxon 50's lineage = itself + 49 ancestors
+    fifty = [r for r in rows if r["taxon"] == 50]
+    assert len(fifty) == 50
+    assert {r["member"] for r in fifty} == set(range(1, 51))
+    # total closure size for a single chain: sum_{d=1..50} d
+    assert len(rows) == 50 * 51 // 2
+    # plan lineage was truncated: far fewer Union nodes than levels
+    plan = closure._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Union") < 20
+
+
+def test_merge_directives_shuffle_fallback_same_output(spark):
+    """apply_merge_directives with broadcast_directives=False must plan
+    WITHOUT broadcasting the directive side (the 10^8-pair dedup-wave
+    path, where a broadcast would exceed executor memory) and produce
+    byte-identical output to the broadcast mode."""
+    from nde_crawlers_spark.operators.dedup import content_key
+    from nde_crawlers_spark.operators.merge import apply_merge_directives, key_dedup_1x1
+
+    docs = (
+        spark.read.parquet(f"{SF001}/documents.parquet")
+        .withColumn("dup_key", F.md5((F.col("doc_id") % 17).cast("string")))
+        .select(
+            "doc_id", "dup_key",
+            F.array(F.struct(
+                F.col("source").alias("name"),
+                F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+                F.lit("a").alias("archivedAt"),
+            )).alias("includedInDataCatalog"),
+        )
+    )
+    directives = key_dedup_1x1(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1),
+        "dup_key",
+    ).select("keep_id", "drop_id")
+
+    def rendered(df):
+        return sorted(
+            (r["doc_id"], ",".join(e["name"] + "@" + e["url"] for e in r["includedInDataCatalog"]))
+            for r in df.collect()
+        )
+
+    bc = apply_merge_directives(docs, directives)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = apply_merge_directives(docs, directives, broadcast_directives=False)
+        sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+        out_sh = rendered(sh)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan          # default: broadcast both joins
+    assert "SortMergeJoin" in sh_plan              # fallback: shuffle join
+    assert rendered(bc) == out_sh                  # identical output either way
+    assert content_key is not None  # (import kept for plan-audit symmetry)
