@@ -50,6 +50,8 @@ HEADLINE = [
     "enrich_lineage_expand",
     "enrich_reclassify",
     "merge_apply_1x1",
+    "uploader_registry",
+    "nde_pipeline_e2e",
     "tpch_q1",
     "tpch_q5ish",
     "window_topk_orders",
