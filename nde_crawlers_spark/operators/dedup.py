@@ -376,3 +376,60 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iters: int = 32, checkpoint_every: int = 8
+) -> DataFrame:
+    """Connected components over candidate duplicate pairs — the cluster
+    step every large-scale fuzzy-dedup pipeline runs AFTER pair
+    generation (MinHash/SimHash emit PAIRS; keep-one-per-cluster needs
+    components; reference analog: the builder's transitive merge of
+    directive chains, hub/databuild/builder.py:102-160).
+
+    Algorithm: iterative min-label propagation (the "small-star" style
+    hash-join form, no GraphX dependency — pure DataFrame ops):
+
+        label[x] <- min(label[x], min over neighbors y of label[y])
+
+    repeated until a fixpoint. Each iteration is one shuffle on the edge
+    key + one min-aggregation on the node key — both map-side combined,
+    skew handled by AQE; iterations needed = the cluster DIAMETER in
+    hops (near-dup clusters are shallow; bounded by ``max_iters``).
+    Plan lineage is truncated every ``checkpoint_every`` iterations
+    (same driver discipline as lineage.taxonomy_closure).
+
+    ``pairs``: (id_a, id_b). Returns (member, cluster) where cluster =
+    min member id of the component — deterministic representative."""
+    edges = (
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("x").alias("member")).distinct().select(
+        "member", F.col("member").alias("cluster")
+    )
+    for it in range(1, max_iters + 1):
+        # neighbor labels: edge (x,y) proposes label(cluster[y]) to x
+        prop = (
+            edges.join(labels, edges.y == labels.member)
+            .groupBy("x")
+            .agg(F.min("cluster").alias("nbr"))
+        )
+        new = (
+            labels.join(prop, labels.member == prop.x, "left")
+            .select(
+                "member",
+                F.least(F.col("cluster"), F.coalesce(F.col("nbr"), F.col("cluster"))).alias("cluster"),
+                (F.coalesce(F.col("nbr"), F.col("cluster")) < F.col("cluster")).alias("__chg"),
+            )
+        ).cache()
+        changed = new.filter(F.col("__chg")).isEmpty() is False
+        labels = new.drop("__chg")
+        if checkpoint_every and it % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+        if not changed:
+            break
+    edges.unpersist()
+    return labels

@@ -272,6 +272,90 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.band = b.band AND a.id < b.id
 """
 
+# mirror of queries.dedup_cluster_components: the same MinHash pair CTEs,
+# then connected components via a recursive reachability CTE (min
+# reachable id = the deterministic cluster representative)
+ORACLES["dedup_cluster_components"] = f"""
+WITH RECURSIVE sh AS (SELECT doc_id AS id, {_SH3} AS sh FROM documents),
+sig AS (SELECT id, {_SIG8} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT id, b AS band,
+         md5(CAST(b AS VARCHAR) || ':' || array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.band = b.band AND a.id < b.id
+),
+edges AS (SELECT id_a AS x, id_b AS y FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT x AS member FROM edges),
+reach AS (
+  SELECT member, member AS r FROM nodes
+  UNION
+  SELECT rr.member, e.y AS r FROM reach rr JOIN edges e ON rr.r = e.x
+),
+comp AS (SELECT member, min(r) AS cluster FROM reach GROUP BY member)
+SELECT cluster, CAST(count(*) AS INTEGER) AS n_members,
+       string_agg(CAST(member AS VARCHAR), ',' ORDER BY member) AS members_csv
+FROM comp GROUP BY cluster
+"""
+
+_EN7 = ", ".join(f"'{w}'" for w in LANGS["en"])
+ORACLES["text_gopher_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS_TEXT} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS nw,
+    CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) ELSE 1.0 END AS nwd,
+    CAST(length(array_to_string(toks, '')) AS DOUBLE) AS tchars,
+    CAST(len(regexp_extract_all(text, '(#)', 1))
+         + len(regexp_extract_all(text, '(\\.\\.\\.)', 1)) AS DOUBLE) AS symbols,
+    len(lines) AS nl,
+    CAST(len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')
+                                     OR starts_with(l, '•'))) AS DOUBLE) AS bullets,
+    len(list_filter(toks, t -> list_contains([{_EN7}], t))) AS stop_hits
+  FROM base
+)
+SELECT doc_id,
+  CAST(nw AS INTEGER) AS n_words,
+  floor((tchars / nwd) * 10000) / 10000.0 AS mean_word_len,
+  floor((symbols / nwd) * 1000000) / 1000000.0 AS symbol_ratio,
+  CASE WHEN nl > 0 THEN floor((bullets / nl) * 1000000) / 1000000.0 ELSE 0.0 END AS bullet_frac,
+  CAST(stop_hits AS INTEGER) AS stop_hits,
+  CAST(CASE WHEN nw >= 10 AND nw <= 10000
+            AND (tchars / nwd) >= 3.0 AND (tchars / nwd) <= 12.0
+            AND (symbols / nwd) <= 0.1
+            AND (CASE WHEN nl > 0 THEN bullets / nl ELSE 0.0 END) <= 0.9
+            AND stop_hits >= 2
+       THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM m
+"""
+
+_G2 = _ngrams(_TOKS_TEXT, 2)
+_G3 = _ngrams(_TOKS_TEXT, 3)
+
+
+def _dupfrac(arr: str) -> str:
+    return (
+        f"CASE WHEN len({arr}) > 0 THEN "
+        f"floor((1.0 - CAST(len(list_distinct({arr})) AS DOUBLE) / len({arr})) * 1000000) / 1000000.0 "
+        f"ELSE 0.0 END"
+    )
+
+
+ORACLES["text_repetition"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS_TEXT}) AS INTEGER) AS n_words,
+       {_dupfrac(_TOKS_TEXT)} AS dup_word_frac,
+       {_dupfrac(_G2)} AS dup_2gram_frac,
+       {_dupfrac(_G3)} AS dup_3gram_frac
+FROM documents
+"""
+
 ORACLES["dedup_simhash"] = f"""
 WITH s AS (SELECT doc_id AS member_id, {SIMHASH16.format(toks=_TOKS_TEXT)} AS simhash FROM documents)
 SELECT simhash, count(*) AS group_size,

@@ -281,6 +281,95 @@ def text_bpe_tokens(spark, sf_dir):
     )
 
 
+def dedup_cluster_components(spark, sf_dir):
+    """Duplicate-CLUSTER formation — the step after pair generation that
+    every production fuzzy-dedup needs (keep-one-per-cluster requires
+    components, not pairs; builder.py:102-160's transitive directive
+    chains are the reference analog): MinHash+LSH candidate pairs ->
+    connected components by iterative min-label propagation (pure
+    DataFrame joins, O(cluster diameter) rounds) -> per-cluster roster.
+    Oracle: DuckDB recursive CTE computing min-reachable-id."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_candidates(docs, shingle_n=3, bands=4, rows_per_band=2)
+    comp = DD.dedup_clusters(pairs)
+    return comp.groupBy("cluster").agg(
+        F.count("*").cast("int").alias("n_members"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("member")), lambda x: x.cast("string")),
+            ",",
+        ).alias("members_csv"),
+    )
+
+
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
+    standard pretraining-corpus gate): word-count bounds, mean word
+    length band, symbol-to-word ratio, bullet-line fraction, minimum
+    stopword hits. All row-local column expressions — scan-bound at
+    100 TB, no shuffle."""
+    from .oracles import LANGS
+
+    docs = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    nw = F.size(toks)
+    nwd = F.when(nw > 0, nw.cast("double")).otherwise(F.lit(1.0))
+    mean_wl = F.length(F.concat_ws("", toks)) / nwd
+    symbols = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"(#)"), F.lit(1)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(r"(\.\.\.)"), F.lit(1)))
+    )
+    sym_ratio = symbols.cast("double") / nwd
+    lines = F.split(F.col("text"), "\n")
+    nl = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"))
+    )
+    bullet_frac = F.when(nl > 0, bullets.cast("double") / nl.cast("double")).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(w) for w in LANGS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    keep = (
+        (nw >= 10) & (nw <= 10000)
+        & (mean_wl >= 3.0) & (mean_wl <= 12.0)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        nw.cast("int").alias("n_words"),
+        ftrunc(mean_wl, 4).alias("mean_word_len"),
+        ftrunc(sym_ratio, 6).alias("symbol_ratio"),
+        ftrunc(bullet_frac, 6).alias("bullet_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def text_repetition(spark, sf_dir):
+    """Within-document repetition diagnostics (the Gopher repetition
+    filters): duplicate word / 2-gram / 3-gram fractions per document.
+    Row-local (size vs array_distinct size over the shingle arrays) —
+    no shuffle; the standard pre-dedup quality signal for boilerplate-
+    heavy crawls."""
+    docs = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            ftrunc(F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / n.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_words"),
+        dup_frac(toks).alias("dup_word_frac"),
+        dup_frac(TX.shingles(F.col("text"), 2)).alias("dup_2gram_frac"),
+        dup_frac(TX.shingles(F.col("text"), 3)).alias("dup_3gram_frac"),
+    )
+
+
 # ----------------------------------------------------------------- merge --
 def merge_priority_lastwriter(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -1302,6 +1391,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash64_hamming": dedup_simhash64_hamming,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cluster_components": dedup_cluster_components,
+    "text_gopher_quality": text_gopher_quality,
+    "text_repetition": text_repetition,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,

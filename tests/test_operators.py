@@ -422,3 +422,23 @@ def test_merge_directives_shuffle_fallback_same_output(spark):
     assert "SortMergeJoin" in sh_plan              # fallback: shuffle join
     assert rendered(bc) == out_sh                  # identical output either way
     assert content_key is not None  # (import kept for plan-audit symmetry)
+
+
+def test_dedup_clusters_known_graph(spark):
+    """Connected components on a hand-built graph: a 5-chain (diameter 4
+    > one propagation hop — exercises multi-round convergence), a
+    triangle, and a disjoint pair; representative = min member id."""
+    from nde_crawlers_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),       # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),          # triangle
+         (20, 21)],                              # pair
+        "id_a long, id_b long",
+    )
+    got = {r["member"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert {m: c for m, c in got.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
