@@ -81,16 +81,20 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's uploader stage chain (SURVEY §2.11:
-    standardize -> enrich -> wrapper) composed end-to-end over crawled
+    standardize -> enrich -> wrapper) composed end-to-end over CRAWLED
     documents, on the WIDE nested NDE record (operators/nde_schema.py):
-    spans -> NDE record -> schema gate -> add_date -> completeness score
-    -> dedup keep-one. Rows-only check; each stage is oracle-checked
-    individually elsewhere (nde_record_normalize for the record pass)."""
+    crawl -> spans -> NDE record -> uploader-REGISTRY dispatch (per-host
+    source families: placeholder scrub + casefold) -> schema gate ->
+    add_date -> completeness score -> dedup keep-one. Rows-only check;
+    each stage is oracle-checked individually elsewhere
+    (nde_record_normalize for the record pass, uploader_registry /
+    nde_pipeline_e2e for the registry + merge composition)."""
     from nde_crawlers_spark.operators import wrapper as W
     from nde_crawlers_spark.operators.dedup import drop_exact_duplicates
     from nde_crawlers_spark.operators.nde_schema import schema_violation_nde, spans_to_nde
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
     from nde_crawlers_spark.sources.synthetic import make_seeds
+    from nde_crawlers_spark.uploaders import UploaderSpec, run_uploader
 
     run = CrawlRun(
         spark,
@@ -101,6 +105,20 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     run.run(seeds=spark.createDataFrame(
         [(s["url"], s["priority"]) for s in seeds], ["url", "priority"]))
     rec = spans_to_nde(run.documents())
+    # source family = the crawled host (the reference maps one uploader
+    # per source repository); even hosts get the geo-style placeholder
+    # scrub, everyone gets the wrapper casefold — real registry dispatch
+    # over real crawled records
+    host = F.regexp_extract("canonical_url", r"://([^/]+)/", 1)
+    rec = rec.withColumn("source", F.regexp_replace(host, r"\..*$", ""))
+    registry = {
+        f"host-{i:04d}": UploaderSpec(
+            family="geo" if i % 2 == 0 else "default",
+            placeholder_fields=("author",) if i % 2 == 0 else (),
+        )
+        for i in range(10)
+    }
+    rec = run_uploader(rec, registry)
     gated = rec.withColumn(
         "violation",
         schema_violation_nde(
