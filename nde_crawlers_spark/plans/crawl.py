@@ -348,35 +348,12 @@ class CrawlRun:
             .withColumn("round", F.lit(r))
         )
 
-        # ---- commit: data first, marker last ----
-        self._write(
-            fetched.select(
-                "url_hash", "canonical_url", "host", "priority", "seq", "status",
-                "attempts", "bytes",
-            ).withColumn("round", F.lit(r)),
-            r, "selected",
-        )
-        self._write(documents, r, "documents")
-        self._write(new_seen, r, "new_seen")
-        if cfg.frontier_deltas:
-            # O(delta) persistence: what entered and what left the
-            # frontier this round; periodic compaction bounds the
-            # reconstruction chain
-            self._write(allowed.select(*FRONTIER_COLS), r, "frontier_add")
-            self._write(selected.select("url_hash"), r, "frontier_remove")
-            if (r + 1) % cfg.compact_every == 0:
-                self._write(frontier_next, r, "frontier_compact")
-        else:
-            self._write(frontier_next, r, "frontier_next")
-        self._write(outlinks, r, "outlinks")
-        self._write(robots, r, "robots_cache")
-        self._write(host_state, r, "host_state")
-        self._write(lineage, r, "lineage")
-
-        # round stats: one aggregation over the cached fetch result plus
-        # two counts on already-cached frames — never a parquet re-read or
-        # a frontier reconstruction (each would be an extra full Spark
-        # job; at sandbox scale job latency dominates round wall time).
+        # round stats FIRST: the aggregation materializes the cached
+        # fetch result (and its cached parents) exactly once, so the
+        # parallel write jobs below all hit warm caches instead of racing
+        # to fill them. Never a parquet re-read or a frontier
+        # reconstruction (each would be an extra full Spark job; at
+        # sandbox scale job latency dominates round wall time).
         # frontier_next = frontier_all minus selected, and both sides have
         # unique url_hash (dedupe_candidates + the seen invariant), so its
         # count is exact arithmetic on counts already in hand.
@@ -385,12 +362,58 @@ class CrawlRun:
             F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("docs"),
             F.sum(F.size("outlinks")).alias("out"),
         ).first()
+        n_unseen = unseen.count()
+        n_frontier = frontier_all.count()
+
+        # ---- commit: data first, marker last ----
+        # The per-round state tables are INDEPENDENT outputs of already-
+        # cached frames, so their write jobs run CONCURRENTLY (Spark's
+        # scheduler interleaves jobs; each small job alone cannot fill
+        # the executor). This collapses ~8 sequential job latencies into
+        # ~max-of-them per round — round latency is the politeness-bound
+        # crawl's rate limiter, at any cluster size. The marker still
+        # goes last, only after every write returned.
+        writes: list[tuple[DataFrame, str]] = [
+            (
+                fetched.select(
+                    "url_hash", "canonical_url", "host", "priority", "seq", "status",
+                    "attempts", "bytes",
+                ).withColumn("round", F.lit(r)),
+                "selected",
+            ),
+            (documents, "documents"),
+            (new_seen, "new_seen"),
+            (outlinks, "outlinks"),
+            # host-bounded state tables: coalesce to a few files (a 10^6-
+            # host table is still small; corpus-scale tables above keep
+            # their natural partitioning)
+            (robots.coalesce(8), "robots_cache"),
+            (host_state.coalesce(8), "host_state"),
+            (lineage.coalesce(8), "lineage"),
+        ]
+        if cfg.frontier_deltas:
+            # O(delta) persistence: what entered and what left the
+            # frontier this round; periodic compaction bounds the
+            # reconstruction chain
+            writes.append((allowed.select(*FRONTIER_COLS), "frontier_add"))
+            writes.append((selected.select("url_hash"), "frontier_remove"))
+            if (r + 1) % cfg.compact_every == 0:
+                writes.append((frontier_next, "frontier_compact"))
+        else:
+            writes.append((frontier_next, "frontier_next"))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(writes))) as ex:
+            futures = [ex.submit(self._write, df, r, name) for df, name in writes]
+            for f in futures:
+                f.result()  # propagate the first failure -> no marker
+
         meta = {
             "round": r,
             "selected": fstats["sel"],
             "documents": int(fstats["docs"] or 0),
-            "new_seen": unseen.count(),
-            "frontier_next": frontier_all.count() - fstats["sel"],
+            "new_seen": n_unseen,
+            "frontier_next": n_frontier - fstats["sel"],
             "outlinks": int(fstats["out"] or 0),
             "wall_s": round(time.monotonic() - t0, 3),
         }
