@@ -201,12 +201,27 @@ def _mp_baseline_child(procs: int) -> None:
 
 
 def _crawl_run_child(cores: int, run_dir: str) -> None:
+    import shutil as _sh
+    import tempfile as _tf
+
     from pyspark.sql import functions as F
 
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
     from nde_crawlers_spark.sources.synthetic import make_seeds
 
     spark = _spark(cores)
+    # steady-state discipline (same policy as run_headline): a throwaway
+    # 1-round crawl first compiles the round's generated code and spins up
+    # the Python worker pool, so the timed run measures round throughput,
+    # not one-time JVM/codegen warmup (~13s at either parallelism).
+    wdir = _tf.mkdtemp(prefix="crawl_warm_")
+    warm_seeds = make_seeds(100, 10)
+    CrawlRun(spark, wdir, CrawlConfig(num_hosts=10, round_seconds=5, max_rounds=1)).run(
+        seeds=spark.createDataFrame(
+            [(s["url"], s["priority"]) for s in warm_seeds], ["url", "priority"])
+    )
+    _sh.rmtree(wdir, ignore_errors=True)
+
     seeds = make_seeds(CRAWL_SEEDS, CRAWL_HOSTS)
     run = CrawlRun(spark, run_dir, CrawlConfig(
         num_hosts=CRAWL_HOSTS, round_seconds=5, max_rounds=CRAWL_ROUNDS))

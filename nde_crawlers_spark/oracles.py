@@ -1270,6 +1270,29 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+# mirror of queries.scalar_ref_kernels (SURVEY §2.9 string kernels)
+ORACLES["scalar_ref_kernels"] = """
+WITH d AS (
+  SELECT doc_id, source,
+    'last-' || CAST(doc_id % 40 AS VARCHAR) || ', first-' || CAST(doc_id % 7 AS VARCHAR)
+      || ', ' || (['M','J','K'])[CAST(doc_id % 3 AS INTEGER) + 1] AS author_raw,
+    'funded by ' || (['AB','Ai','xy'])[CAST(doc_id % 3 AS INTEGER) + 1]
+      || CAST(100000 + doc_id % 899999 AS VARCHAR) || ' and others' AS grant_txt,
+    'study-' || CAST(doc_id AS VARCHAR) || ' (' || upper(source) || ')' AS label,
+    (['M','f','Female','male',' MALE ','unknown','F '])[CAST(doc_id % 7 AS INTEGER) + 1] AS sex_raw
+  FROM documents
+)
+SELECT doc_id,
+  string_split(author_raw, ', ')[2] || ' ' || string_split(author_raw, ', ')[3]
+    || ' ' || string_split(author_raw, ', ')[1] AS author_recomposed,
+  regexp_extract(grant_txt, '\\b([A-Za-z]{2}\\d{6})\\b', 1) AS grant_id,
+  regexp_replace(label, '\\s*\\([A-Z0-9]+\\)$', '') AS label_stripped,
+  CASE WHEN lower(trim(sex_raw)) IN ('m', 'male') THEN 'male'
+       WHEN lower(trim(sex_raw)) IN ('f', 'female') THEN 'female'
+       ELSE NULL END AS sex
+FROM d
+"""
+
 ORACLES["scalar_showcase"] = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,

@@ -1362,6 +1362,54 @@ def nde_pipeline_e2e(spark, sf_dir):
     )
 
 
+def scalar_ref_kernels(spark, sf_dir):
+    """The reference's remaining string kernels as one oracle-checked
+    row-local pass (SURVEY §2.9): name recompose from "Last, First, Mid"
+    (ncbi_geo/parser.py:19-27), grant-pattern extraction
+    \\b[A-Za-z]{2}\\d{6}\\b (figshare.py:190), trailing-abbreviation
+    strip (acd_niaid.py:16-25), and m/f sex normalization
+    (utils/sex.py:6-47). Fixture strings derived from documents; every
+    expression is codegen'd — scan-bound at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    author_raw = F.concat(
+        F.lit("last-"), (did % 40).cast("string"),
+        F.lit(", first-"), (did % 7).cast("string"),
+        F.lit(", "), F.element_at(F.array(F.lit("M"), F.lit("J"), F.lit("K")), (did % 3).cast("int") + 1),
+    )
+    parts = F.split(author_raw, ", ")
+    recomposed = F.concat_ws(
+        " ", F.element_at(parts, 2), F.element_at(parts, 3), F.element_at(parts, 1)
+    )
+    grant_txt = F.concat(
+        F.lit("funded by "),
+        F.element_at(F.array(F.lit("AB"), F.lit("Ai"), F.lit("xy")), (did % 3).cast("int") + 1),
+        (100000 + did % 899999).cast("string"),
+        F.lit(" and others"),
+    )
+    grant = F.regexp_extract(grant_txt, r"\b([A-Za-z]{2}\d{6})\b", 1)
+    label = F.concat(F.lit("study-"), did.cast("string"), F.lit(" ("), F.upper("source"), F.lit(")"))
+    stripped = F.regexp_replace(label, r"\s*\([A-Z0-9]+\)$", "")
+    sex_raw = F.element_at(
+        F.array(F.lit("M"), F.lit("f"), F.lit("Female"), F.lit("male"),
+                F.lit(" MALE "), F.lit("unknown"), F.lit("F ")),
+        (did % 7).cast("int") + 1,
+    )
+    sexn = F.lower(F.trim(sex_raw))
+    sex = (
+        F.when(sexn.isin("m", "male"), F.lit("male"))
+        .when(sexn.isin("f", "female"), F.lit("female"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        recomposed.alias("author_recomposed"),
+        grant.alias("grant_id"),
+        stripped.alias("label_stripped"),
+        sex.alias("sex"),
+    )
+
+
 def setops_union_by_name(spark, sf_dir):
     """Per-source stream union with missing columns (builder merge shape:
     unionByName(allowMissingColumns=True), SURVEY §2.8)."""
@@ -1425,6 +1473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_extract": events_props_extract,
     "events_pivot": events_pivot,
     "scalar_showcase": scalar_showcase,
+    "scalar_ref_kernels": scalar_ref_kernels,
     "nde_wrapper_pass": nde_wrapper_pass,
     "nde_quarantine_counts": nde_quarantine_counts,
     "nde_record_normalize": nde_record_normalize,
