@@ -112,6 +112,28 @@ class StreamingCrawl:
             return self.spark.createDataFrame([], "url_hash string")
         return self.spark.read.parquet(*parts)
 
+    def gc_seen_deltas(self) -> list[str]:
+        """Delete per-batch seen deltas already folded into the NEWEST
+        committed snapshot. Safe by construction: a replay of batch B can
+        only be a batch the checkpoint has not committed, hence B >
+        newest-upto, and its view reads snapshot(upto<B) + tail deltas in
+        (upto, B) — never a delta <= upto. Recompaction at a later upto'
+        reads snapshot + tail > upto only, likewise. Returns the removed
+        directories (for the caller's audit log)."""
+        import shutil
+
+        snaps = self._snapshots()
+        if not snaps:
+            return []
+        upto = max(snaps)
+        base = self._dir("seen")
+        removed = []
+        for d in sorted(os.listdir(base)):
+            if d.startswith("batch=") and int(d.split("=")[1]) <= upto:
+                shutil.rmtree(os.path.join(base, d))
+                removed.append(d)
+        return removed
+
     def _compact(self, upto: int) -> None:
         """Fold every seen delta <= ``upto`` (plus the previous snapshot)
         into one hash-partitioned snapshot. Idempotent: a replayed batch

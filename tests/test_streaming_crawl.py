@@ -205,3 +205,13 @@ def test_streaming_seen_compaction_bounds_batch_inputs(spark):
     view1 = sc.seen(before_batch=1)
     inputs1 = {_os.path.dirname(f) for f in view1.inputFiles()}
     assert len(inputs1) == 1 and "batch=000000" in next(iter(inputs1))
+
+    # GC: deltas folded into the newest snapshot are deletable; the seen
+    # SET and the replay view of any POST-snapshot batch are unchanged
+    before = {r["url_hash"] for r in sc.seen().collect()}
+    removed = sc.gc_seen_deltas()
+    assert sorted(removed) == ["batch=000000", "batch=000001"]
+    assert {r["url_hash"] for r in sc.seen().collect()} == before
+    view2b = sc.seen(before_batch=2)
+    inputs2b = {_os.path.dirname(f) for f in view2b.inputFiles()}
+    assert len(inputs2b) == 1 and "upto=000001" in next(iter(inputs2b))
