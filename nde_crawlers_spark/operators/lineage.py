@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 
 def taxonomy_closure(
-    taxonomy: DataFrame, max_depth: int = 64, checkpoint_every: int = 16
+    taxonomy: DataFrame,
+    max_depth: int = 64,
+    checkpoint_every: int = 16,
+    probe_every: int = 4,
 ) -> DataFrame:
     """(taxon, parent_taxon) -> ancestors-or-self closure
     (taxon, member, member_parent): every taxon in the lineage chain of
@@ -42,11 +45,18 @@ def taxonomy_closure(
 
     Iterates ONLY over the taxonomy table (small; cache-friendly); the
     loop runs until the frontier empties or ``max_depth`` — a safety
-    bound against cyclic input, not a tuning knob. Every
-    ``checkpoint_every`` levels the frontier and accumulated union are
-    ``localCheckpoint``-ed (eager), truncating the lineage so the plan
-    depth — and Catalyst's per-level analysis cost — stays bounded for
-    deep chains (NCBI reaches ~40 ranks; pathological inputs deeper)."""
+    bound against cyclic input, not a tuning knob. Two driver-cost
+    disciplines for deep chains (NCBI reaches ~40 ranks):
+
+    - every ``checkpoint_every`` levels the frontier and accumulated
+      union are ``localCheckpoint``-ed (eager), truncating the lineage so
+      plan depth — and Catalyst's per-level analysis cost — stays
+      bounded;
+    - the emptiness probe (a full Spark job each) fires only every
+      ``probe_every`` levels (geometric probing): a 40-deep taxonomy
+      costs ~10 driver round-trips instead of 40. Overshoot levels past
+      exhaustion join against an empty frontier — empty steps union in
+      nothing, and the final distinct is unaffected."""
     tax = taxonomy.select("taxon", "parent_taxon").cache()
     parents = tax.withColumnRenamed("taxon", "member").withColumnRenamed(
         "parent_taxon", "member_parent"
@@ -54,6 +64,7 @@ def taxonomy_closure(
     # level 0: every taxon is a member of its own lineage
     frontier = tax.select("taxon", F.col("taxon").alias("member"))
     closure = frontier
+    probe_every = max(1, probe_every)
     for level in range(1, max_depth + 1):
         step = (
             frontier.join(
@@ -63,11 +74,11 @@ def taxonomy_closure(
             .filter(F.col("p").isNotNull() & (F.col("p") != F.col("member")))
             .select("taxon", F.col("p").alias("member"))
         )
-        # tiny frame: a driver-side emptiness probe per level is cheap
-        step = step.cache()
-        if step.isEmpty():
-            step.unpersist()
-            break
+        if level % probe_every == 0 or level == max_depth:
+            step = step.cache()
+            if step.isEmpty():
+                step.unpersist()
+                break
         closure = closure.unionByName(step)
         frontier = step
         if checkpoint_every and level % checkpoint_every == 0:
