@@ -21,14 +21,20 @@ misclassified entries between the two fields
    in combined order (pubtator.py:865-875).
 
 Spark shape: one posexplode per side -> ONE broadcast join against the
-lookup (it is the reference's in-memory dict, megabytes at most) -> an
-anti-join for the converted-name filter -> a keep-first window -> one
-regroup. Everything shuffles on doc id only; no Python UDFs.
+lookup (it is the reference's in-memory dict, megabytes at most) -> ONE
+groupBy(doc id) collecting the standardized entries -> the re-split,
+converted-name filter, and keep-first identifier dedup as ROW-LOCAL
+array expressions (per-doc entry lists are a handful of elements — the
+reference processes them as in-memory Python lists for the same reason)
+-> one join back. Two shuffles total, both on doc id; no Python UDFs.
+(The round-2 form ran the converted-name filter as an anti-join and the
+keep-first dedup as a window — four more corpus shuffles for work that
+is per-document and tiny.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # lookup schema: name_lc, std_name, std_identifier, classification
@@ -110,50 +116,66 @@ def reclassify_species(
             ).alias("classification"),
         )
     )
-    agents = std.filter(F.col("classification") == "infectiousAgent")
-    species = std.filter(F.col("classification") != "infectiousAgent")
-    converted = (
-        agents.select(
-            id_col,
-            F.explode(
-                F.array(F.lower(F.trim("orig_name")), F.lower(F.trim("name")))
-            ).alias("__cname"),
-        )
-        .distinct()
-    )
-    species = species.withColumn("__cname", F.lower(F.trim("name"))).join(
-        converted, [id_col, "__cname"], "left_anti"
-    ).drop("__cname")
-
-    def dedup_first(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(id_col, "identifier").orderBy("pos")
-        return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-
-    def regroup(df: DataFrame, out: str) -> DataFrame:
-        return (
-            dedup_first(df)
-            .groupBy(id_col)
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "name", "identifier"))
-                    ),
-                    lambda s: F.struct(
-                        s.getField("name").alias("name"),
-                        s.getField("identifier").alias("identifier"),
-                    ),
-                ).alias(out)
+    # ONE shuffle: every standardized entry of a doc into one sorted
+    # array (combined-list order via the side-encoded pos)
+    per_doc = std.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("pos", "orig_name", "name", "identifier", "classification")
             )
+        ).alias("__es")
+    )
+
+    # row-local re-split + converted-name filter + keep-first dedup over
+    # the tiny per-doc array (HOF interpretation cost is per element —
+    # a handful per doc; the reference does exactly this in Python lists)
+    es = F.col("__es")
+    agents_all = F.filter(es, lambda e: e.getField("classification") == F.lit("infectiousAgent"))
+    conv_names = F.array_distinct(
+        F.flatten(
+            F.transform(
+                agents_all,
+                lambda e: F.array(
+                    F.lower(F.trim(e.getField("orig_name"))),
+                    F.lower(F.trim(e.getField("name"))),
+                ),
+            )
+        )
+    )
+    species_all = F.filter(
+        es,
+        lambda e: (e.getField("classification") != F.lit("infectiousAgent"))
+        & ~F.array_contains(conv_names, F.lower(F.trim(e.getField("name")))),
+    )
+
+    def keep_first_by_identifier(arr: F.Column) -> F.Column:
+        # element i survives iff no EARLIER element carries its identifier
+        return F.filter(
+            arr,
+            lambda e, i: ~F.exists(
+                F.slice(arr, 1, i),
+                lambda p: p.getField("identifier") == e.getField("identifier"),
+            ),
+        )
+
+    def rendered(arr: F.Column) -> F.Column:
+        return F.transform(
+            keep_first_by_identifier(arr),
+            lambda e: F.struct(
+                e.getField("name").alias("name"),
+                e.getField("identifier").alias("identifier"),
+            ),
         )
 
     empty = "array<struct<name:string,identifier:string>>"
     ids = docs.select(id_col)
-    return (
-        ids.join(regroup(species, species_col), id_col, "left")
-        .join(regroup(agents, agent_col), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col(species_col), F.array().cast(empty)).alias(species_col),
-            F.coalesce(F.col(agent_col), F.array().cast(empty)).alias(agent_col),
-        )
+    out = per_doc.select(
+        id_col,
+        rendered(species_all).alias(species_col),
+        rendered(agents_all).alias(agent_col),
+    )
+    return ids.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(species_col), F.array().cast(empty)).alias(species_col),
+        F.coalesce(F.col(agent_col), F.array().cast(empty)).alias(agent_col),
     )
