@@ -1213,7 +1213,10 @@ def _uploader_lookups(spark: SparkSession):
         .cast("int")
         .alias("parent_taxon"),
     )
-    closure = LN.taxonomy_closure(tax)
+    # the closure is a bounded dim consumed by TWO registry stages
+    # (lineage + drop rules) and by both the registry and pipeline
+    # queries — cache it so the iterative build runs once per session
+    closure = LN.taxonomy_closure(tax).cache()
     ner_rules = [
         {"name": "china", "id": 3034371, "ignore_children": False},
         {"name": "clade-3", "id": 3, "ignore_children": True},
