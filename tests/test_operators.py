@@ -442,3 +442,51 @@ def test_dedup_clusters_known_graph(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_streaming_watermark_drops_late_rows(spark):
+    """Late-data semantics (§2.10): a row arriving AFTER its window
+    closed (event time older than the watermark) is DROPPED — the
+    closed window's emitted row is final, never duplicated or amended —
+    while on-time rows in open windows flow on (the
+    commit-only-after-window-completes discipline,
+    sql_database.py:465-467)."""
+    import os
+
+    from nde_crawlers_spark.streaming.incremental import (
+        run_available_now, stream_events, windowed_counts,
+    )
+
+    src = tempfile.mkdtemp(prefix="late_src_")
+    out = tempfile.mkdtemp(prefix="late_out_")
+    ckpt = tempfile.mkdtemp(prefix="late_ck_")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def emit(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        run_available_now(
+            windowed_counts(stream_events(spark, src, schema), watermark="1 hour"),
+            os.path.join(out, "res"), ckpt,
+        )
+        del name
+
+    from datetime import datetime
+    d = lambda h, m=0: datetime(2024, 3, 1, h, m)  # noqa: E731
+    # batch 1: three rows in the 10:00 window; a 13:00 row advances the
+    # watermark to 12:00, closing and emitting window 10:00
+    emit([(1, d(10, 0), "click", 1.0), (2, d(10, 20), "click", 1.0),
+          (3, d(10, 40), "click", 1.0), (4, d(13, 0), "click", 1.0)], "b1")
+    got1 = {r["window_start"]: r["n"] for r in
+            spark.read.parquet(os.path.join(out, "res")).collect()}
+    assert got1.get("2024-03-01 10:00:00") == 3
+
+    # batch 2: a LATE row for the closed 10:00 window (must be dropped)
+    # plus a 15:30 row that pushes the watermark past 14:00, closing
+    # window 13:00
+    emit([(5, d(10, 45), "click", 1.0), (6, d(15, 30), "click", 1.0)], "b2")
+    rows = spark.read.parquet(os.path.join(out, "res")).collect()
+    per_window = {}
+    for r in rows:
+        per_window.setdefault(r["window_start"], []).append(r["n"])
+    assert per_window["2024-03-01 10:00:00"] == [3]   # final: no dup, no +1
+    assert per_window["2024-03-01 13:00:00"] == [1]
