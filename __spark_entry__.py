@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship crawl-scheduling query on sf0.001;
 ``queries()``/``oracle_sql()`` expose the full catalog from
-``nde_crawlers_spark`` (55 oracle-checked queries + 3 non-SQL-expressible
+``nde_crawlers_spark`` (56 oracle-checked queries + 3 non-SQL-expressible
 extras checked rows-only).
 """
 

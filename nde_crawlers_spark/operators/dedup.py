@@ -112,6 +112,32 @@ def minhash_signatures_agg(
     return ex.groupBy("id").agg(*aggs)
 
 
+def banded_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, bucket) — the LSH band-bucket table, the PERSISTED form
+    of a corpus's MinHash state (one row per doc per band). This is what
+    a production pipeline stores (bucketed by (band, bucket) in Iceberg)
+    so later ingests never recompute old signatures."""
+    k = bands * rows_per_band
+    sig = minhash_signatures_agg(docs, id_col, text_col, shingle_n, k)
+    band_keys = [
+        F.md5(
+            F.concat(
+                F.lit(str(b)), F.lit(":"),
+                F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]),
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.posexplode(F.array(*band_keys)).alias("band", "bucket"))
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -126,18 +152,7 @@ def minhash_lsh_candidates(
     ~ (1/bands)^(1/rows_per_band). Returns (id_a, id_b) pairs with
     id_a < id_b, distinct. The band id is part of the join key, so at
     scale no reducer sees more than one bucket (self-salting)."""
-    k = bands * rows_per_band
-    sig = minhash_signatures_agg(docs, id_col, text_col, shingle_n, k)
-    band_keys = [
-        F.md5(
-            F.concat(
-                F.lit(str(b)), F.lit(":"),
-                F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]),
-            )
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.posexplode(F.array(*band_keys)).alias("band", "bucket"))
+    banded = banded_signatures(docs, id_col, text_col, shingle_n, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -146,6 +161,50 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    banded_store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection: candidate pairs INVOLVING the new
+    delta only, against a persisted signature store — the production
+    ingest shape (per-delta cost is O(|delta| + matching buckets); the
+    100 TB corpus's signatures are never recomputed, exactly like the
+    seen-table discipline for URLs).
+
+    -> (pairs, new_banded): ``pairs`` are (id_a, id_b), id_a < id_b,
+    distinct, where at least one side is a new doc — identical to the
+    delta-involving subset of a full-corpus ``minhash_lsh_candidates``
+    over store ∪ delta (asserted in tests). ``new_banded`` is the
+    delta's (id, band, bucket) rows for the caller to append to the
+    store (with the store bucketed by (band, bucket), the join is
+    co-partitioned and the append is a plain insert)."""
+    new_banded = banded_signatures(
+        new_docs, id_col, text_col, shingle_n, bands, rows_per_band
+    )
+    all_banded = banded_store.unionByName(new_banded)
+    n = new_banded.alias("n")
+    a = all_banded.alias("a")
+    pairs = (
+        n.join(
+            a,
+            (F.col("n.bucket") == F.col("a.bucket"))
+            & (F.col("n.band") == F.col("a.band"))
+            & (F.col("n.id") != F.col("a.id")),
+        )
+        .select(
+            F.least(F.col("n.id"), F.col("a.id")).alias("id_a"),
+            F.greatest(F.col("n.id"), F.col("a.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs, new_banded
 
 
 def simhash16_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -272,6 +272,22 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.band = b.band AND a.id < b.id
 """
 
+# mirror of queries.dedup_incremental_minhash: the delta-involving subset
+# of the full-corpus LSH candidate pass (the Spark side computes it
+# incrementally against a persisted signature store)
+ORACLES["dedup_incremental_minhash"] = f"""
+WITH sh AS (SELECT doc_id AS id, {_SH3} AS sh FROM documents),
+sig AS (SELECT id, {_SIG8} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT id, b AS band,
+         md5(CAST(b AS VARCHAR) || ':' || array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.band = b.band AND a.id < b.id
+WHERE a.id % 5 = 0 OR b.id % 5 = 0
+"""
+
 # mirror of queries.dedup_cluster_components: the same MinHash pair CTEs,
 # then connected components via a recursive reachability CTE (min
 # reachable id = the deterministic cluster representative)

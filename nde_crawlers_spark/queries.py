@@ -281,6 +281,18 @@ def text_bpe_tokens(spark, sf_dir):
     )
 
 
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental ingest dedup (the production shape): a new delta
+    (every 5th doc) is checked against the PERSISTED banded-signature
+    store of the existing corpus — pairs involving the delta come back,
+    the corpus is never re-signed. Oracle: the delta-involving subset of
+    a full-corpus LSH pass."""
+    docs = t(spark, sf_dir, "documents")
+    store = DD.banded_signatures(docs.filter(F.col("doc_id") % 5 != 0))
+    pairs, _ = DD.incremental_minhash_pairs(docs.filter(F.col("doc_id") % 5 == 0), store)
+    return pairs
+
+
 def dedup_cluster_components(spark, sf_dir):
     """Duplicate-CLUSTER formation — the step after pair generation that
     every production fuzzy-dedup needs (keep-one-per-cluster requires
@@ -1443,6 +1455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "text_gopher_quality": text_gopher_quality,
     "text_repetition": text_repetition,
     "ann_bruteforce_topk": ann_bruteforce_topk,

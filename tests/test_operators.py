@@ -490,3 +490,34 @@ def test_streaming_watermark_drops_late_rows(spark):
         per_window.setdefault(r["window_start"], []).append(r["n"])
     assert per_window["2024-03-01 10:00:00"] == [3]   # final: no dup, no +1
     assert per_window["2024-03-01 13:00:00"] == [1]
+
+
+def test_incremental_minhash_matches_full_recompute(spark):
+    """Incremental ingest dedup: pairs from (delta vs store) must equal
+    the delta-involving subset of a FULL recompute over store ∪ delta,
+    and appending the returned banded rows reproduces the full store —
+    per-ingest cost stays O(delta), the corpus is never re-signed."""
+    from nde_crawlers_spark.operators.dedup import (
+        banded_signatures, incremental_minhash_pairs, minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    store = banded_signatures(old)
+
+    pairs, new_banded = incremental_minhash_pairs(new, store)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    full = minhash_lsh_candidates(docs)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == want
+    assert len(want) > 0  # non-vacuous: the fixture has cross-delta dups
+
+    merged = store.unionByName(new_banded)
+    assert merged.count() == banded_signatures(docs).count()
