@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    "dedup_incremental_minhash",
+    "text_gopher_quality",
     "ann_bruteforce_topk",
     "text_analyze",
     "merge_version_groups",

@@ -468,27 +468,35 @@ def dedup_clusters(
     )
     labels = edges.select(F.col("x").alias("member")).distinct().select(
         "member", F.col("member").alias("cluster")
-    )
+    ).cache()
+    probe_every = 2  # convergence check costs a join — geometric probing
     for it in range(1, max_iters + 1):
-        # neighbor labels: edge (x,y) proposes label(cluster[y]) to x
-        prop = (
-            edges.join(labels, edges.y == labels.member)
-            .groupBy("x")
-            .agg(F.min("cluster").alias("nbr"))
+        # each edge (x,y) proposes y's current label to x; keeping the
+        # node's own label in the union makes the round ONE min-agg
+        # (no join-back), the cheapest shuffle shape per round
+        prop = edges.join(labels, edges.y == labels.member).select(
+            F.col("x").alias("member"), "cluster"
         )
         new = (
-            labels.join(prop, labels.member == prop.x, "left")
-            .select(
-                "member",
-                F.least(F.col("cluster"), F.coalesce(F.col("nbr"), F.col("cluster"))).alias("cluster"),
-                (F.coalesce(F.col("nbr"), F.col("cluster")) < F.col("cluster")).alias("__chg"),
-            )
-        ).cache()
-        changed = new.filter(F.col("__chg")).isEmpty() is False
-        labels = new.drop("__chg")
+            labels.unionByName(prop)
+            .groupBy("member")
+            .agg(F.min("cluster").alias("cluster"))
+            .cache()
+        )
         if checkpoint_every and it % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
-        if not changed:
-            break
+            new = new.localCheckpoint(eager=True)
+        if it % probe_every == 0 or it == max_iters:
+            # min-labels only ever decrease: converged iff no member
+            # improved this round
+            improved = (
+                new.join(labels.withColumnRenamed("cluster", "__old"), "member")
+                .filter(F.col("cluster") < F.col("__old"))
+            )
+            done = improved.isEmpty()
+            labels = new
+            if done:
+                break
+        else:
+            labels = new
     edges.unpersist()
     return labels
