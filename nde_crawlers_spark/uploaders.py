@@ -121,7 +121,7 @@ def run_uploader(
     # original columns), so stage plans stay independent and the base is
     # scanned 1 + #operator-stage-kinds times total.
     rs = _family(reg, lambda sp: sp.reclassify)
-    if rs and species_lookup is not None:
+    if rs and species_lookup is not None and {"species", "infectiousAgent"} <= set(docs.columns):
         sub = docs.filter(F.col(source_col).isin(rs)).select(
             id_col, "species", "infectiousAgent"
         )
@@ -142,7 +142,7 @@ def run_uploader(
         )
 
     ls = _family(reg, lambda sp: sp.lineage)
-    if ls and closure is not None:
+    if ls and closure is not None and "taxids" in docs.columns:
         sub = docs.filter(F.col(source_col).isin(ls)).select(id_col, "taxids")
         lin = LN.expand_lineage(sub, closure).select(
             id_col, F.col("_meta_lineage").alias("__lin")
@@ -159,7 +159,7 @@ def run_uploader(
         )
 
     ds = _family(reg, lambda sp: sp.drop_rules)
-    if ds and ner_rules:
+    if ds and ner_rules and "ner" in docs.columns:
         sub = (
             docs.filter(F.col(source_col).isin(ds))
             .select(id_col, F.posexplode("ner").alias("pos", "e"))
@@ -187,7 +187,7 @@ def run_uploader(
         )
 
     fs = _family(reg, lambda sp: sp.funding)
-    if fs and funding_lookup is not None:
+    if fs and funding_lookup is not None and "funding_id" in out.columns:
         # broadcast join on the whole frame (no subset scan), masked to
         # the family — the funder_cache hit path (utils/funding_helper.py)
         out = out.join(F.broadcast(funding_lookup), on="funding_id", how="left").withColumn(
@@ -209,7 +209,8 @@ def run_uploader(
     scrub: dict[str, list[str]] = {}
     for s, sp in reg.items():
         for c in sp.placeholder_fields:
-            scrub.setdefault(c, []).append(s)
+            if c in out.columns:  # stage inputs a source family may lack
+                scrub.setdefault(c, []).append(s)
     for c, srcs in sorted(scrub.items()):
         out = out.withColumn(
             c,
