@@ -478,9 +478,14 @@ def dedup_clusters(
         .distinct()
         .cache()
     )
-    labels = edges.select(F.col("x").alias("member")).distinct().select(
-        "member", F.col("member").alias("cluster")
-    ).cache()
+    # round 0 fused with init: label = min(self, direct neighbors) in one
+    # aggregation (a separate identity init would spend a whole loop
+    # round rediscovering the direct neighborhood)
+    labels = (
+        edges.groupBy(F.col("x").alias("member"))
+        .agg(F.min(F.least(F.col("x"), F.col("y"))).alias("cluster"))
+        .cache()
+    )
     probe_every = 2  # convergence check costs a join — geometric probing
     for it in range(1, max_iters + 1):
         # each edge (x,y) proposes y's current label to x; keeping the
