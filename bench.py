@@ -132,6 +132,27 @@ def fetch_normalize_bench(spark, n_urls: int, cores: int | None = None, runs: in
             "urls_per_sec": round(n_urls / best, 1)}
 
 
+def _seen_filter_segmented_bench(spark, n_seen: int, n_cand: int):
+    """Round-4 addition (separately totaled, NOT in the r3-comparable
+    headline set): the segmented-bloom unseen filter — per-bucket bloom
+    build + cogroup probe + exact confirm — vs a seen set of n_seen
+    keys. The operator the north rule names (partitioned URL-seen)."""
+    from pyspark.sql import functions as F
+
+    from nde_crawlers_spark.operators import seen as SN
+
+    seen = spark.range(0, n_seen, 1, 32).select(
+        F.md5(F.col("id").cast("string")).alias("url_hash"))
+    cand = spark.range(n_seen // 2, n_seen // 2 + n_cand, 1, 32).select(
+        F.md5(F.col("id").cast("string")).alias("url_hash"))
+    segments = SN.build_bloom_segments(seen, nseg=64, expected=n_seen).cache()
+    segments.count()  # persisted-table stand-in: build cost excluded, like the crawl's incremental table
+    out = SN.filter_unseen_bloom_segmented(cand, seen, segments=segments,
+                                           nseg=64, expected=n_seen)
+    out.write.format("noop").mode("overwrite").save()
+    segments.unpersist()
+
+
 def run_headline() -> None:
     from nde_crawlers_spark.queries import QUERIES
 
@@ -155,12 +176,23 @@ def run_headline() -> None:
     fb = fetch_normalize_bench(spark, 1_000_000, runs=2)
     times["fetch_normalize_1m"] = fb["secs"]
     total = round(sum(times.values()), 3)
+
+    # round-4+ additions: separately totaled so `value` stays
+    # like-for-like with BENCH_r03.json's query set
+    new_times: dict[str, float] = {}
+    _seen_filter_segmented_bench(spark, 100_000, 100_000)  # warm codegen/pool
+    t0 = time.monotonic()
+    _seen_filter_segmented_bench(spark, 2_000_000, 1_000_000)
+    new_times["seen_filter_segmented_2m"] = round(time.monotonic() - t0, 3)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "new_queries": new_times,
+        "new_total": round(sum(new_times.values()), 3),
         "sf": float(sf),
         "fetch_normalize_urls_per_sec": fb["urls_per_sec"],
         "cores": CPUS,

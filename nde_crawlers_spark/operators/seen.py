@@ -12,20 +12,25 @@ Scale design (10^10 URLs): the seen set cannot be a broadcast, so:
    sides hash-partition on url_hash; with the seen table stored bucketed
    by url_hash (Iceberg bucket transform in production) the join is
    co-partitioned and shuffle-free on the big side. AQE handles skew.
-2. **Bloom prefilter** — a bloom filter built over the seen keys cuts the
-   anti-join's probe-side shuffle: definite-new URLs skip the join
+2. **Segmented bloom prefilter** (the primary path — see the segmented
+   section below): the seen keys' bloom lives as per-url_hash-bucket
+   SEGMENTS in a plain table persisted beside the bucketed seen table,
+   built executor-side (``applyInPandas``), maintained incrementally
+   (bitwise OR of each round's delta), and probed by CO-GROUPING each
+   candidate with its own segment. Definite-new URLs skip the anti-join
    entirely; only might-contain positives go to the exact join for
    confirmation (false positives never drop a URL — the exact join has
-   the final say).
+   the final say). At the 10^10-key design point the whole filter is
+   ~12 GB — segmenting means NO driver-resident bit array and no giant
+   task closure, ever.
 
 Spark 4.1 does not expose ``bloom_filter_agg`` as a SQL-registered
 function (it is an internal runtime-filter expression), so the bloom is
 built here: the two 64-bit key hashes are computed JVM-side
-(``xxhash64``), and the bit array is built/probed with vectorized numpy
-inside Arrow batches — no per-row Python. Per round the build scans only
-the seen *delta*; blooms are unionable (bitwise OR), so the full-seen
-bloom is maintained incrementally, exactly how the production version
-would persist per-partition bloom segments alongside the Iceberg table.
+(``xxhash64``), and the bit arrays are built/probed with vectorized
+numpy inside Arrow batches — no per-row Python. A legacy single-bloom
+form (driver OR-combine, task-closure broadcast) is kept for small seen
+sets only.
 """
 
 from __future__ import annotations
@@ -161,7 +166,10 @@ def filter_unseen_bloom(
     expected: int = 1_000_000,
     fpp: float = 0.01,
 ) -> DataFrame:
-    """Bloom-prefiltered unseen filter.
+    """Bloom-prefiltered unseen filter (LEGACY single-bloom form — kept
+    for small seen sets; the scale path is
+    ``filter_unseen_bloom_segmented``, which never materializes a global
+    bit array on the driver).
 
     definite_new  = candidates where NOT might_contain(bloom, key)
     maybe_seen    = the rest -> confirmed via exact anti-join
@@ -171,6 +179,160 @@ def filter_unseen_bloom(
     if bloom is None:
         return filter_unseen_exact(candidates, seen, key)
     probed = probe_bloom(candidates, bloom, key=key)
+    definite_new = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    confirmed_new = filter_unseen_exact(maybe, seen, key)
+    return definite_new.unionByName(confirmed_new)
+
+
+# --------------------- segmented (partitioned) bloom ---------------------
+#
+# The north rule's design point is a PARTITIONED URL-seen filter at 10^10
+# keys. A single bloom at that scale (~12 GB at 1% fpp) cannot live on
+# the driver or in a task closure, so the bloom is kept as SEGMENTS keyed
+# by a hash bucket of the url_hash — one (seg, bits) row per bucket —
+# built executor-side with applyInPandas (no driver combine anywhere),
+# persisted as a plain parquet table beside the bucketed seen table, and
+# maintained INCREMENTALLY: each crawl round ORs the delta's segments
+# into the previous round's table (blooms are unionable bit-wise).
+# Probing co-groups candidates with their own segment, so each task sees
+# only the (few-MB) segments its candidate partition needs — the same
+# data movement as the eventual anti-join shuffle, replacing a
+# driver-memory-bound broadcast with a co-partitioned join.
+
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("seg", T.IntegerType()),
+    T.StructField("nbits", T.LongType()),
+    T.StructField("nhashes", T.IntegerType()),
+    T.StructField("bits", T.BinaryType()),
+])
+
+
+def segment_of(col: F.Column, nseg: int) -> F.Column:
+    """Deterministic segment id for a key column — independent of the
+    two bloom probe hashes (different salt)."""
+    return F.pmod(F.xxhash64(col, F.lit("#seg")), F.lit(nseg)).cast("int")
+
+
+def _seg_params(expected_total: int, nseg: int, fpp: float) -> tuple[int, int]:
+    return _params(max(expected_total // max(nseg, 1), 64), fpp)
+
+
+def build_bloom_segments(
+    seen: DataFrame,
+    key: str = "url_hash",
+    nseg: int = 64,
+    expected: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Per-segment blooms over the seen keys: one shuffle on the segment
+    key, one numpy bit-array per group, zero driver-side state. Segments
+    with no keys emit no row (probe treats absent = definitely unseen).
+    ``expected`` is the TOTAL key design point; each segment is sized
+    for expected/nseg."""
+    nbits, k = _seg_params(expected, nseg, fpp)
+    nbytes = nbits // 8
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["seg", "nbits", "nhashes", "bits"])
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        pos = _positions(pdf["__h1"].values, pdf["__h2"].values, k, nbits).ravel()
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({
+            "seg": [int(pdf["__seg"].iloc[0])], "nbits": [nbits],
+            "nhashes": [k], "bits": [bits.tobytes()],
+        })
+
+    hashed = seen.select(
+        segment_of(F.col(key), nseg).alias("__seg"),
+        F.xxhash64(F.col(key)).alias("__h1"),
+        F.xxhash64(F.concat(F.col(key), F.lit("#bloom2"))).alias("__h2"),
+    )
+    return hashed.groupBy("__seg").applyInPandas(_build, schema=SEGMENT_SCHEMA)
+
+
+def or_bloom_segments(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR two segment tables (same nbits/nhashes) — the
+    incremental maintenance step: segments(r) = segments(r-1) OR
+    segments(delta_r). One shuffle on seg; executor-side numpy OR."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["seg", "nbits", "nhashes", "bits"])
+        assert pdf["nbits"].nunique() == 1 and pdf["nhashes"].nunique() == 1, \
+            "segment tables built with different parameters cannot be OR-ed"
+        acc = np.zeros(len(pdf["bits"].iloc[0]), dtype=np.uint8)
+        for blob in pdf["bits"]:
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame({
+            "seg": [int(pdf["seg"].iloc[0])], "nbits": [int(pdf["nbits"].iloc[0])],
+            "nhashes": [int(pdf["nhashes"].iloc[0])], "bits": [acc.tobytes()],
+        })
+
+    return a.unionByName(b).groupBy("seg").applyInPandas(_merge, schema=SEGMENT_SCHEMA)
+
+
+def probe_bloom_segmented(
+    candidates: DataFrame, segments: DataFrame, key: str = "url_hash", nseg: int = 64
+) -> DataFrame:
+    """Add ``__maybe_seen`` by probing each candidate against ITS OWN
+    segment only: candidates and segments are co-grouped on the segment
+    id, so a task holds one segment's bit array and that segment's
+    candidates — never the whole filter. A candidate whose segment has
+    no row is definitely unseen."""
+    out_schema = T.StructType(
+        candidates.schema.fields + [T.StructField("__maybe_seen", T.BooleanType())]
+    )
+    keep = [f.name for f in candidates.schema.fields]
+
+    def _probe(cand: pd.DataFrame, seg: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return pd.DataFrame(columns=keep + ["__maybe_seen"])
+        out = cand[keep].copy()
+        if len(seg) == 0:
+            out["__maybe_seen"] = False
+            return out
+        bits = np.frombuffer(seg["bits"].iloc[0], dtype=np.uint8)
+        nbits, k = int(seg["nbits"].iloc[0]), int(seg["nhashes"].iloc[0])
+        pos = _positions(cand["__h1"].values, cand["__h2"].values, k, nbits)
+        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        out["__maybe_seen"] = hit.all(axis=1).astype(bool)
+        return out
+
+    withh = candidates.withColumns({
+        "__seg": segment_of(F.col(key), nseg),
+        "__h1": F.xxhash64(F.col(key)),
+        "__h2": F.xxhash64(F.concat(F.col(key), F.lit("#bloom2"))),
+    })
+    return (
+        withh.groupBy("__seg")
+        .cogroup(segments.groupBy("seg"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
+
+
+def filter_unseen_bloom_segmented(
+    candidates: DataFrame,
+    seen: DataFrame,
+    segments: DataFrame | None = None,
+    key: str = "url_hash",
+    nseg: int = 64,
+    expected: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Segmented-bloom-prefiltered unseen filter — exact semantics:
+
+    definite_new  = candidates whose own segment says not-present
+    maybe_seen    = the rest -> confirmed via exact anti-join vs seen
+    result        = definite_new UNION confirmed_new
+
+    ``segments`` is the persisted incremental table when the caller
+    maintains one (the crawl plan does, per round, beside the seen
+    table); built from ``seen`` on the fly otherwise."""
+    if segments is None:
+        segments = build_bloom_segments(seen, key=key, nseg=nseg, expected=expected, fpp=fpp)
+    probed = probe_bloom_segmented(candidates, segments, key=key, nseg=nseg)
     definite_new = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     confirmed_new = filter_unseen_exact(maybe, seen, key)

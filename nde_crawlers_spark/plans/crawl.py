@@ -72,7 +72,16 @@ class CrawlConfig:
     max_attempts: int = 3
     discovered_priority: int = 5
     host_buckets: int = U.DEFAULT_HOST_BUCKETS
-    use_bloom: bool = False          # bloom prefilter in front of the anti-join
+    # segmented bloom prefilter in front of the seen anti-join: per-
+    # url_hash-bucket bloom segments, built executor-side, persisted in
+    # each round's commit beside the seen delta and maintained
+    # INCREMENTALLY (segments(r) = segments(r-1) OR build(new_seen_r)) —
+    # the north rule's partitioned URL-seen filter; no driver-side
+    # combine anywhere (operators/seen.py)
+    use_bloom: bool = True
+    bloom_segments: int = 64         # segment count (10^10 design point: 4096)
+    bloom_expected: int = 1_000_000  # TOTAL expected keys across segments
+    bloom_fpp: float = 0.01
     salt_factor: int = 8
     # frontier persistence: False = full snapshot per round (simple,
     # sandbox default); True = O(delta) writes per round (frontier_add +
@@ -252,9 +261,24 @@ class CrawlRun:
         cand = self._prepare_candidates(candidates_raw)
         robots = self._update_robots(robots, cand).cache()
 
-        # unseen filter: candidates never enqueued before
+        # unseen filter: candidates never enqueued before. With
+        # use_bloom, candidates are probed against the PREVIOUS round's
+        # persisted bloom-segment table (each candidate against its own
+        # segment only); definite-new rows skip the anti-join entirely,
+        # might-contain rows are confirmed exactly — identical output
+        # set either way, at any parallelism.
+        prev_segments = None
+        if cfg.use_bloom and r > 0 and os.path.isdir(
+            os.path.join(self._rdir(r - 1), "bloom_segments")
+        ):
+            prev_segments = self._read(r - 1, "bloom_segments")
         unseen = (
-            SN.filter_unseen_bloom(cand, seen) if cfg.use_bloom else SN.filter_unseen_exact(cand, seen)
+            SN.filter_unseen_bloom_segmented(
+                cand, seen, segments=prev_segments, nseg=cfg.bloom_segments,
+                expected=cfg.bloom_expected, fpp=cfg.bloom_fpp,
+            )
+            if cfg.use_bloom
+            else SN.filter_unseen_exact(cand, seen)
         ).cache()
         new_seen = unseen.select("url_hash").withColumn("first_seen_round", F.lit(r))
 
@@ -391,6 +415,26 @@ class CrawlRun:
             (host_state.coalesce(8), "host_state"),
             (lineage.coalesce(8), "lineage"),
         ]
+        if cfg.use_bloom:
+            # incremental maintenance: this round's segment table =
+            # previous table OR the delta's segments — committed with the
+            # round, so a resumed run picks up exactly the filter state
+            # matching its seen set. When no previous table exists (round
+            # 0, or resume across a layout change) the table is rebuilt
+            # from the full seen-through-r set.
+            if prev_segments is not None:
+                delta_segments = SN.build_bloom_segments(
+                    new_seen, nseg=cfg.bloom_segments,
+                    expected=cfg.bloom_expected, fpp=cfg.bloom_fpp,
+                )
+                new_segments = SN.or_bloom_segments(prev_segments, delta_segments)
+            else:
+                new_segments = SN.build_bloom_segments(
+                    seen.select("url_hash").unionByName(new_seen.select("url_hash")),
+                    nseg=cfg.bloom_segments,
+                    expected=cfg.bloom_expected, fpp=cfg.bloom_fpp,
+                )
+            writes.append((new_segments.coalesce(8), "bloom_segments"))
         if cfg.frontier_deltas:
             # O(delta) persistence: what entered and what left the
             # frontier this round; periodic compaction bounds the

@@ -40,6 +40,69 @@ def test_bloom_build_and_probe(spark):
     assert SN.build_bloom(empty, expected=10) is None
 
 
+def test_segmented_bloom_filter_equals_exact(spark):
+    """The scale path (north rule: PARTITIONED URL-seen filter): per-
+    bucket bloom segments built executor-side, probed via cogroup —
+    exact output semantics, no driver-side combine anywhere."""
+    seen = spark.range(0, 500).select(F.md5(F.col("id").cast("string")).alias("url_hash"))
+    cand = spark.range(250, 900).select(
+        F.md5(F.col("id").cast("string")).alias("url_hash"), F.col("id")
+    )
+    exact = {r["url_hash"] for r in SN.filter_unseen_exact(cand, seen).collect()}
+    segd = {
+        r["url_hash"]
+        for r in SN.filter_unseen_bloom_segmented(cand, seen, nseg=8, expected=1000).collect()
+    }
+    assert segd == exact and len(exact) == 400
+    # empty seen: empty segment table -> everything definitely new
+    empty = spark.createDataFrame([], "url_hash string")
+    assert SN.filter_unseen_bloom_segmented(cand, empty, nseg=8).count() == 650
+
+
+def test_segmented_bloom_incremental_or_equals_full_build(spark):
+    """Incremental maintenance (segments(r) = segments(r-1) OR delta)
+    must be BYTE-identical to rebuilding from the full seen set — the
+    invariant that lets the crawl commit one small delta per round."""
+    seen = spark.range(0, 500).select(F.md5(F.col("id").cast("string")).alias("url_hash"))
+    a = spark.range(0, 300).select(F.md5(F.col("id").cast("string")).alias("url_hash"))
+    b = spark.range(300, 500).select(F.md5(F.col("id").cast("string")).alias("url_hash"))
+    full = {
+        r["seg"]: (r["bits"], r["nbits"], r["nhashes"])
+        for r in SN.build_bloom_segments(seen, nseg=8, expected=1000).collect()
+    }
+    inc = SN.or_bloom_segments(
+        SN.build_bloom_segments(a, nseg=8, expected=1000),
+        SN.build_bloom_segments(b, nseg=8, expected=1000),
+    )
+    got = {r["seg"]: (r["bits"], r["nbits"], r["nhashes"]) for r in inc.collect()}
+    assert got == full and len(full) == 8
+
+
+def test_segmented_bloom_probe_is_segment_local(spark):
+    """Each candidate is answered by ITS OWN segment only: zeroing the
+    key's segment flips its probe to definitely-unseen; zeroing any
+    OTHER segment changes nothing. (This is the structural guarantee
+    that no task ever holds — and no driver ever assembles — the whole
+    filter.)"""
+    seen = spark.range(0, 500).select(F.md5(F.col("id").cast("string")).alias("url_hash"))
+    segs = SN.build_bloom_segments(seen, nseg=8, expected=1000)
+    one = seen.limit(1)
+    myseg = one.select(SN.segment_of(F.col("url_hash"), 8).alias("s")).first()["s"]
+    pdf = segs.toPandas()
+
+    def probe_with(frame):
+        t = spark.createDataFrame(frame, schema=SN.SEGMENT_SCHEMA)
+        return SN.probe_bloom_segmented(one, t, nseg=8).first()["__maybe_seen"]
+
+    assert probe_with(pdf) is True                      # present in its segment
+    z_own = pdf.copy()
+    z_own.loc[z_own.seg == myseg, "bits"] = bytes(len(pdf.bits.iloc[0]))
+    assert probe_with(z_own) is False                   # own segment consulted
+    z_other = pdf.copy()
+    z_other.loc[z_other.seg == int((myseg + 1) % 8), "bits"] = bytes(len(pdf.bits.iloc[0]))
+    assert probe_with(z_other) is True                  # other segments ignored
+
+
 def _mini_docs(spark):
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
     from nde_crawlers_spark.sources.synthetic import make_seeds
@@ -436,12 +499,48 @@ def test_dedup_clusters_known_graph(spark):
          (20, 21)],                              # pair
         "id_a long, id_b long",
     )
-    got = {r["member"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    stats: dict = {}
+    got = {r["member"]: r["cluster"] for r in dedup_clusters(pairs, stats=stats).collect()}
     assert {m: c for m, c in got.items()} == {
         1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+    assert stats["converged"]
+
+
+def test_dedup_clusters_deep_chain_pointer_jumping(spark):
+    """A depth-64 chain (the chain-shaped version-ladder worst case for
+    plain min-label propagation, which needs O(diameter)=64 rounds):
+    pointer jumping every other round gives O(log d) — the whole chain
+    must collapse to one cluster in <= 12 iterations, converged."""
+    from nde_crawlers_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    labels = dedup_clusters(pairs, stats=stats)
+    got = {r["member"]: r["cluster"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(65)}
+    assert stats["converged"], stats
+    assert stats["iterations"] <= 12, stats
+    labels.unpersist()
+
+
+def test_dedup_clusters_unconverged_is_flagged(spark):
+    """Exhausting max_iters on a too-deep component must be SIGNALLED
+    (ADVICE r3: silent split clusters), not returned quietly."""
+    from nde_crawlers_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    labels = dedup_clusters(pairs, max_iters=2, jump_every=0, stats=stats)
+    assert not stats["converged"]
+    assert stats["iterations"] == 2
+    labels.unpersist()
 
 
 def test_streaming_watermark_drops_late_rows(spark):
