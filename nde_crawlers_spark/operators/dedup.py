@@ -450,7 +450,11 @@ def embedding_near_dup_pairs(
 
 
 def dedup_clusters(
-    pairs: DataFrame, max_iters: int = 32, checkpoint_every: int = 8
+    pairs: DataFrame,
+    max_iters: int = 32,
+    checkpoint_every: int = 8,
+    jump_every: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over candidate duplicate pairs — the cluster
     step every large-scale fuzzy-dedup pipeline runs AFTER pair
@@ -463,12 +467,28 @@ def dedup_clusters(
 
         label[x] <- min(label[x], min over neighbors y of label[y])
 
-    repeated until a fixpoint. Each iteration is one shuffle on the edge
-    key + one min-aggregation on the node key — both map-side combined,
-    skew handled by AQE; iterations needed = the cluster DIAMETER in
-    hops (near-dup clusters are shallow; bounded by ``max_iters``).
-    Plan lineage is truncated every ``checkpoint_every`` iterations
-    (same driver discipline as lineage.taxonomy_closure).
+    interleaved every ``jump_every`` iterations with a POINTER-JUMPING
+    round (label[x] <- label[label[x]], one self-join on the node
+    table), so label reach doubles instead of growing by one hop —
+    convergence in O(log diameter) rounds instead of O(diameter),
+    which is what saves chain-shaped duplicate sets (version ladders
+    A~B~C~...). Shallow near-dup clusters converge in 2-3 rounds either
+    way and pay at most one extra node-table join.
+
+    Each propagation is one shuffle on the edge key + one
+    min-aggregation on the node key — both map-side combined, skew
+    handled by AQE. Plan lineage is truncated every ``checkpoint_every``
+    iterations (same driver discipline as lineage.taxonomy_closure);
+    superseded label frames are unpersisted as soon as a probe has
+    materialized their successor, so at most ~3 cached frames are live
+    at any point. The RETURNED frame stays cached — the caller owns it
+    (unpersist when done).
+
+    If the loop exhausts ``max_iters`` without reaching the fixpoint, a
+    warning is logged and — when a ``stats`` dict is supplied — exposed
+    as ``stats['converged'] = False`` so a keep-one-per-cluster caller
+    can refuse to act on split clusters. ``stats`` also receives
+    ``'iterations'``.
 
     ``pairs``: (id_a, id_b). Returns (member, cluster) where cluster =
     min member id of the component — deterministic representative."""
@@ -487,6 +507,9 @@ def dedup_clusters(
         .cache()
     )
     probe_every = 2  # convergence check costs a join — geometric probing
+    retired: list[DataFrame] = []  # unpersist only after a probe materializes
+    converged = False
+    it = 0
     for it in range(1, max_iters + 1):
         # each edge (x,y) proposes y's current label to x; keeping the
         # node's own label in the union makes the round ONE min-agg
@@ -500,20 +523,66 @@ def dedup_clusters(
             .agg(F.min("cluster").alias("cluster"))
             .cache()
         )
-        if checkpoint_every and it % checkpoint_every == 0:
+        if jump_every and it % jump_every == 0:
+            # pointer jump: label[x] <- label[label[x]]. Every cluster
+            # value is itself a member id (labels are min node ids and
+            # every node has a row), so the inner self-join is total;
+            # labels are monotone non-increasing, so label[label[x]] <=
+            # label[x] and the jump only ever tightens.
+            #
+            # The self-join embeds `new`'s logical plan TWICE, so
+            # without truncation the plan tree DOUBLES per jump and
+            # Catalyst analysis goes exponential (observed: a 65-node
+            # chain spinning the driver for 20+ min). localCheckpoint
+            # (eager) cuts the lineage at every jump — also what makes
+            # the per-iteration analysis cost constant at corpus scale.
+            jumped = (
+                new.alias("a")
+                .join(new.alias("b"), F.col("a.cluster") == F.col("b.member"))
+                .select(
+                    F.col("a.member").alias("member"),
+                    F.least(F.col("a.cluster"), F.col("b.cluster")).alias("cluster"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            retired.append(new)
+            new = jumped
+        elif checkpoint_every and it % checkpoint_every == 0:
             new = new.localCheckpoint(eager=True)
         if it % probe_every == 0 or it == max_iters:
             # min-labels only ever decrease: converged iff no member
-            # improved this round
+            # improved since the last probed frame
             improved = (
                 new.join(labels.withColumnRenamed("cluster", "__old"), "member")
                 .filter(F.col("cluster") < F.col("__old"))
             )
-            done = improved.isEmpty()
+            # full count, not isEmpty: isEmpty short-circuits and would
+            # leave `new` partially cached while we unpersist its parents
+            done = improved.count() == 0  # fully materializes `new`
+            retired.append(labels)
+            for df in retired:
+                df.unpersist()
+            retired = []
             labels = new
             if done:
+                converged = True
                 break
         else:
+            retired.append(labels)
             labels = new
     edges.unpersist()
+    for df in retired:
+        if df is not labels:
+            df.unpersist()
+    if stats is not None:
+        stats["iterations"] = it
+        stats["converged"] = converged
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: fixpoint NOT reached after %d iterations — "
+            "components wider than the iteration budget are returned SPLIT; "
+            "raise max_iters or inspect stats['converged']", it,
+        )
     return labels
