@@ -113,19 +113,30 @@ class StreamingCrawl:
         return self.spark.read.parquet(*parts)
 
     def gc_seen_deltas(self) -> list[str]:
-        """Delete per-batch seen deltas already folded into the NEWEST
-        committed snapshot. Safe by construction: a replay of batch B can
-        only be a batch the checkpoint has not committed, hence B >
-        newest-upto, and its view reads snapshot(upto<B) + tail deltas in
-        (upto, B) — never a delta <= upto. Recompaction at a later upto'
-        reads snapshot + tail > upto only, likewise. Returns the removed
-        directories (for the caller's audit log)."""
+        """Delete per-batch seen deltas already folded into the
+        SECOND-newest committed snapshot.
+
+        Why not the newest: ``_compact(B)`` runs inside
+        ``_process_batch``, BEFORE the streaming checkpoint commits
+        batch B. A crash in that window leaves a committed snapshot
+        ``upto=B`` whose own batch will be REPLAYED; the replay calls
+        ``seen(before_batch=B)``, which excludes that snapshot and needs
+        the tail deltas in (prev_upto, B). GC'ing up to the newest
+        snapshot would have deleted exactly those deltas and the replay
+        would compute its unseen set against an incomplete view,
+        re-emitting already-seen URLs (duplicate output). Deltas covered
+        only by the newest snapshot are therefore retained until a
+        NEWER snapshot supersedes it — at which point the newest
+        snapshot's batch is provably checkpoint-committed (a later batch
+        ran) and its tail can never be replayed.
+
+        Returns the removed directories (for the caller's audit log)."""
         import shutil
 
         snaps = self._snapshots()
-        if not snaps:
+        if len(snaps) < 2:
             return []
-        upto = max(snaps)
+        upto = sorted(snaps)[-2]
         base = self._dir("seen")
         removed = []
         for d in sorted(os.listdir(base)):
@@ -215,3 +226,7 @@ class StreamingCrawl:
         unseen.unpersist()
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self._compact(batch_id)
+            # GC inside the lifecycle (not caller-invoked): removes only
+            # deltas folded into the SECOND-newest snapshot — see
+            # gc_seen_deltas for the crash-window argument
+            self.gc_seen_deltas()

@@ -206,12 +206,40 @@ def test_streaming_seen_compaction_bounds_batch_inputs(spark):
     inputs1 = {_os.path.dirname(f) for f in view1.inputFiles()}
     assert len(inputs1) == 1 and "batch=000000" in next(iter(inputs1))
 
-    # GC: deltas folded into the newest snapshot are deletable; the seen
-    # SET and the replay view of any POST-snapshot batch are unchanged
+    # GC with a SINGLE committed snapshot is a no-op: snapshot upto=1 was
+    # written inside batch 1's _process_batch, BEFORE the checkpoint
+    # committed batch 1 — a crash in that window replays batch 1, whose
+    # view needs delta batch=000000. (ADVICE r3: GC'ing up to the newest
+    # snapshot deleted exactly that delta.)
+    assert sc.gc_seen_deltas() == []
+    assert sorted(
+        d for d in _os.listdir(_os.path.join(root, "seen")) if d.startswith("batch=")
+    ) == ["batch=000000", "batch=000001", "batch=000002"]
+
+    # a fourth drain -> batch 3 -> second snapshot upto=3; the in-loop GC
+    # (wired into _process_batch) now removes only deltas covered by the
+    # SECOND-newest snapshot (<=1) and retains the newest snapshot's tail
     before = {r["url_hash"] for r in sc.seen().collect()}
-    removed = sc.gc_seen_deltas()
-    assert sorted(removed) == ["batch=000000", "batch=000001"]
-    assert {r["url_hash"] for r in sc.seen().collect()} == before
-    view2b = sc.seen(before_batch=2)
-    inputs2b = {_os.path.dirname(f) for f in view2b.inputFiles()}
-    assert len(inputs2b) == 1 and "upto=000001" in next(iter(inputs2b))
+    _write_candidates(
+        spark, root, "b3",
+        [(s["url"], s["priority"], 30.0) for s in make_seeds(80, 6)[60:80]],
+    )
+    sc.run_available_now()
+    assert sc._snapshots() == [1, 3]
+    assert sorted(
+        d for d in _os.listdir(_os.path.join(root, "seen")) if d.startswith("batch=")
+    ) == ["batch=000002", "batch=000003"]
+
+    # seen SET unchanged for the shared prefix; replay view of batch 3
+    # (the crash-window case) still reconstructs: snapshot upto=1 + delta 2
+    assert before <= {r["url_hash"] for r in sc.seen().collect()}
+    view3 = sc.seen(before_batch=3)
+    inputs3 = {
+        _os.path.dirname(f).removeprefix("file://") for f in view3.inputFiles()
+    }
+    assert inputs3 == {
+        _os.path.join(root, "seen_compacted", "upto=000001", "data"),
+        _os.path.join(root, "seen", "batch=000002"),
+    }
+    # and the replayed batch-3 view equals all-history-before-3
+    assert {r["url_hash"] for r in view3.collect()} == before
