@@ -106,10 +106,15 @@ def reclassify_species(
             F.coalesce(F.col("std_name"), F.col("orig_name")).alias("name"),
             F.coalesce(F.col("std_identifier"), F.col("orig_ident")).alias("identifier"),
             # unmatched entries pass through UNCHANGED, keeping their
-            # ORIGINAL side (pubtator.py process_section leaves them
-            # without a classification, so the re-split keeps curated
-            # infectiousAgent entries on the agent side): the pos encoding
-            # carries the side (tag*100000 + pos).
+            # ORIGINAL side — modelling _apply_resolved_species
+            # (pubtator.py:1271-1276: entries with no resolved standard
+            # go back to the list they came from). NOTE the reference's
+            # OTHER path, process_document's re-split (pubtator.py:
+            # 877-880), instead sends classification-less items to the
+            # species side; this operator deliberately models the
+            # resolved-apply path, which is the one that preserves
+            # curated infectiousAgent entries. The pos encoding carries
+            # the side (tag*100000 + pos).
             F.coalesce(
                 F.col("classification"),
                 F.when(F.col("pos") >= 100000, F.lit("infectiousAgent")).otherwise(F.lit("host")),

@@ -1007,13 +1007,28 @@ FROM p
 """
 
 # mirror of queries.uploader_registry: the full registry dispatch — doi
-# promote (zenodo), placeholder scrub (geo), PubTator reclassification +
-# funder lookup (immport), lineage annotation (ncbi_sra), NER drop rules
-# (pubtator) — with family CTEs restricted to their sources and the
-# same renderings. The CTE chain is shared with nde_pipeline_e2e (which
-# composes the registry with the builder merge + wrapper gate), so the
-# two oracles cannot drift.
-_UPLOADER_CTES = """
+# promote (zenodo), wrapper placeholder scrub + lineage + casefold
+# (every wrapped source), PubTator reclassification, funder / citation /
+# measurement-technique / topic lookups, NER drop rules — with family
+# CTEs restricted to their sources and the same renderings. The family
+# IN-lists are GENERATED from the real registry
+# (uploaders.fixture_family), and the CTE chain is shared with
+# nde_pipeline_e2e, so the Spark dispatch, the registry data, and both
+# oracles cannot drift.
+from .uploaders import FIXTURE_SOURCES  # noqa: E402
+from .uploaders import fixture_family  # noqa: E402
+
+
+def _IN(flag: str) -> str:
+    return "'" + "','".join(fixture_family(flag)) + "'"
+
+
+_SRC_ARR = "[" + ",".join(f"'{s}'" for s in FIXTURE_SOURCES) + "]"
+_MAPPED_SRC = (
+    "(" + _SRC_ARR + ")[CAST(replace(source, 'src', '') AS INTEGER) % 20 + 1]"
+)
+
+_UPLOADER_CTES = f"""
 tax AS (
   SELECT CAST(t AS INTEGER) AS taxon,
          CASE WHEN t = 1 THEN NULL ELSE CAST(greatest(t // 7, 1) AS INTEGER) END AS parent
@@ -1027,16 +1042,16 @@ anc AS (
   WHERE x.parent IS NOT NULL AND x.parent != a.member
 ),
 d AS (
-  SELECT doc_id, source,
-         upper(source) || ':REC:' || CAST(doc_id AS VARCHAR) AS _id,
+  SELECT doc_id, {_MAPPED_SRC} AS source,
+         upper({_MAPPED_SRC}) || ':REC:' || CAST(doc_id AS VARCHAR) AS _id,
          CASE WHEN doc_id % 17 = 0 THEN NULL
               ELSE (['Dataset','ComputationalTool','ResourceCatalog','Dataset'])[CAST(doc_id % 4 AS INTEGER) + 1]
          END AS type,
          CASE WHEN doc_id % 23 = 0 THEN NULL
-              ELSE 'https://' || source || '.example.org/rec/' || CAST(doc_id AS VARCHAR)
+              ELSE 'https://' || {_MAPPED_SRC} || '.example.org/rec/' || CAST(doc_id AS VARCHAR)
          END AS url,
          (['Open','Restricted','Closed','Embargoed','Invalid-Value'])[CAST(doc_id % 5 AS INTEGER) + 1] AS access,
-         {prefix4} AS dup_key,
+         {{prefix4}} AS dup_key,
          CASE CAST(doc_id % 7 AS INTEGER)
            WHEN 0 THEN CAST([] AS VARCHAR[])
            WHEN 1 THEN ['none']
@@ -1058,15 +1073,15 @@ d AS (
 darch AS (
   SELECT *, CASE WHEN doc_id % 11 = 0 THEN NULL ELSE url END AS archived FROM d
 ),
--- immport family (src4/src5): PubTator reclassification
+-- standardize_data sources: PubTator reclassification
 entries AS (
-  SELECT doc_id, 0 AS pos, n1 AS n, 'o' AS kind FROM d WHERE source IN ('src4','src5')
+  SELECT doc_id, 0 AS pos, n1 AS n, 'o' AS kind FROM d WHERE source IN ({_IN("reclassify")})
   UNION ALL
-  SELECT doc_id, 1, n2, 'o' FROM d WHERE source IN ('src4','src5')
+  SELECT doc_id, 1, n2, 'o' FROM d WHERE source IN ({_IN("reclassify")})
   UNION ALL
-  SELECT doc_id, 2, n3, 't' FROM d WHERE source IN ('src4','src5') AND doc_id % 4 = 0
+  SELECT doc_id, 2, n3, 't' FROM d WHERE source IN ({_IN("reclassify")}) AND doc_id % 4 = 0
   UNION ALL
-  SELECT doc_id, 100000, n3, 'o' FROM d WHERE source IN ('src4','src5')
+  SELECT doc_id, 100000, n3, 'o' FROM d WHERE source IN ({_IN("reclassify")})
 ),
 std AS (
   SELECT doc_id, pos,
@@ -1108,12 +1123,12 @@ agg_ AS (
   SELECT doc_id, string_agg(name || '|' || identifier, ',' ORDER BY pos) AS agents_csv
   FROM agd GROUP BY doc_id
 ),
--- ncbi_sra family (src6/src7): lineage annotation
+-- wrapper lineage annotation (every wrapped source, utils.py:356)
 lex AS (
   SELECT doc_id,
          unnest(list_distinct([CAST(1 + doc_id % 200 AS INTEGER),
                                CAST(1 + (doc_id * 3) % 200 AS INTEGER)])) AS taxon
-  FROM d WHERE source IN ('src6','src7')
+  FROM d WHERE source IN ({_IN("lineage")})
 ),
 lhits AS (SELECT DISTINCT e.doc_id, a.member FROM lex e JOIN anc a USING (taxon)),
 lentries AS (SELECT h.doc_id, h.member, t2.parent FROM lhits h JOIN tax t2 ON h.member = t2.taxon),
@@ -1123,20 +1138,20 @@ lin AS (
                     ',' ORDER BY member) AS lineage_csv
   FROM lentries GROUP BY doc_id
 ),
--- pubtator-NER family (src8/src9): heuristic drop rules
+-- process_descriptions sources: heuristic NER drop rules
 ne AS (
   SELECT doc_id, 0 AS pos,
          'ent-' || CAST(1 + doc_id % 200 AS VARCHAR) AS name,
-         CAST(1 + doc_id % 200 AS INTEGER) AS taxid FROM d WHERE source IN ('src8','src9')
+         CAST(1 + doc_id % 200 AS INTEGER) AS taxid FROM d WHERE source IN ({_IN("drop_rules")})
   UNION ALL
   SELECT doc_id, 1,
          CASE WHEN doc_id % 9 = 0 THEN 'china'
               ELSE 'ent-' || CAST(1 + (doc_id * 3) % 200 AS VARCHAR) END,
-         CAST(1 + (doc_id * 3) % 200 AS INTEGER) FROM d WHERE source IN ('src8','src9')
+         CAST(1 + (doc_id * 3) % 200 AS INTEGER) FROM d WHERE source IN ({_IN("drop_rules")})
   UNION ALL
   SELECT doc_id, 2,
          'ent-' || CAST(1 + (doc_id * 11) % 200 AS VARCHAR),
-         CAST(1 + (doc_id * 11) % 200 AS INTEGER) FROM d WHERE source IN ('src8','src9')
+         CAST(1 + (doc_id * 11) % 200 AS INTEGER) FROM d WHERE source IN ({_IN("drop_rules")})
 ),
 desc3 AS (SELECT DISTINCT taxon AS taxid FROM anc WHERE member = 3 AND taxon != 3),
 nkept AS (
@@ -1153,14 +1168,14 @@ keptg AS (
 p AS (
   SELECT d.doc_id, d.source, d.funding_id, d.n1, d.n2, d.n3,
     d.type, d.url, d.access, d.archived, d.dup_key,
-    CASE WHEN d.source IN ('src4','src5') AND d.funding_id IS NOT NULL
+    CASE WHEN d.source IN ({_IN("funding")}) AND d.funding_id IS NOT NULL
          THEN 'funder-' || CAST(((d.doc_id * 3) % 89) % 7 AS VARCHAR)
          ELSE NULL END AS funder_name,
-    CASE WHEN d.source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) != 'none'
+    CASE WHEN d.source IN ({_IN("promote_doi")}) AND len(doi) = 1 AND lower(doi[1]) != 'none'
          THEN doi[1] ELSE _id END AS _id,
-    CASE WHEN d.source IN ('src0', 'src1') AND len(doi) = 1 AND lower(doi[1]) = 'none'
+    CASE WHEN d.source IN ({_IN("promote_doi")}) AND len(doi) = 1 AND lower(doi[1]) = 'none'
          THEN CAST([] AS VARCHAR[]) ELSE doi END AS doi,
-    CASE WHEN d.source IN ('src2', 'src3')
+    CASE WHEN d.source IN ({_IN("placeholder_fields")})
          THEN list_filter(authors, a -> NOT list_contains(
               ['n/a','na','unknown','not applicable','none','null','other'],
               trim(lower(a))))
@@ -1169,24 +1184,25 @@ p AS (
 )"""
 
 ORACLES["uploader_registry"] = """
-WITH RECURSIVE """ + _UPLOADER_CTES.format(prefix4=PREFIX4_KEY) + """
-SELECT p.doc_id, p.source, lower(p._id) AS _id,
+WITH RECURSIVE """ + _UPLOADER_CTES.format(prefix4=PREFIX4_KEY) + f"""
+SELECT p.doc_id, p.source,
+       CASE WHEN p.source IN ({_IN("casefold_id")}) THEN lower(p._id) ELSE p._id END AS _id,
        CAST(len(p.doi) AS INTEGER) AS n_doi,
        coalesce(array_to_string(p.doi, ','), '') AS doi_csv,
        coalesce(array_to_string(p.authors, ','), '') AS authors_csv,
-       CASE WHEN p.source IN ('src4','src5') THEN coalesce(spg.species_csv, '')
+       CASE WHEN p.source IN ({_IN("reclassify")}) THEN coalesce(spg.species_csv, '')
             ELSE 'organism-' || CAST(p.n1 AS VARCHAR) || '|tax:' || CAST(1000 + p.n1 AS VARCHAR)
                  || ',organism-' || CAST(p.n2 AS VARCHAR) || '|tax:' || CAST(1000 + p.n2 AS VARCHAR)
                  || CASE WHEN p.doc_id % 4 = 0
                          THEN ',taxon-' || CAST(p.n3 AS VARCHAR) || '|tax:' || CAST(3000 + p.n3 AS VARCHAR)
                          ELSE '' END
        END AS species_csv,
-       CASE WHEN p.source IN ('src4','src5') THEN coalesce(agg_.agents_csv, '')
+       CASE WHEN p.source IN ({_IN("reclassify")}) THEN coalesce(agg_.agents_csv, '')
             ELSE 'organism-' || CAST(p.n3 AS VARCHAR) || '|tax:' || CAST(1000 + p.n3 AS VARCHAR)
        END AS agents_csv,
-       CASE WHEN p.source IN ('src6','src7') THEN coalesce(lin.lineage_csv, '')
+       CASE WHEN p.source IN ({_IN("lineage")}) THEN coalesce(lin.lineage_csv, '')
             ELSE '' END AS lineage_csv,
-       CASE WHEN p.source IN ('src8','src9') THEN coalesce(keptg.ner_csv, '')
+       CASE WHEN p.source IN ({_IN("drop_rules")}) THEN coalesce(keptg.ner_csv, '')
             ELSE 'ent-' || CAST(1 + p.doc_id % 200 AS VARCHAR) || '|' || CAST(1 + p.doc_id % 200 AS VARCHAR)
                  || ',' || (CASE WHEN p.doc_id % 9 = 0 THEN 'china'
                                  ELSE 'ent-' || CAST(1 + (p.doc_id * 3) % 200 AS VARCHAR) END)
@@ -1194,9 +1210,22 @@ SELECT p.doc_id, p.source, lower(p._id) AS _id,
                  || ',ent-' || CAST(1 + (p.doc_id * 11) % 200 AS VARCHAR)
                  || '|' || CAST(1 + (p.doc_id * 11) % 200 AS VARCHAR)
        END AS ner_csv,
-       CASE WHEN p.source IN ('src4','src5') AND p.funding_id IS NOT NULL
+       CASE WHEN p.source IN ({_IN("funding")}) AND p.funding_id IS NOT NULL
             THEN 'funder-' || CAST(((p.doc_id * 3) % 89) % 7 AS VARCHAR)
-            ELSE '' END AS funder
+            ELSE '' END AS funder,
+       CASE WHEN p.source IN ({_IN("pmid")})
+            THEN coalesce(array_to_string(list_sort(list_transform(
+                   list_filter(list_distinct([CAST(p.doc_id % 500 AS INTEGER),
+                                              CAST((p.doc_id * 13 + 1) % 500 AS INTEGER)]),
+                               x -> x % 2 = 0),
+                   x -> 'cite-' || CAST(x % 50 AS VARCHAR))), ','), '')
+            ELSE '' END AS citations_csv,
+       CASE WHEN p.source IN ({_IN("measurement_technique")}) AND (p.doc_id % 37) % 5 != 4
+            THEN 'MT-' || CAST((p.doc_id % 37) % 9 AS VARCHAR)
+            ELSE '' END AS technique_std,
+       CASE WHEN p.source IN ({_IN("topic_category")})
+            THEN 'topic-' || CAST((p.doc_id % 12) % 5 AS VARCHAR)
+            ELSE '' END AS topic
 FROM p
 LEFT JOIN spg ON p.doc_id = spg.doc_id
 LEFT JOIN agg_ ON p.doc_id = agg_.doc_id
@@ -1236,20 +1265,21 @@ v AS (
          ELSE NULL END AS violation
   FROM m
 )
-SELECT v.doc_id, v.source, lower(v._id) AS _id, v.type,
+SELECT v.doc_id, v.source,
+       CASE WHEN v.source IN ({casefold}) THEN lower(v._id) ELSE v._id END AS _id, v.type,
        CAST(CASE WHEN gained AND NOT same_entry THEN 2 ELSE 1 END AS INTEGER) AS n_catalog,
        CASE WHEN gained AND NOT same_entry
             THEN array_to_string(list_sort([v.source || '@' || coalesce(v.archived, 'NULL'),
                                             v.lname || '@' || coalesce(v.larch, 'NULL')]), ',')
             ELSE v.source || '@' || coalesce(v.archived, 'NULL') END AS catalog_csv,
-       CASE WHEN v.source IN ('src4','src5') THEN coalesce(spg.species_csv, '')
+       CASE WHEN v.source IN ({recl}) THEN coalesce(spg.species_csv, '')
             ELSE 'organism-' || CAST(v.n1 AS VARCHAR) || '|tax:' || CAST(1000 + v.n1 AS VARCHAR)
                  || ',organism-' || CAST(v.n2 AS VARCHAR) || '|tax:' || CAST(1000 + v.n2 AS VARCHAR)
                  || CASE WHEN v.doc_id % 4 = 0
                          THEN ',taxon-' || CAST(v.n3 AS VARCHAR) || '|tax:' || CAST(3000 + v.n3 AS VARCHAR)
                          ELSE '' END
        END AS species_csv,
-       CASE WHEN v.source IN ('src6','src7') THEN coalesce(lin.lineage_csv, '')
+       CASE WHEN v.source IN ({lineage}) THEN coalesce(lin.lineage_csv, '')
             ELSE '' END AS lineage_csv,
        coalesce(v.funder_name, '') AS funder,
        round(0.6 * ((CASE WHEN v.type IS NOT NULL AND v.type != '' THEN 1 ELSE 0 END
@@ -1261,7 +1291,7 @@ FROM v
 LEFT JOIN spg ON v.doc_id = spg.doc_id
 LEFT JOIN lin ON v.doc_id = lin.doc_id
 WHERE v.violation IS NULL
-"""
+""".format(casefold=_IN("casefold_id"), recl=_IN("reclassify"), lineage=_IN("lineage"))
 
 ORACLES["setops_union_by_name"] = """
 WITH u AS (

@@ -1130,11 +1130,21 @@ def _uploader_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-shaped records carrying every registry stage's input
     columns, derived deterministically from ``documents`` (the identical
     derivation lives in the oracle SQL): doi arrays (zenodo), author
-    entities with placeholder candidates (geo), species/infectiousAgent
-    entries (immport reclassification), taxids (ncbi_sra lineage), NER
-    entities (pubtator drop rules), and a sometimes-NULL funding id
-    (immport funder lookup)."""
+    entities with placeholder candidates (wrapper scrub),
+    species/infectiousAgent entries (PubTator reclassification), taxids
+    (wrapper lineage), NER entities (drop rules), PMID arrays (citation
+    enrichment), technique/topic keys (measurement-technique and
+    topic-category lookups), and a sometimes-NULL funding id (funder
+    lookup). The synthetic ``source`` column (src0..src19) is mapped
+    1:1 onto 20 REAL uploader names (uploaders.FIXTURE_SOURCES) so the
+    registry queries dispatch on the real 59-entry registry."""
+    from .uploaders import FIXTURE_SOURCES
+
     did = F.col("doc_id")
+    real_source = F.element_at(
+        F.array(*[F.lit(s) for s in FIXTURE_SOURCES]),
+        (F.regexp_replace("source", "src", "").cast("int") % 20) + 1,
+    )
     doi_one = F.concat(F.lit("10.5281/zen."), (did % 997).cast("string"))
     doi = (
         F.when(did % 7 == 0, F.array().cast("array<string>"))
@@ -1171,7 +1181,7 @@ def _uploader_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ner_entries.append(F.struct(name.alias("name"), tid.cast("int").alias("taxid")))
     url = F.when(did % 23 == 0, F.lit(None).cast("string")).otherwise(
-        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/rec/"), did.cast("string"))
+        F.concat(F.lit("https://"), real_source, F.lit(".example.org/rec/"), did.cast("string"))
     )
     archived = F.when(did % 11 == 0, F.lit(None).cast("string")).otherwise(url)
     typ = F.when(did % 17 == 0, F.lit(None).cast("string")).otherwise(
@@ -1182,15 +1192,15 @@ def _uploader_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text",
-        F.concat(F.upper("source"), F.lit(":REC:"), did.cast("string")).alias("_id"),
+        "doc_id", real_source.alias("source"), "text",
+        F.concat(F.upper(real_source), F.lit(":REC:"), did.cast("string")).alias("_id"),
         typ.alias("type"),
         url.alias("url"),
         F.element_at(
             F.array(*[F.lit(x) for x in _NDE_ACCESS]), (did % 5).cast("int") + 1
         ).alias("conditionsOfAccess"),
         F.array(F.struct(
-            F.col("source").alias("name"), url.alias("url"), archived.alias("archivedAt"),
+            real_source.alias("name"), url.alias("url"), archived.alias("archivedAt"),
         )).alias("includedInDataCatalog"),
         doi.alias("doi"),
         F.array(aent(F.concat(F.lit("Author-"), (did % 40).cast("string"))), aent(a2name)).alias("author"),
@@ -1203,6 +1213,16 @@ def _uploader_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*ner_entries).alias("ner"),
         F.when(did % 5 == 0, F.lit(None).cast("string"))
         .otherwise(F.concat(F.lit("grant:"), ((did * 3) % 89).cast("string"))).alias("funding_id"),
+        # (did*13+1) flips parity vs did%500, so EVERY pmid-family source
+        # exercises both the lookup-hit and lookup-miss paths (the even-
+        # only lookup would otherwise be all-hit or all-miss per source,
+        # since documents.source = src{doc_id % 20})
+        F.array_distinct(F.array(
+            F.concat(F.lit("pmid:"), (did % 500).cast("string")),
+            F.concat(F.lit("pmid:"), ((did * 13 + 1) % 500).cast("string")),
+        )).alias("pmids"),
+        F.concat(F.lit("tech-"), (did % 37).cast("string")).alias("technique"),
+        (did % 12).cast("int").alias("topic_key"),
     )
 
 
@@ -1238,30 +1258,50 @@ def _uploader_lookups(spark: SparkSession):
         F.concat(F.lit("grant:"), F.col("id").cast("string")).alias("funding_id"),
         F.concat(F.lit("funder-"), (F.col("id") % 7).cast("string")).alias("funder_name"),
     )
-    return species_lookup, closure, ner_rules, funding_lookup
+    # PMID citation memo (even PMIDs resolve, odd ones miss — the
+    # pmid_helper cache-hit/miss split), the measurement-technique
+    # standardizer dim (every 5th technique unmapped), and the topic
+    # classifier modeled as a keyed lookup
+    pmid_lookup = spark.range(0, 500, 2).select(
+        F.concat(F.lit("pmid:"), F.col("id").cast("string")).alias("pmid"),
+        F.concat(F.lit("cite-"), (F.col("id") % 50).cast("string")).alias("citation"),
+    )
+    mt_lookup = spark.range(0, 37).filter(F.col("id") % 5 != 4).select(
+        F.concat(F.lit("tech-"), F.col("id").cast("string")).alias("technique"),
+        F.concat(F.lit("MT-"), (F.col("id") % 9).cast("string")).alias("technique_std"),
+    )
+    topic_lookup = spark.range(0, 12).select(
+        F.col("id").cast("int").alias("topic_key"),
+        F.concat(F.lit("topic-"), (F.col("id") % 5).cast("string")).alias("topic"),
+    )
+    return {
+        "species_lookup": species_lookup,
+        "closure": closure,
+        "ner_rules": ner_rules,
+        "funding_lookup": funding_lookup,
+        "pmid_lookup": pmid_lookup,
+        "mt_lookup": mt_lookup,
+        "topic_lookup": topic_lookup,
+    }
 
 
 def uploader_registry(spark, sf_dir):
-    """The per-source uploader chains as data (uploaders.py), with the
-    HEAVY enrichment operators dispatched as registry stages: zenodo
-    sources (src0/1) promote DOIs into _id, geo sources (src2/3) scrub
-    placeholder authors, immport sources (src4/5) run the full PubTator
-    reclassification + funder lookup, ncbi_sra sources (src6/7) get
-    taxonomy lineage annotation, pubtator-NER sources (src8/9) get the
-    heuristic drop rules, and everyone casefolds the _id. Row-local
-    stages are when()-dispatched (one scan for all 20 sources); each
-    operator stage costs one subset + one join regardless of #sources."""
+    """The REAL 59-entry uploader registry (uploaders.py::_CHAINS — the
+    verbatim extraction of every reference uploader's load_data chain)
+    dispatched over 20 fixture sources mapped onto real uploader names:
+    zenodo promotes DOIs into _id, every wrapped source scrubs
+    placeholder authors + lineage-annotates + casefolds (the
+    nde_upload_wrapper tail, utils/utils.py:352-403), standardize_data
+    sources run PubTator reclassification, process_descriptions sources
+    run the NER drop rules, load_pmid_ctfd sources get citation
+    enrichment, and the funding / measurement-technique / topic-category
+    lookups hit their families. Row-local stages are when()-dispatched
+    (one scan for all sources); each operator stage costs one subset +
+    one join regardless of #sources."""
     from .uploaders import run_uploader
 
     docs = _uploader_fixture(spark, sf_dir)
-    species_lookup, closure, ner_rules, funding_lookup = _uploader_lookups(spark)
-    out = run_uploader(
-        docs,
-        species_lookup=species_lookup,
-        closure=closure,
-        ner_rules=ner_rules,
-        funding_lookup=funding_lookup,
-    )
+    out = run_uploader(docs, **_uploader_lookups(spark))
     rend = lambda c: F.array_join(  # noqa: E731
         F.transform(c, lambda x: F.concat(x.getField("name"), F.lit("|"), x.getField("identifier"))),
         ",",
@@ -1293,6 +1333,9 @@ def uploader_registry(spark, sf_dir):
             ",",
         ).alias("ner_csv"),
         F.coalesce(F.col("funder_name"), F.lit("")).alias("funder"),
+        F.array_join("citations", ",").alias("citations_csv"),
+        F.coalesce(F.col("technique_std"), F.lit("")).alias("technique_std"),
+        F.coalesce(F.col("topic"), F.lit("")).alias("topic"),
     )
 
 
@@ -1315,14 +1358,9 @@ def nde_pipeline_e2e(spark, sf_dir):
     from .uploaders import run_uploader
 
     docs = _uploader_fixture(spark, sf_dir)
-    species_lookup, closure, ner_rules, funding_lookup = _uploader_lookups(spark)
-    up = run_uploader(
-        docs,
-        species_lookup=species_lookup,
-        closure=closure,
-        ner_rules=ner_rules,
-        funding_lookup=funding_lookup,
-    ).withColumn("dup_key", DD.content_key(prefix_tokens=4))
+    up = run_uploader(docs, **_uploader_lookups(spark)).withColumn(
+        "dup_key", DD.content_key(prefix_tokens=4)
+    )
 
     did = F.col("doc_id")
     a = up.filter(did % 2 == 0).select("dup_key", "doc_id")

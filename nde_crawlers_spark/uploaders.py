@@ -1,10 +1,11 @@
-"""Per-source uploader registry — the reference's 51 uploader chains as data.
+"""Per-source uploader registry — the reference's 59 uploader chains as data.
 
 Every reference source ships an uploader whose ``load_data`` is a chain
-over the same stage vocabulary in per-source order (SURVEY §2.11). The
-chains group into a handful of FAMILIES; the registry maps each source to
-its family's spec and ``run_uploader`` applies every chain in one
-DataFrame program:
+over the same stage vocabulary in per-source order (SURVEY §2.11).
+``UPLOADERS`` enumerates ALL 59 real uploader classes (the ``_CHAINS``
+table below is the verbatim extraction of each ``load_data`` body's
+pre-wrapper call sequence plus its wrapper decoration);
+``run_uploader`` applies every chain in one DataFrame program:
 
 - zenodo family  (zenodo/files/uploader.py:27-111): records carry DOIs ->
   version merge happens upstream, the uploader promotes single DOIs into
@@ -57,36 +58,156 @@ _LIN_SQL = "array<struct<taxon:int,parent_taxon:int>>"
 
 @dataclass(frozen=True)
 class UploaderSpec:
-    """One source family's chain: which stages run, in the reference's
-    canonical order (source stages -> doi promote -> wrapper casefold)."""
+    """One source's chain: which stages run, in the reference's
+    canonical order (source stages -> doi promote -> wrapper casefold).
+    ``stages`` records the reference uploader's literal pre-wrapper call
+    sequence; the boolean flags are what ``run_uploader`` dispatches on
+    (stage kinds touch disjoint columns, so kind-wise dispatch preserves
+    the per-source chain semantics)."""
     family: str = "default"
     promote_doi: bool = False            # zenodo-style doi -> _id
-    placeholder_fields: tuple[str, ...] = ()  # geo-style entity-col scrub
+    placeholder_fields: tuple[str, ...] = ()  # wrapper drop_placeholder_terms
     reclassify: bool = False             # pubtator species/agent standardization
     lineage: bool = False                # taxonomy _meta.lineage annotation
     drop_rules: bool = False             # NER heuristic drops (+subtrees)
     funding: bool = False                # funder lookup enrichment
-    casefold_id: bool = True             # utils.py:394 — every uploader
+    pmid: bool = False                   # load_pmid_ctfd citation enrichment
+    measurement_technique: bool = False  # process_measurement_technique
+    topic_category: bool = False         # add_topic_category
+    casefold_id: bool = True             # utils.py:394 — every WRAPPED uploader
+    stages: tuple[str, ...] = ()         # reference load_data call order
+
+
+# The reference's uploader chains AS DATA — one row per uploader class
+# under hub/dataload/sources/** (59 uploaders across 58 dirs; ncbi_geo
+# ships two, gse + gsm). Each entry is (wrapped, pre-wrapper stage call
+# sequence) extracted verbatim from the uploader's load_data body:
+#
+#   wrapped   -> @nde_upload_wrapper (utils/utils.py:352-403): lineage
+#                annotation, corrections-by-id, add_date, metadata
+#                score, HTML strip, placeholder-term scrub, schema
+#                gate, _id casefold, 16MB size gate — the universal
+#                tail every wrapped chain shares.
+#   pmid      -> load_pmid_ctfd (utils/pmid_helper.py): citation
+#                enrichment by PMID (explode -> lookup join -> regroup).
+#   fund      -> standardize_funding (utils/funding_helper.py).
+#   recl      -> standardize_data (utils/pubtator.py:272+): PubTator
+#                species / infectiousAgent standardization.
+#   ner       -> process_descriptions (utils/extract.py): NER entity
+#                extraction incl. ADVANCED_DROP_RULES.
+#   mt        -> process_measurement_technique (utils/mt_standardizer).
+#   topic     -> add_topic_category (utils/topic_category_helper).
+#   (load_documents — the corrections ndjson LOADER, utils/
+#   corrections.py:428-449 — is a scan, not a transform: no flag.)
+#
+# zenodo's uploader body additionally runs the sqlite version merge +
+# DOI promotion (zenodo/uploader.py:27-111) -> promote_doi.
+_CHAINS: dict[str, tuple[bool, str]] = {
+    "acd_niaid": (True, "pmid fund recl topic"),
+    "ark": (True, "pmid fund recl mt"),
+    "bacdive": (True, "pmid fund recl ner"),
+    "bei": (True, "recl ner"),
+    "bioconductor": (False, ""),
+    "biocontainers": (True, "pmid fund"),
+    "biosample": (True, "recl mt"),
+    "biostudies": (True, "recl mt topic"),
+    "biotools": (True, "fund ner"),
+    "bv_brc": (True, "recl fund"),
+    "ceirr": (True, "fund recl ner"),
+    "clinepidb": (True, "pmid fund recl ner mt topic"),
+    "clingen": (True, "recl fund"),
+    "covid_radx": (True, "pmid fund recl ner mt topic"),
+    "dash": (True, "pmid fund recl topic"),
+    "dataverse": (True, "fund ner topic"),
+    "dbaasp": (True, "recl fund"),
+    "dbgap": (True, "pmid fund recl topic mt"),
+    "dde": (True, "pmid fund recl ner mt topic"),
+    "dockstore": (False, ""),
+    "dryad": (True, "fund ner topic"),
+    "emdb": (True, "recl fund"),
+    "empiar": (True, "pmid fund recl ner"),
+    "figshare": (True, "ner"),
+    "flowrepository": (True, "pmid fund ner topic"),
+    "gxa": (False, ""),
+    "hca": (True, "recl ner"),
+    "hubmap": (True, "ner mt topic"),
+    "immport": (True, "recl fund ner mt topic"),
+    "immunespace": (True, "recl"),
+    "lincs": (True, "fund ner mt topic"),
+    "malariagen": (True, "ner"),
+    "massive": (True, "recl ner mt"),
+    "mendeley": (True, "pmid recl fund ner topic"),
+    "microbiomedb": (True, "pmid fund ner"),
+    "mwccs": (True, "recl fund mt"),
+    "ncbi_bioproject": (True, "pmid fund recl ner mt topic"),
+    "gse_ncbi_geo": (True, "pmid fund recl ner mt topic"),
+    "gsm_ncbi_geo": (True, "recl mt ner topic"),
+    "ncbi_pmc": (True, "pmid fund"),
+    "ncbi_sra": (True, "recl ner mt topic"),
+    "ncbi_virus": (True, "recl"),
+    "ndex": (True, "pmid recl topic"),
+    "node": (True, "pmid fund recl ner mt topic"),
+    "omicsdi": (True, "pmid fund recl ner mt topic"),
+    "pdb": (True, "recl fund"),
+    "proteomexchange": (True, "pmid fund recl ner"),
+    "qiita": (True, "pmid fund ner topic"),
+    "reframedb": (True, "pmid fund recl mt ner topic"),
+    "sb_apps": (False, ""),
+    "tycho": (True, "fund recl"),
+    "uniprot": (True, "recl fund"),
+    "usidnet": (True, "recl"),
+    "vdj": (True, "pmid fund recl ner mt topic"),
+    "veupath_collections": (False, ""),
+    "veupathdb": (True, "pmid fund recl ner mt topic"),
+    "vivli": (True, "recl fund ner topic"),
+    "workflowhub": (False, ""),
+    "zenodo": (True, ""),
+}
+
+
+def _spec(name: str, wrapped: bool, chain: str) -> UploaderSpec:
+    stages = tuple(chain.split()) if chain else ()
+    s = set(stages)
+    return UploaderSpec(
+        family=("bare" if not wrapped else "zenodo" if name == "zenodo" else "standard"),
+        promote_doi=(name == "zenodo"),
+        placeholder_fields=("author",) if wrapped else (),
+        reclassify="recl" in s,
+        lineage=wrapped,          # process_lineage runs inside the wrapper
+        drop_rules="ner" in s,
+        funding="fund" in s,
+        pmid="pmid" in s,
+        measurement_technique="mt" in s,
+        topic_category="topic" in s,
+        casefold_id=wrapped,
+        stages=stages,
+    )
 
 
 UPLOADERS: dict[str, UploaderSpec] = {
-    # zenodo-like: versioned records carry DOIs -> promote into _id
-    "src0": UploaderSpec(family="zenodo", promote_doi=True),
-    "src1": UploaderSpec(family="zenodo", promote_doi=True),
-    # geo/sra-like: plain records, placeholder-scrubbed author entities
-    "src2": UploaderSpec(family="geo", placeholder_fields=("author",)),
-    "src3": UploaderSpec(family="geo", placeholder_fields=("author",)),
-    # immport-like: PubTator reclassification + funder standardization
-    "src4": UploaderSpec(family="immport", reclassify=True, funding=True),
-    "src5": UploaderSpec(family="immport", reclassify=True, funding=True),
-    # ncbi_sra-like: taxonomy lineage annotation
-    "src6": UploaderSpec(family="ncbi_sra", lineage=True),
-    "src7": UploaderSpec(family="ncbi_sra", lineage=True),
-    # pubtator-NER-like: heuristic entity drop rules
-    "src8": UploaderSpec(family="pubtator_ner", drop_rules=True),
-    "src9": UploaderSpec(family="pubtator_ner", drop_rules=True),
+    name: _spec(name, wrapped, chain) for name, (wrapped, chain) in _CHAINS.items()
 }
 DEFAULT_SPEC = UploaderSpec()
+
+# The oracle fixtures carry 20 synthetic sources (src0..src19 in the
+# documents table); they are mapped 1:1 onto these 20 REAL uploader
+# names — chosen to span the spec space (zenodo DOI promotion, bare
+# unwrapped chains, every combination of pmid/fund/recl/ner/mt/topic
+# that occurs) — so the flagship registry queries dispatch on the REAL
+# registry, not a synthetic one.
+FIXTURE_SOURCES: list[str] = [
+    "zenodo", "immport", "ncbi_sra", "gse_ncbi_geo", "figshare",
+    "hubmap", "biocontainers", "dataverse", "bv_brc", "uniprot",
+    "dryad", "biosample", "immunespace", "malariagen", "ncbi_pmc",
+    "vivli", "workflowhub", "bioconductor", "acd_niaid", "node",
+]
+
+
+def fixture_family(flag: str) -> list[str]:
+    """The sorted fixture-source subset whose spec enables ``flag`` —
+    shared by the Spark queries and the DuckDB oracle generators
+    (oracles.py), so the two can never drift."""
+    return sorted(s for s in FIXTURE_SOURCES if getattr(UPLOADERS[s], flag))
 
 
 def _family(registry: dict[str, UploaderSpec], pred) -> list[str]:
@@ -101,6 +222,9 @@ def run_uploader(
     closure: DataFrame | None = None,
     ner_rules: list[dict] | None = None,
     funding_lookup: DataFrame | None = None,
+    pmid_lookup: DataFrame | None = None,
+    mt_lookup: DataFrame | None = None,
+    topic_lookup: DataFrame | None = None,
     source_col: str = "source",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -186,6 +310,31 @@ def run_uploader(
             .drop("__ner")
         )
 
+    ps = _family(reg, lambda sp: sp.pmid)
+    if ps and pmid_lookup is not None and "pmids" in docs.columns:
+        # load_pmid_ctfd (utils/pmid_helper.py): explode the per-doc PMID
+        # array, broadcast-join the citation lookup, regroup sorted —
+        # the J1 shape, one subset + one regroup shuffle for ALL pmid
+        # sources together
+        sub = docs.filter(F.col(source_col).isin(ps)).select(
+            id_col, F.explode_outer("pmids").alias("pmid")
+        )
+        per = (
+            sub.join(F.broadcast(pmid_lookup), "pmid", "left")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list("citation")).alias("__cit"))
+        )
+        in_f = F.col(source_col).isin(ps)
+        out = (
+            out.join(per, id_col, "left")
+            .withColumn(
+                "citations",
+                F.when(in_f, F.coalesce(F.col("__cit"), F.array().cast("array<string>")))
+                .otherwise(F.array().cast("array<string>")),
+            )
+            .drop("__cit")
+        )
+
     fs = _family(reg, lambda sp: sp.funding)
     if fs and funding_lookup is not None and "funding_id" in out.columns:
         # broadcast join on the whole frame (no subset scan), masked to
@@ -193,6 +342,29 @@ def run_uploader(
         out = out.join(F.broadcast(funding_lookup), on="funding_id", how="left").withColumn(
             "funder_name",
             F.when(F.col(source_col).isin(fs), F.col("funder_name")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+
+    ms = _family(reg, lambda sp: sp.measurement_technique)
+    if ms and mt_lookup is not None and "technique" in out.columns:
+        # process_measurement_technique: scalar standardization via a
+        # broadcast dim on the whole frame, masked to the family (the
+        # funding-lookup shape — no subset scan)
+        out = out.join(F.broadcast(mt_lookup), on="technique", how="left").withColumn(
+            "technique_std",
+            F.when(F.col(source_col).isin(ms), F.col("technique_std")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+
+    ts = _family(reg, lambda sp: sp.topic_category)
+    if ts and topic_lookup is not None and "topic_key" in out.columns:
+        # add_topic_category: the classifier output modeled as a
+        # broadcast keyed lookup, masked to the family
+        out = out.join(F.broadcast(topic_lookup), on="topic_key", how="left").withColumn(
+            "topic",
+            F.when(F.col(source_col).isin(ts), F.col("topic")).otherwise(
                 F.lit(None).cast("string")
             ),
         )

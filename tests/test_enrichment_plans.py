@@ -195,18 +195,15 @@ def test_uploader_plan_scans_independent_of_sources(spark):
     lookups = _uploader_lookups(spark)
 
     def n_scans(registry):
-        out = run_uploader(
-            docs, registry,
-            species_lookup=lookups[0], closure=lookups[1],
-            ner_rules=lookups[2], funding_lookup=lookups[3],
-        )
+        out = run_uploader(docs, registry, **lookups)
         plan = out._jdf.queryExecution().executedPlan().toString()
         return len(re.findall(r"Scan parquet|FileScan parquet", plan))
 
+    # base = the REAL 59-entry registry (every reference uploader chain)
     base = n_scans(UPLOADERS)
     doubled = dict(UPLOADERS)
-    for i in range(10, 40):  # 30 extra sources across all families
-        doubled[f"src{i}"] = UploaderSpec(
+    for i in range(60):  # +60 synthetic sources across every stage kind
+        doubled[f"extra{i}"] = UploaderSpec(
             family="mixed",
             promote_doi=(i % 3 == 0),
             placeholder_fields=("author",) if i % 3 == 1 else (),
@@ -214,42 +211,57 @@ def test_uploader_plan_scans_independent_of_sources(spark):
             lineage=(i % 5 == 1),
             drop_rules=(i % 5 == 2),
             funding=(i % 5 == 3),
+            pmid=(i % 7 == 0),
+            measurement_technique=(i % 7 == 1),
+            topic_category=(i % 7 == 2),
         )
     assert n_scans(doubled) == base
     # The absolute count is a CONSTANT of the stage vocabulary (each
     # operator stage re-reads its subset a bounded number of times:
     # reclassify = 2 posexplode sides + the ids frame, lineage = explode
-    # + join-back, drop rules = 1), never a function of #sources.
-    assert base <= 12
+    # + join-back, drop rules = 1, pmid = explode + regroup), never a
+    # function of #sources.
+    assert base <= 14
 
 
 def test_uploader_registry_enrichment_chains(spark):
-    """The three enrichment families actually transform their rows:
-    immport rows are reclassified + funder-enriched, ncbi_sra rows carry
-    lineage, pubtator rows lose dropped NER entities; default-family
-    rows pass through untouched (except the universal casefold)."""
+    """The REAL registry's stage kinds actually transform their rows:
+    immport (standardize_data + standardize_funding + mt + topic) rows
+    are reclassified + funder-enriched, every WRAPPED source carries
+    lineage and a casefolded _id, node (load_pmid_ctfd +
+    process_descriptions) rows gain citations and lose dropped NER
+    entities, zenodo promotes DOIs, and BARE (unwrapped) sources pass
+    through untouched — no casefold, no lineage."""
     from nde_crawlers_spark.queries import _uploader_fixture, _uploader_lookups
     from nde_crawlers_spark.uploaders import run_uploader
 
     docs = _uploader_fixture(spark, SF001)
-    sl, closure, rules, fl = _uploader_lookups(spark)
-    out = run_uploader(docs, species_lookup=sl, closure=closure,
-                       ner_rules=rules, funding_lookup=fl).cache()
+    out = run_uploader(docs, **_uploader_lookups(spark)).cache()
 
-    # immport (src4/src5): matched species were standardized (taxon- name)
-    imm = out.filter(F.col("source") == "src4")
+    # immport: matched species standardized (taxon- name) + funder hit
+    imm = out.filter(F.col("source") == "immport")
     std_names = imm.select(F.explode("species").alias("e")).select("e.name")
     assert std_names.filter(F.col("name").startswith("taxon-")).count() > 0
     assert imm.filter(F.col("funder_name").isNotNull()).count() > 0
-    # ncbi_sra (src6/src7): lineage non-empty; others empty
-    assert out.filter((F.col("source") == "src6") & (F.size("_meta_lineage") == 0)).count() == 0
-    assert out.filter((F.col("source") == "src0") & (F.size("_meta_lineage") > 0)).count() == 0
-    # pubtator (src8/src9): rule-hit entities dropped
-    s8 = out.filter(F.col("source") == "src8").select(F.explode("ner").alias("e"))
-    assert s8.filter(F.col("e.name") == "china").count() == 0
-    # default family (src10+): casefolded _id only
-    d10 = out.filter(F.col("source") == "src10").select("_id").first()
-    assert d10["_id"].startswith("src10:rec:")
+    assert imm.filter(F.col("technique_std").isNotNull()).count() > 0
+    assert imm.filter(F.col("topic").isNotNull()).count() > 0
+    # wrapped sources carry lineage; BARE (workflowhub) never does
+    assert out.filter((F.col("source") == "immport") & (F.size("_meta_lineage") == 0)).count() == 0
+    assert out.filter((F.col("source") == "workflowhub") & (F.size("_meta_lineage") > 0)).count() == 0
+    # node (process_descriptions): rule-hit entities dropped; citations on
+    nd = out.filter(F.col("source") == "node")
+    assert nd.select(F.explode("ner").alias("e")).filter(F.col("e.name") == "china").count() == 0
+    assert nd.filter(F.size("citations") > 0).count() > 0
+    # immunespace (standardize_data only): NER untouched, no citations
+    ims = out.filter(F.col("source") == "immunespace")
+    assert ims.select(F.explode("ner").alias("e")).filter(F.col("e.name") == "china").count() > 0
+    assert ims.filter(F.size("citations") > 0).count() == 0
+    # zenodo: single valid DOI promoted into _id (then casefolded)
+    zen = out.filter(F.col("source") == "zenodo")
+    assert zen.filter(F.col("_id").startswith("10.")).count() > 0
+    # bare source: _id NOT casefolded (no wrapper tail)
+    wf = out.filter(F.col("source") == "workflowhub").select("_id").first()
+    assert wf["_id"].startswith("WORKFLOWHUB:REC:")
     out.unpersist()
 
 
@@ -267,12 +279,114 @@ def test_pipeline_e2e_no_extra_shuffles(spark):
 
     def counts(name):
         plan = QUERIES[name](spark, SF001)._jdf.queryExecution().executedPlan().toString()
+        # \bExchange\b = SHUFFLE exchanges only: BroadcastExchange (a
+        # dim-table ship, repeated wherever the plan tree embeds the
+        # registry frame, deduped by ReuseExchange at runtime) is not a
+        # corpus shuffle and scales with plan-tree size, not data
+        # movement
         return (
-            len(re.findall(r"Exchange", plan)),
+            len(re.findall(r"\bExchange\b", plan)),
             len(re.findall(r"SortMergeJoin", plan)),
         )
 
     ex_reg, smj_reg = counts("uploader_registry")
     ex_pipe, smj_pipe = counts("nde_pipeline_e2e")
-    assert ex_pipe <= ex_reg + 12
-    assert smj_pipe <= smj_reg + 6
+    assert ex_pipe <= ex_reg + 6
+    assert smj_pipe <= smj_reg + 3
+
+
+def test_registry_matches_reference_chains():
+    """Every one of the 59 reference uploader classes
+    (hub/dataload/sources/** — 58 dirs, ncbi_geo ships gse+gsm) resolves
+    to a spec whose stage set matches its load_data chain. The expected
+    table here is an INDEPENDENT transcription of the reference
+    (uploader.py call sequences + @nde_upload_wrapper decoration), so a
+    registry edit that drifts from the reference fails this test.
+    Spot anchors: immport/uploader.py:23-28 (recl fund ner mt topic,
+    wrapped), zenodo/uploader.py:27-111 (sqlite version merge + DOI
+    promotion, wrapped, no pre-wrapper stages), workflowhub/uploader.py
+    (bare NDESourceUploader, unwrapped), node/uploader.py:15-21
+    (pmid fund recl ner mt topic)."""
+    from nde_crawlers_spark.uploaders import _CHAINS, UPLOADERS
+
+    expected = {
+        "acd_niaid": (True, "pmid fund recl topic"),
+        "ark": (True, "pmid fund recl mt"),
+        "bacdive": (True, "pmid fund recl ner"),
+        "bei": (True, "recl ner"),
+        "bioconductor": (False, ""),
+        "biocontainers": (True, "pmid fund"),
+        "biosample": (True, "recl mt"),
+        "biostudies": (True, "recl mt topic"),
+        "biotools": (True, "fund ner"),
+        "bv_brc": (True, "recl fund"),
+        "ceirr": (True, "fund recl ner"),
+        "clinepidb": (True, "pmid fund recl ner mt topic"),
+        "clingen": (True, "recl fund"),
+        "covid_radx": (True, "pmid fund recl ner mt topic"),
+        "dash": (True, "pmid fund recl topic"),
+        "dataverse": (True, "fund ner topic"),
+        "dbaasp": (True, "recl fund"),
+        "dbgap": (True, "pmid fund recl topic mt"),
+        "dde": (True, "pmid fund recl ner mt topic"),
+        "dockstore": (False, ""),
+        "dryad": (True, "fund ner topic"),
+        "emdb": (True, "recl fund"),
+        "empiar": (True, "pmid fund recl ner"),
+        "figshare": (True, "ner"),
+        "flowrepository": (True, "pmid fund ner topic"),
+        "gxa": (False, ""),
+        "hca": (True, "recl ner"),
+        "hubmap": (True, "ner mt topic"),
+        "immport": (True, "recl fund ner mt topic"),
+        "immunespace": (True, "recl"),
+        "lincs": (True, "fund ner mt topic"),
+        "malariagen": (True, "ner"),
+        "massive": (True, "recl ner mt"),
+        "mendeley": (True, "pmid recl fund ner topic"),
+        "microbiomedb": (True, "pmid fund ner"),
+        "mwccs": (True, "recl fund mt"),
+        "ncbi_bioproject": (True, "pmid fund recl ner mt topic"),
+        "gse_ncbi_geo": (True, "pmid fund recl ner mt topic"),
+        "gsm_ncbi_geo": (True, "recl mt ner topic"),
+        "ncbi_pmc": (True, "pmid fund"),
+        "ncbi_sra": (True, "recl ner mt topic"),
+        "ncbi_virus": (True, "recl"),
+        "ndex": (True, "pmid recl topic"),
+        "node": (True, "pmid fund recl ner mt topic"),
+        "omicsdi": (True, "pmid fund recl ner mt topic"),
+        "pdb": (True, "recl fund"),
+        "proteomexchange": (True, "pmid fund recl ner"),
+        "qiita": (True, "pmid fund ner topic"),
+        "reframedb": (True, "pmid fund recl mt ner topic"),
+        "sb_apps": (False, ""),
+        "tycho": (True, "fund recl"),
+        "uniprot": (True, "recl fund"),
+        "usidnet": (True, "recl"),
+        "vdj": (True, "pmid fund recl ner mt topic"),
+        "veupath_collections": (False, ""),
+        "veupathdb": (True, "pmid fund recl ner mt topic"),
+        "vivli": (True, "recl fund ner topic"),
+        "workflowhub": (False, ""),
+        "zenodo": (True, ""),
+    }
+    assert _CHAINS == expected
+    assert len(UPLOADERS) == 59
+    assert sum(1 for _, (w, _c) in expected.items() if w) == 53
+    for name, (wrapped, chain) in expected.items():
+        sp = UPLOADERS[name]
+        s = set(chain.split())
+        # per-source pre-wrapper stage flags
+        assert sp.pmid == ("pmid" in s), name
+        assert sp.funding == ("fund" in s), name
+        assert sp.reclassify == ("recl" in s), name
+        assert sp.drop_rules == ("ner" in s), name
+        assert sp.measurement_technique == ("mt" in s), name
+        assert sp.topic_category == ("topic" in s), name
+        assert sp.stages == tuple(chain.split()), name
+        # wrapper tail (utils/utils.py:352-403) is all-or-nothing
+        assert sp.lineage == wrapped, name
+        assert sp.casefold_id == wrapped, name
+        assert (sp.placeholder_fields == ("author",)) == wrapped, name
+        # zenodo's sqlite version merge + DOI promotion
+        assert sp.promote_doi == (name == "zenodo"), name
