@@ -105,6 +105,7 @@ def apply_merge_directives(
     id_col: str = "doc_id",
     catalog_col: str = "includedInDataCatalog",
     broadcast_directives: bool = True,
+    catalog_source: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY (keep_id, drop_id) merge directives to the documents table —
     the half of the dedup the reference does in
@@ -122,9 +123,17 @@ def apply_merge_directives(
     skew), identical output (tests/test_operators.py asserts both modes
     byte-equal). Loser contributions are ordered by drop_id before
     flattening, so the merged array is independent of partitioning."""
+    # When ``docs`` is itself an expensive composed plan (e.g. the full
+    # uploader-registry dispatch) and the catalog column is unchanged by
+    # that plan, the caller can pass the cheap upstream frame as
+    # ``catalog_source`` — the loser-catalog lookup then reads (id,
+    # catalog) from it instead of embedding the expensive plan a second
+    # time. Output is identical whenever catalog_source agrees with docs
+    # on (id_col, catalog_col).
+    cat_src = catalog_source if catalog_source is not None else docs
     loser_cat = (
         directives.join(
-            docs.select(F.col(id_col).alias("drop_id"), F.col(catalog_col).alias("__cat")),
+            cat_src.select(F.col(id_col).alias("drop_id"), F.col(catalog_col).alias("__cat")),
             "drop_id",
         )
         .groupBy("keep_id")

@@ -1358,15 +1358,22 @@ def nde_pipeline_e2e(spark, sf_dir):
     from .uploaders import run_uploader
 
     docs = _uploader_fixture(spark, sf_dir)
-    up = run_uploader(docs, **_uploader_lookups(spark)).withColumn(
-        "dup_key", DD.content_key(prefix_tokens=4)
-    )
+    up = run_uploader(docs, **_uploader_lookups(spark))
 
+    # dup_key (a row-local hash of `text`) and includedInDataCatalog are
+    # FIXTURE columns no registry stage touches, so the dedup sides and
+    # the loser-catalog lookup read the cheap pre-registry frame — the
+    # expensive composed dispatch is embedded ONCE (the main pass), not
+    # four times (builder.py reads the same source store for both sides)
+    keyed = docs.select("doc_id", DD.content_key(prefix_tokens=4).alias("dup_key"))
     did = F.col("doc_id")
-    a = up.filter(did % 2 == 0).select("dup_key", "doc_id")
-    b = up.filter(did % 2 == 1).select("dup_key", "doc_id")
+    a = keyed.filter(did % 2 == 0).select("dup_key", "doc_id")
+    b = keyed.filter(did % 2 == 1).select("dup_key", "doc_id")
     directives = MG.key_dedup_1x1(a, b, "dup_key").select("keep_id", "drop_id")
-    merged = MG.apply_merge_directives(up, directives)
+    merged = MG.apply_merge_directives(
+        up, directives,
+        catalog_source=docs.select("doc_id", "includedInDataCatalog"),
+    )
 
     viol = NS.schema_violation_nde(
         F.col("type"), F.col("url"), F.col("conditionsOfAccess"),
