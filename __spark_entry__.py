@@ -165,6 +165,13 @@ _ROTATED_OUT = [
     "events_hourly",
     "tpch_q5ish",
     "window_topk_orders",
+    # rotated in round 4 to make window room for the four new
+    # training-data ops (decontaminate / stratified sample / greedy
+    # pack / pii scrub) — all four green vs r1-r3 driver rows + parity
+    "tpch_q3_top10",
+    "semi_anti_parts",
+    "events_running_total",
+    "events_sessionize",
 ]
 
 

@@ -179,7 +179,17 @@ def run_headline() -> None:
 
     # round-4+ additions: separately totaled so `value` stays
     # like-for-like with BENCH_r03.json's query set
+    NEW_HEADLINE = [
+        "text_decontaminate", "sample_stratified", "pack_greedy_bins",
+        "text_pii_scrub",
+    ]
     new_times: dict[str, float] = {}
+    for name in NEW_HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    for name in NEW_HEADLINE:
+        t0 = time.monotonic()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        new_times[name] = round(time.monotonic() - t0, 3)
     _seen_filter_segmented_bench(spark, 100_000, 100_000)  # warm codegen/pool
     t0 = time.monotonic()
     _seen_filter_segmented_bench(spark, 2_000_000, 1_000_000)

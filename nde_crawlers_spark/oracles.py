@@ -372,6 +372,68 @@ SELECT doc_id,
 FROM documents
 """
 
+# mirror of queries.text_decontaminate: benchmark = docs with
+# doc_id % 37 == 0; distinct 4-gram overlap counts for everyone else
+_G4D = f"list_distinct({_ngrams(_TOKS_TEXT, 4)})"
+ORACLES["text_decontaminate"] = f"""
+WITH g AS (SELECT doc_id, unnest({_G4D}) AS g FROM documents),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT doc_id, count(DISTINCT g.g) AS n FROM g JOIN bench USING (g)
+  WHERE doc_id % 37 != 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 37 != 0
+"""
+
+# mirror of queries.sample_stratified: per-source k smallest salted md5
+ORACLES["sample_stratified"] = """
+SELECT source, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('strat1|' || CAST(doc_id AS VARCHAR))
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 25
+"""
+
+# mirror of queries.pack_greedy_bins: running-sum shard assignment
+ORACLES["pack_greedy_bins"] = f"""
+WITH n AS (
+  SELECT source, doc_id, CAST(len({_TOKS_TEXT}) AS INTEGER) AS n_tok FROM documents
+)
+SELECT source, doc_id, n_tok,
+       CAST(floor(coalesce(sum(n_tok) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 512) AS INTEGER) AS bin
+FROM n
+"""
+
+# mirror of queries.text_pii_scrub: planted e-mail/IP, count + redact
+_PII_PLANTED = """(text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org'
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+          ELSE '' END)"""
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IP = r"\d+\.\d+\.\d+\.\d+"
+ORACLES["text_pii_scrub"] = f"""
+WITH p AS (SELECT doc_id, {_PII_PLANTED} AS planted FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(planted, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(planted, '{_PII_IP}')) AS INTEGER) AS n_ips,
+       md5(regexp_replace(regexp_replace(planted, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_IP}', '<IP>', 'g')) AS scrub_key
+FROM p
+"""
+
 ORACLES["dedup_simhash"] = f"""
 WITH s AS (SELECT doc_id AS member_id, {SIMHASH16.format(toks=_TOKS_TEXT)} AS simhash FROM documents)
 SELECT simhash, count(*) AS group_size,

@@ -382,6 +382,109 @@ def text_repetition(spark, sf_dir):
     )
 
 
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the test-set overlap removal every
+    LLM training pipeline runs before training: flag any document
+    sharing an n-gram with the benchmark corpus (the GPT-3/Llama
+    recipe; production uses 8-13-grams, the short synthetic docs here
+    use 4-grams so the fixture is non-vacuous). Benchmark = docs with
+    doc_id % 37 == 0; output = every NON-benchmark doc with its
+    distinct-overlap count and the contaminated flag.
+
+    Plan: one corpus explode of distinct n-grams; the benchmark's gram
+    set (test sets are small by nature) broadcast-joined; one regroup.
+    At 100 TB the corpus side never shuffles — the only movement is the
+    broadcast of the benchmark grams and the per-doc count regroup."""
+    docs = t(spark, sf_dir, "documents")
+    grams = F.array_distinct(TX.word_ngrams(TX.tokens(F.col("text")), 4))
+    with_g = docs.select("doc_id", F.explode(grams).alias("g"))
+    bench = with_g.filter(F.col("doc_id") % 37 == 0).select("g").distinct()
+    hits = (
+        with_g.filter(F.col("doc_id") % 37 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 37 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-source quota sampling (training-data curation:
+    cap each domain/source/language at k docs): keep each source's k
+    docs with the smallest md5(salt || doc_id) — a fixed, seedable,
+    parallelism-independent sample, unlike rand(). One shuffle on the
+    stratum key; skewed strata are AQE's problem, or pre-salt."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat1|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h")
+    return (
+        docs.select("source", "doc_id", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 25)
+        .select("source", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
+def pack_greedy_bins(spark, sf_dir):
+    """Context-window packing: chunk each source's docs (in doc_id
+    order) into ~512-token bins by cumulative token count — the
+    sequence-packing shard assignment step of LLM data prep, expressed
+    as ONE running-sum window (bin = floor(tokens_before / budget));
+    no iterative bin-packing loop, no driver state."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokens(F.col("text")))
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        docs.select("source", "doc_id", n_tok.cast("int").alias("n_tok"))
+        .select(
+            "source", "doc_id", "n_tok",
+            F.floor(cum_before / F.lit(512)).cast("int").alias("bin"),
+        )
+    )
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing: count and redact e-mail addresses and IPv4
+    literals (row-local regex — the standard pre-release scrub pass).
+    The fixture plants PII deterministically (every 7th doc an e-mail,
+    every 11th an IP) so both the count and the replacement paths are
+    exercised; the scrubbed text is emitted as an md5 so the oracle
+    hash-checks full content equality."""
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.org")))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" from 10."), (did % 200).cast("string"), F.lit(".0."), (did % 250).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    ip_re = r"\d+\.\d+\.\d+\.\d+"
+    scrubbed = F.regexp_replace(F.regexp_replace(planted, email_re, "<EMAIL>"), ip_re, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(email_re)).cast("int").alias("n_emails"),
+        F.regexp_count(planted, F.lit(ip_re)).cast("int").alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_key"),
+    )
+
+
 # ----------------------------------------------------------------- merge --
 def merge_priority_lastwriter(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -1503,6 +1606,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "text_gopher_quality": text_gopher_quality,
     "text_repetition": text_repetition,
+    "text_decontaminate": text_decontaminate,
+    "sample_stratified": sample_stratified,
+    "pack_greedy_bins": pack_greedy_bins,
+    "text_pii_scrub": text_pii_scrub,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
