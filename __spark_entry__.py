@@ -172,6 +172,8 @@ _ROTATED_OUT = [
     "semi_anti_parts",
     "events_running_total",
     "events_sessionize",
+    "text_quality_filter",
+    "text_bpe_tokens",
 ]
 
 

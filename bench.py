@@ -181,7 +181,7 @@ def run_headline() -> None:
     # like-for-like with BENCH_r03.json's query set
     NEW_HEADLINE = [
         "text_decontaminate", "sample_stratified", "pack_greedy_bins",
-        "text_pii_scrub",
+        "text_pii_scrub", "dedup_exact_substring", "text_importance_weights",
     ]
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:

@@ -434,6 +434,52 @@ SELECT doc_id,
 FROM p
 """
 
+# mirror of queries.dedup_exact_substring: k=10 token windows with
+# 1-based positions, cross-doc repeated hashes, per-doc rollup
+def _pos_windows(toks: str, k: int) -> str:
+    gram = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> struct_pack(pos := i, h := md5({gram}))) "
+        f"ELSE [] END"
+    )
+
+
+ORACLES["dedup_exact_substring"] = f"""
+WITH w0 AS (SELECT doc_id, unnest({_pos_windows(_TOKS_TEXT, 10)}) AS u FROM documents),
+w AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM w0),
+rep AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+per AS (
+  SELECT doc_id, count(*) AS n_repeated, min(pos) AS first_repeat_pos
+  FROM w JOIN rep USING (h) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(greatest(len({_TOKS_TEXT}) - 9, 0) AS INTEGER) AS n_windows
+  FROM documents
+)
+SELECT b.doc_id, b.n_windows,
+       CAST(coalesce(p.n_repeated, 0) AS INTEGER) AS n_repeated,
+       CAST(p.first_repeat_pos AS INTEGER) AS first_repeat_pos
+FROM base b LEFT JOIN per p USING (doc_id)
+"""
+
+# mirror of queries.text_importance_weights: integer token-mass sums,
+# one final double division (bit-reproducible; no sum-of-logs)
+ORACLES["text_importance_weights"] = f"""
+WITH tk AS (SELECT doc_id, lang, unnest({_TOKS_TEXT}) AS tok FROM documents),
+ct AS (SELECT tok, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY tok),
+cs AS (SELECT tok, count(*) AS c_s FROM tk GROUP BY tok)
+SELECT tk.doc_id,
+       CAST(count(*) AS INTEGER) AS n_toks,
+       CAST(sum(coalesce(ct.c_t, 0)) AS BIGINT) AS sum_ct,
+       CAST(sum(cs.c_s) AS BIGINT) AS sum_cs,
+       floor((CAST(sum(coalesce(ct.c_t, 0)) + count(*) AS DOUBLE)
+              / CAST(sum(cs.c_s) + count(*) AS DOUBLE)) * 1e6) / 1e6 AS weight
+FROM tk LEFT JOIN ct USING (tok) JOIN cs USING (tok)
+GROUP BY tk.doc_id
+"""
+
 ORACLES["dedup_simhash"] = f"""
 WITH s AS (SELECT doc_id AS member_id, {SIMHASH16.format(toks=_TOKS_TEXT)} AS simhash FROM documents)
 SELECT simhash, count(*) AS group_size,

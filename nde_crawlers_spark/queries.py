@@ -485,6 +485,88 @@ def text_pii_scrub(spark, sf_dir):
     )
 
 
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring repetition marking (the ExactSubstr dedup of
+    'Deduplicating Training Data Makes Language Models Better'): every
+    k-token window repeated across >1 document is marked for removal;
+    per doc we emit the window count, how many of its windows are
+    cross-doc repeats, and the first repeated position (1-based).
+    Production uses k~50; the short synthetic docs use k=10 so the
+    fixture carries ~2000 repeated occurrences.
+
+    Plan: windows are generated ROW-LOCALLY (posexplode of a transform
+    — no joins to build them), hashed, one groupBy on the window hash
+    (map-side combined) to find cross-doc repeats, one join back, one
+    per-doc regroup. The corpus shuffles only the (doc_id, pos, hash)
+    triples, never the text."""
+    docs = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    wnds = TX.word_ngrams(toks, 10)
+    w = (
+        docs.select("doc_id", F.posexplode(wnds).alias("pos", "g"))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), F.md5("g").alias("h"))
+    )
+    rep = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    per = (
+        w.join(rep, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_repeated"),
+            F.min("pos").alias("first_repeat_pos"),
+        )
+    )
+    base = docs.select("doc_id", F.size(wnds).cast("int").alias("n_windows"))
+    return base.join(per, "doc_id", "left").select(
+        "doc_id", "n_windows",
+        F.coalesce("n_repeated", F.lit(0)).cast("int").alias("n_repeated"),
+        F.col("first_repeat_pos").cast("int").alias("first_repeat_pos"),
+    )
+
+
+def text_importance_weights(spark, sf_dir):
+    """DSIR-style importance weighting for data selection: score every
+    document by how much its unigrams look like the TARGET domain
+    (lang='en' here) relative to the full corpus — weight =
+    (target token mass + n) / (corpus token mass + n), add-n smoothed.
+    Kept in exact integer sums with ONE final double division so the
+    value is bit-reproducible across engines and partitionings (a
+    sum-of-logs would be non-associative float addition).
+
+    Plan: one corpus token explode feeding BOTH count tables and the
+    per-doc regroup; the two vocab tables are broadcast (bounded by
+    vocabulary size, not corpus size)."""
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    ct = tk.filter(F.col("lang") == "en").groupBy("tok").agg(F.count("*").alias("c_t"))
+    cs = tk.groupBy("tok").agg(F.count("*").alias("c_s"))
+    per = (
+        tk.join(F.broadcast(ct), "tok", "left")
+        .join(F.broadcast(cs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.coalesce("c_t", F.lit(0))).alias("sum_ct"),
+            F.sum("c_s").alias("sum_cs"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_toks").cast("int").alias("n_toks"),
+        F.col("sum_ct").cast("long").alias("sum_ct"),
+        F.col("sum_cs").cast("long").alias("sum_cs"),
+        ftrunc(
+            (F.col("sum_ct") + F.col("n_toks")).cast("double")
+            / (F.col("sum_cs") + F.col("n_toks")).cast("double"),
+            6,
+        ).alias("weight"),
+    )
+
+
 # ----------------------------------------------------------------- merge --
 def merge_priority_lastwriter(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -1610,6 +1692,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": sample_stratified,
     "pack_greedy_bins": pack_greedy_bins,
     "text_pii_scrub": text_pii_scrub,
+    "dedup_exact_substring": dedup_exact_substring,
+    "text_importance_weights": text_importance_weights,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
