@@ -175,3 +175,37 @@ def test_retry_after_cooldown_matches_oracle(spark):
     # the ledger recorded the cooldown
     hs = run.host_state()
     assert hs.filter(hs.next_allowed_round > 0).count() > 0
+
+
+def test_crawl_bloom_segments_equal_full_rebuild(spark, oracle):
+    """The round-committed incremental bloom-segment table (segments(r)
+    = segments(r-1) OR build(delta_r)) must be BYTE-identical to
+    rebuilding from the crawl's full seen set — the invariant that lets
+    each round commit only its delta. Also pins that the e2e path runs
+    bloom-ON (CrawlConfig default) and still matches the oracle."""
+    import os
+
+    from nde_crawlers_spark.operators import seen as SN
+
+    d = tempfile.mkdtemp(prefix="crawl_bl_")
+    cfg = CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=ROUNDS)
+    assert cfg.use_bloom  # bloom is the shipped default
+    run = CrawlRun(spark, d, cfg)
+    run.run(seeds=_seed_df(spark))
+    _check_against_oracle(run, oracle)
+
+    last = run.committed_rounds()[-1]
+    seg_dir = os.path.join(d, f"round={last:04d}", "bloom_segments")
+    assert os.path.isdir(seg_dir)
+    committed = {
+        r["seg"]: (r["bits"], r["nbits"], r["nhashes"])
+        for r in spark.read.parquet(seg_dir).collect()
+    }
+    rebuilt = {
+        r["seg"]: (r["bits"], r["nbits"], r["nhashes"])
+        for r in SN.build_bloom_segments(
+            run.seen().select("url_hash"),
+            nseg=cfg.bloom_segments, expected=cfg.bloom_expected, fpp=cfg.bloom_fpp,
+        ).collect()
+    }
+    assert committed == rebuilt
