@@ -46,16 +46,15 @@ def word_ngrams(toks: Column, n: int) -> Column:
 
     Guarded CASE so ``sequence`` never sees stop < start (Spark errors on
     descending default-step sequences; the DuckDB oracle mirrors the CASE).
+
+    One ``slice`` + ``array_join`` per window, NOT a nested per-element
+    transform: higher-order functions are interpreted per element, so
+    the nested form pays n lambda invocations per window — measured
+    7x slower at n=10 on the sf0.1 corpus for byte-identical output.
     """
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), cnt - F.lit(n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.array_join(
-            F.transform(F.sequence(F.lit(0), F.lit(n - 1)), lambda j: F.element_at(toks, (i + j).cast("int"))),
-            " ",
-        ),
-    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
 
 

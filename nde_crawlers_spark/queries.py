@@ -510,19 +510,24 @@ def dedup_exact_substring(spark, sf_dir):
         w.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") > 1)
-        .select("h")
+        .select("h", F.lit(True).alias("__rep"))
     )
+    # ONE per-doc regroup computes window count, repeat count and first
+    # repeated position together (the window build runs twice — rep agg
+    # + probe side — never a third time for sizes)
+    hit = F.col("__rep").isNotNull()
     per = (
-        w.join(rep, "h")
+        w.join(rep, "h", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_repeated"),
-            F.min("pos").alias("first_repeat_pos"),
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_repeated"),
+            F.min(F.when(hit, F.col("pos"))).alias("first_repeat_pos"),
         )
     )
-    base = docs.select("doc_id", F.size(wnds).cast("int").alias("n_windows"))
-    return base.join(per, "doc_id", "left").select(
-        "doc_id", "n_windows",
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("int").alias("n_windows"),
         F.coalesce("n_repeated", F.lit(0)).cast("int").alias("n_repeated"),
         F.col("first_repeat_pos").cast("int").alias("first_repeat_pos"),
     )
