@@ -506,10 +506,12 @@ def dedup_exact_substring(spark, sf_dir):
         docs.select("doc_id", F.posexplode(wnds).alias("pos", "g"))
         .select("doc_id", (F.col("pos") + 1).alias("pos"), F.md5("g").alias("h"))
     )
+    # cross-doc <=> min(doc_id) != max(doc_id): single-phase min/max agg
+    # instead of count_distinct's two-phase expansion
     rep = (
         w.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
         .select("h", F.lit(True).alias("__rep"))
     )
     # ONE per-doc regroup computes window count, repeat count and first
