@@ -545,6 +545,38 @@ FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
 WHERE {COSINE.format(a='a.v', b='b2.v')} >= 0.2
 """
 
+# mirror of queries.dedup_semantic_keepone: embedding near-dup pairs ->
+# recursive-CTE connected components -> keep-one-per-cluster rosters
+ORACLES["dedup_semantic_keepone"] = f"""
+WITH RECURSIVE v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT id, v, {_BK} AS bucket FROM v0),
+pairs AS (
+  SELECT a.id AS id_a, b2.id AS id_b
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+  WHERE {COSINE.format(a='a.v', b='b2.v')} >= 0.2
+),
+edges AS (SELECT id_a AS x, id_b AS y FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT x AS member FROM edges),
+reach AS (
+  SELECT member, member AS r FROM nodes
+  UNION
+  SELECT rr.member, e.y AS r FROM reach rr JOIN edges e ON rr.r = e.x
+),
+comp AS (SELECT member, min(r) AS cluster FROM reach GROUP BY member),
+rosters AS (
+  SELECT cluster,
+         CAST(count(*) AS INTEGER) AS cluster_size,
+         coalesce(string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
+                    FILTER (WHERE member != cluster), '') AS absorbed_csv
+  FROM comp GROUP BY cluster
+)
+SELECT e.vec_id AS keep_id,
+       coalesce(r.cluster_size, 1) AS cluster_size,
+       coalesce(r.absorbed_csv, '') AS absorbed_csv
+FROM embeddings e LEFT JOIN rosters r ON e.vec_id = r.cluster
+WHERE e.vec_id NOT IN (SELECT member FROM comp WHERE member != cluster)
+"""
+
 ORACLES["ann_bruteforce_topk"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

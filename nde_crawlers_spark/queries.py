@@ -313,6 +313,50 @@ def dedup_cluster_components(spark, sf_dir):
     )
 
 
+def dedup_semantic_keepone(spark, sf_dir):
+    """The COMPOSED semantic-dedup production op (SemDeDup shape):
+    embedding near-dup pairs (random-hyperplane LSH buckets, codegen'd
+    cosine) -> connected components (pointer-jumping min-label
+    propagation) -> KEEP-ONE-PER-CLUSTER: survivors = everything except
+    non-representative members; each survivor carries its cluster size
+    and the absorbed member roster. Singletons (no near-dup) survive
+    with cluster_size 1. Every stage is oracle-checked in isolation
+    elsewhere (dedup_embedding_cosine, dedup_cluster_components); this
+    row verifies the composition end to end against a recursive-CTE
+    oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_near_dup_pairs(emb, threshold=0.2, bucket_bits=8).select(
+        "id_a", "id_b"
+    )
+    comp = DD.dedup_clusters(pairs)
+    rosters = comp.groupBy("cluster").agg(
+        F.count("*").cast("int").alias("cluster_size"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("member") != F.col("cluster"), F.col("member"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("absorbed_csv"),
+    )
+    dropped = comp.filter(F.col("member") != F.col("cluster")).select(
+        F.col("member").alias("vec_id")
+    )
+    survivors = emb.select("vec_id").join(dropped, "vec_id", "left_anti")
+    return (
+        survivors.join(rosters, survivors.vec_id == rosters.cluster, "left")
+        .select(
+            F.col("vec_id").alias("keep_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("int").alias("cluster_size"),
+            F.coalesce("absorbed_csv", F.lit("")).alias("absorbed_csv"),
+        )
+    )
+
+
 def text_gopher_quality(spark, sf_dir):
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
     standard pretraining-corpus gate): word-count bounds, mean word
@@ -1692,6 +1736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_semantic_keepone": dedup_semantic_keepone,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "text_gopher_quality": text_gopher_quality,
     "text_repetition": text_repetition,
