@@ -165,11 +165,17 @@ def run_headline() -> None:
     # pass compiles exactly the code the timed sf0.1 pass reuses.
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    # per-query best-of-2 (r4+; r1-r3 were single-shot): ambient load on
+    # the shared VM swings single-shot totals ~1.6x between back-to-back
+    # runs (42s vs 67s observed); the minimum of two interleaved passes
+    # is the steady-state estimate
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
     # best-of-2: single-sample wall times on a shared VM swing ~2x with
     # ambient load; the scaling protocol (--scaling) is the rigorous
     # best-of-3 pinned measurement
@@ -187,10 +193,12 @@ def run_headline() -> None:
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    for name in NEW_HEADLINE:
-        t0 = time.monotonic()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        new_times[name] = round(time.monotonic() - t0, 3)
+    for _pass in range(2):
+        for name in NEW_HEADLINE:
+            t0 = time.monotonic()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 3)
+            new_times[name] = min(new_times.get(name, dt), dt)
     _seen_filter_segmented_bench(spark, 100_000, 100_000)  # warm codegen/pool
     t0 = time.monotonic()
     _seen_filter_segmented_bench(spark, 2_000_000, 1_000_000)
@@ -204,6 +212,7 @@ def run_headline() -> None:
         "queries": times,
         "new_queries": new_times,
         "new_total": round(sum(new_times.values()), 3),
+        "timing": "per-query best-of-2 (r4+; r1-r3 single-shot)",
         "sf": float(sf),
         "fetch_normalize_urls_per_sec": fb["urls_per_sec"],
         "cores": CPUS,
