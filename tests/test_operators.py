@@ -620,3 +620,14 @@ def test_incremental_minhash_matches_full_recompute(spark):
 
     merged = store.unionByName(new_banded)
     assert merged.count() == banded_signatures(docs).count()
+
+
+def test_segmented_bloom_or_rejects_mismatched_params(spark):
+    """OR-ing segment tables built with different sizing parameters
+    must fail loudly (silent OR of different bit geometries would
+    corrupt the filter)."""
+    seen = spark.range(0, 100).select(F.md5(F.col("id").cast("string")).alias("url_hash"))
+    a = SN.build_bloom_segments(seen, nseg=4, expected=1000)
+    b = SN.build_bloom_segments(seen, nseg=4, expected=100_000)  # different nbits
+    with pytest.raises(Exception, match="different parameters|PythonException|assert"):
+        SN.or_bloom_segments(a, b).collect()
