@@ -390,3 +390,25 @@ def test_registry_matches_reference_chains():
         assert (sp.placeholder_fields == ("author",)) == wrapped, name
         # zenodo's sqlite version merge + DOI promotion
         assert sp.promote_doi == (name == "zenodo"), name
+
+
+def test_prefix_scan_predicate_pushdown(spark):
+    """S17: a prefix/equality predicate over the documents table must
+    reach the parquet scan as PushedFilters with a pruned ReadSchema —
+    the difference between scanning 2 columns of matching row groups
+    and scanning everything at 100 TB."""
+    import re
+
+    df = (
+        spark.read.parquet(f"{SF001}/documents.parquet")
+        .filter(F.col("source") == "src3")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "source")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "EqualTo(source,src3)" in pushed and "LessThan(doc_id,100)" in pushed
+    rs = re.search(r"ReadSchema: (\S+)", plan)
+    assert rs and set(re.findall(r"(\w+):", rs.group(1))) <= {"struct", "doc_id", "source"}
