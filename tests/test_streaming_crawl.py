@@ -243,3 +243,45 @@ def test_streaming_seen_compaction_bounds_batch_inputs(spark):
     }
     # and the replayed batch-3 view equals all-history-before-3
     assert {r["url_hash"] for r in view3.collect()} == before
+
+
+def test_streaming_dedup_matches_full_recompute(spark):
+    """Streaming incremental dedup (streaming/dedup_stream.py): three
+    document micro-batches through the persisted-signature store; the
+    union of per-batch pair sets must equal a FULL minhash recompute
+    over everything ingested, and a second drain with no new input adds
+    nothing. Replay guard: each batch's pairs involve at least one doc
+    from that batch (it computed against strictly-earlier signatures)."""
+    import os as _os
+
+    from nde_crawlers_spark.operators.dedup import minhash_lsh_candidates
+    from nde_crawlers_spark.streaming.dedup_stream import StreamingDedup
+
+    root = tempfile.mkdtemp(prefix="sdedup_")
+    sd = StreamingDedup(spark, root)
+    all_docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batches = [
+        all_docs.filter(F.col("doc_id") % 3 == k).coalesce(1) for k in range(3)
+    ]
+    seen_pairs: set = set()
+    for k, b in enumerate(batches):
+        b.write.mode("append").parquet(_os.path.join(root, "incoming"))
+        sd.run_available_now()
+        got = {(r["id_a"], r["id_b"]) for r in sd.pairs().collect()}
+        assert got >= seen_pairs  # append-only
+        batch_ids = {r["doc_id"] for r in b.collect()}
+        new = got - seen_pairs
+        assert all(a in batch_ids or bb in batch_ids for a, bb in new)
+        seen_pairs = got
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(all_docs, shingle_n=3, bands=4, rows_per_band=2).collect()
+    }
+    assert seen_pairs == full
+
+    # no new input -> drain is a no-op
+    sd.run_available_now()
+    assert {(r["id_a"], r["id_b"]) for r in sd.pairs().collect()} == full
