@@ -180,6 +180,7 @@ _ROTATED_OUT = [
     "text_quality_filter",
     "text_bpe_tokens",
     "merge_priority_lastwriter",
+    "text_lang_agreement",
 ]
 
 

@@ -202,6 +202,26 @@ WITH {FRONTIER_CTE}
 SELECT doc_id, canonical_url, url_hash, host, host_bucket, path, seq, priority FROM frontier
 """
 
+# mirror of queries.crawl_url_filter: blocklist + keyword + query-param
+# + length URL-quality flags over the canonical frontier
+ORACLES["crawl_url_filter"] = f"""
+WITH {{FRONTIER}}
+SELECT doc_id, host,
+       host IN ('src4.example.org', 'src11.example.org', 'src17.example.org') AS blocked,
+       contains(path, 'private') AS disallowed_kw,
+       (CASE WHEN contains(canonical_url, '?')
+             THEN len(string_split(split_part(canonical_url, '?', 2), '&'))
+             ELSE 0 END) >= 2 AS excessive_params,
+       length(canonical_url) > 38 AS overlong,
+       NOT (host IN ('src4.example.org', 'src11.example.org', 'src17.example.org')
+            OR contains(path, 'private')
+            OR (CASE WHEN contains(canonical_url, '?')
+                     THEN len(string_split(split_part(canonical_url, '?', 2), '&'))
+                     ELSE 0 END) >= 2
+            OR length(canonical_url) > 38) AS keep
+FROM frontier
+""".format(FRONTIER=FRONTIER_CTE)
+
 ORACLES["crawl_seen_filter"] = f"""
 WITH {FRONTIER_CTE}
 SELECT doc_id, url_hash, host FROM frontier

@@ -106,6 +106,40 @@ def crawl_url_canonicalize(spark, sf_dir):
     )
 
 
+_URL_BLOCKLIST = ["src4.example.org", "src11.example.org", "src17.example.org"]
+
+
+def crawl_url_filter(spark, sf_dir):
+    """URL-quality prefiltering BEFORE fetch (the CCNet/FineWeb URL
+    filter stage; reference analog: the invalid-id regex family,
+    P10, plus per-source allow rules): flag blocklisted hosts
+    (broadcast dim — the real shape of a maintained blocklist),
+    disallowed path keywords, excessive query parameters, and overlong
+    URLs; keep = no flag. All row-local except the broadcast blocklist
+    join — scan-bound at frontier scale."""
+    fr = _frontier(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [(h,) for h in _URL_BLOCKLIST], "host string"
+    ).withColumn("__blocked", F.lit(True))
+    out = fr.join(F.broadcast(bl), "host", "left")
+    has_q = F.col("canonical_url").contains("?")
+    n_params = F.when(
+        has_q, F.size(F.split(F.substring_index(F.col("canonical_url"), "?", -1), "&"))
+    ).otherwise(F.lit(0))
+    blocked = F.coalesce(F.col("__blocked"), F.lit(False))
+    kw = F.col("path").contains("private")
+    many = n_params >= 2
+    overlong = F.length("canonical_url") > 38
+    return out.select(
+        "doc_id", "host",
+        blocked.alias("blocked"),
+        kw.alias("disallowed_kw"),
+        many.alias("excessive_params"),
+        overlong.alias("overlong"),
+        (~(blocked | kw | many | overlong)).alias("keep"),
+    )
+
+
 def crawl_seen_filter(spark, sf_dir):
     fr = _frontier(spark, sf_dir)
     seen = fr.filter(F.col("doc_id") % 2 == 0).select("url_hash")
@@ -1723,6 +1757,7 @@ def setops_union_by_name(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_url_canonicalize": crawl_url_canonicalize,
+    "crawl_url_filter": crawl_url_filter,
     "crawl_seen_filter": crawl_seen_filter,
     "crawl_robots_filter": crawl_robots_filter,
     "crawl_frontier_topk": crawl_frontier_topk,
