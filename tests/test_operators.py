@@ -631,3 +631,42 @@ def test_segmented_bloom_or_rejects_mismatched_params(spark):
     b = SN.build_bloom_segments(seen, nseg=4, expected=100_000)  # different nbits
     with pytest.raises(Exception, match="different parameters|PythonException|assert"):
         SN.or_bloom_segments(a, b).collect()
+
+
+def test_topk_per_host_hot_host_skew(spark):
+    """North-rule skew case: ONE host holds 90% of a 20k-URL frontier
+    (the single-large-repository shape). The two-phase salted top-k
+    must (a) equal the plain single-window top-k exactly, and (b) shard
+    the hot host's phase-1 sort across salt_factor partitions (the plan
+    carries the (host, salt) window before the final (host) window)."""
+    from pyspark.sql import Window
+
+    from nde_crawlers_spark.operators.frontier import topk_per_host
+
+    n = 20_000
+    hot = F.lit("zenodo.example.org")
+    cold = F.concat(F.lit("host-"), (F.col("id") % 50).cast("string"))
+    fr = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, hot).otherwise(cold).alias("host"),
+        (F.col("id") % 7).cast("int").alias("priority"),
+        F.xxhash64(F.col("id")).alias("seq"),
+        F.md5(F.col("id").cast("string")).alias("url_hash"),
+        F.lit(25).alias("host_budget"),
+    )
+    got = topk_per_host(fr, salt_factor=8)
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").asc(), F.col("seq").asc(), F.col("url_hash").asc()
+    )
+    want = (
+        fr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("host_budget"))
+        .drop("__rn")
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in want.collect()}
+    assert a == b
+    # hot host contributes exactly its budget, not 90% of the output
+    hot_n = got.filter(F.col("host") == "zenodo.example.org").count()
+    assert hot_n == 25
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # phase-1 salted window present
