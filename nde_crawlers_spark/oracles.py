@@ -202,6 +202,41 @@ WITH {FRONTIER_CTE}
 SELECT doc_id, canonical_url, url_hash, host, host_bucket, path, seq, priority FROM frontier
 """
 
+# mirror of queries.crawl_sitemap_seed: per-source urlset blob ->
+# <url> blocks -> loc/lastmod extraction -> rule routing
+ORACLES["crawl_sitemap_seed"] = """
+WITH e AS (
+  SELECT source, doc_id,
+         '<url><loc>https://' || source || '.example.org'
+         || CASE WHEN doc_id % 2 = 0 THEN '/dataset/' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 3 = 0 THEN '/record/' || CAST(doc_id AS VARCHAR)
+                 ELSE '/private/' || CAST(doc_id AS VARCHAR) END
+         || '</loc>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<lastmod>2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
+                 ELSE '' END
+         || '</url>' AS entry
+  FROM documents
+),
+sm AS (
+  SELECT source, '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS body
+  FROM e GROUP BY source
+),
+blocks AS (SELECT source, unnest(regexp_extract_all(body, '<url>(.*?)</url>', 1)) AS b FROM sm),
+parsed AS (
+  SELECT source,
+         regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS url,
+         nullif(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+  FROM blocks
+)
+SELECT source, url, lastmod,
+       CASE WHEN contains(url, '/dataset/') THEN 'jsonld'
+            WHEN contains(url, '/record/') THEN 'api'
+            ELSE NULL END AS route
+FROM parsed
+WHERE contains(url, '/dataset/') OR contains(url, '/record/')
+"""
+
 # mirror of queries.crawl_url_filter: blocklist + keyword + query-param
 # + length URL-quality flags over the canonical frontier
 ORACLES["crawl_url_filter"] = f"""

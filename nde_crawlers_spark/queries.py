@@ -106,6 +106,66 @@ def crawl_url_canonicalize(spark, sf_dir):
     )
 
 
+# the reference's SitemapSpider rules shape: (url-substring, callback)
+_SITEMAP_RULES = [("/dataset/", "jsonld"), ("/record/", "api")]
+
+
+def crawl_sitemap_seed(spark, sf_dir):
+    """Sitemap-seeded URL discovery — the reference's third seeding mode
+    beside pagination and OAI (dryad_crawler spider.py:26-27 and
+    omicsdi_crawler spider.py:23-26 use Scrapy's SitemapSpider;
+    clinepidb pipeline.py:163-166 walks the urlset manually): one
+    synthetic <urlset> per source, <url> blocks split and <loc>/<lastmod>
+    extracted JVM-side (regexp_extract_all — no Python, no lxml), each
+    URL routed by the FIRST matching sitemap rule and non-matching URLs
+    dropped (the SitemapSpider contract). Scan-bound: the only shuffle
+    is the per-source blob assembly, which a real run replaces with a
+    directory of fetched sitemap files."""
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 2 == 0, F.concat(F.lit("/dataset/"), did.cast("string")))
+        .when(did % 3 == 0, F.concat(F.lit("/record/"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/private/"), did.cast("string")))
+    )
+    loc = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org"), path)
+    lastmod = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("<lastmod>2024-01-"),
+                 F.lpad((did % 28 + 1).cast("string"), 2, "0"), F.lit("</lastmod>")),
+    ).otherwise(F.lit(""))
+    entry = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"), lastmod, F.lit("</url>"))
+    sm = (
+        docs.select("source", F.struct("doc_id", entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")), lambda x: x.getField("e")), ""
+                ),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    blocks = F.regexp_extract_all(F.col("body"), F.lit("<url>(.*?)</url>"), F.lit(1))
+    ex = sm.select("source", F.explode(blocks).alias("b"))
+    url = F.regexp_extract("b", "<loc>([^<]*)</loc>", 1)
+    lm = F.regexp_extract("b", "<lastmod>([^<]*)</lastmod>", 1)
+    route = F.lit(None).cast("string")
+    for pat, cb in reversed(_SITEMAP_RULES):
+        route = F.when(url.contains(pat), F.lit(cb)).otherwise(route)
+    return (
+        ex.select(
+            "source",
+            url.alias("url"),
+            F.when(lm != "", lm).otherwise(F.lit(None)).alias("lastmod"),
+            route.alias("route"),
+        )
+        .filter(F.col("route").isNotNull())
+    )
+
+
 _URL_BLOCKLIST = ["src4.example.org", "src11.example.org", "src17.example.org"]
 
 
@@ -1758,6 +1818,7 @@ def setops_union_by_name(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_url_canonicalize": crawl_url_canonicalize,
     "crawl_url_filter": crawl_url_filter,
+    "crawl_sitemap_seed": crawl_sitemap_seed,
     "crawl_seen_filter": crawl_seen_filter,
     "crawl_robots_filter": crawl_robots_filter,
     "crawl_frontier_topk": crawl_frontier_topk,
