@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship crawl-scheduling query on sf0.001;
 ``queries()``/``oracle_sql()`` expose the full catalog from
-``nde_crawlers_spark`` (65 oracle-checked queries + 3 non-SQL-expressible
+``nde_crawlers_spark`` (66 oracle-checked queries + 3 non-SQL-expressible
 extras checked rows-only). The driver oracle-checks the first 50 catalog
 entries, so ``queries()`` orders highest-information queries first and
 rotates long-settled ones behind the window (all of them stay covered by
@@ -182,6 +182,7 @@ _ROTATED_OUT = [
     "merge_priority_lastwriter",
     "text_lang_agreement",
     "enrich_broadcast_lookup",
+    "enrich_explode_collect",
 ]
 
 

@@ -202,6 +202,36 @@ WITH {FRONTIER_CTE}
 SELECT doc_id, canonical_url, url_hash, host, host_bucket, path, seq, priority FROM frontier
 """
 
+# mirror of queries.crawl_autothrottle_budget: the Scrapy AutoThrottle
+# recurrence folded over each host's round-ordered latencies via
+# list_reduce (init prepended; non-200 encoded as negative latency)
+_AT_ND = "least(greatest((a + abs(b) / 1.0) / 2, 500.0), 60000.0)"
+ORACLES["crawl_autothrottle_budget"] = f"""
+WITH hosts AS (SELECT DISTINCT source, CAST(replace(source, 'src', '') AS INTEGER) AS h FROM documents),
+g AS (
+  SELECT source, h, r,
+         CASE WHEN (h + r) % 5 != 0
+              THEN CAST(80 + ((h * 13 + r * 7) % 12) * 140 AS DOUBLE)
+              ELSE -CAST(80 + ((h * 13 + r * 7) % 12) * 140 AS DOUBLE) END AS x
+  FROM hosts CROSS JOIN (SELECT unnest(range(0, 8)) AS r) rr
+),
+per AS (
+  SELECT source, list_transform(list_sort(list_zip(list(r ORDER BY r), list(x ORDER BY r))), z -> z[2]) AS xs
+  FROM g GROUP BY source
+),
+folded AS (
+  SELECT source, CAST(len(xs) AS INTEGER) AS n_rounds,
+         list_reduce([CAST(500.0 AS DOUBLE)] || xs,
+           (a, b) -> CASE WHEN b >= 0 THEN {_AT_ND} ELSE greatest(a, {_AT_ND}) END
+         ) AS delay
+  FROM per
+)
+SELECT source, n_rounds,
+       floor(delay * 1000) / 1000 AS delay_ms,
+       CAST(greatest(floor(10000 / delay), 1) AS INTEGER) AS budget
+FROM folded
+"""
+
 # mirror of queries.crawl_sitemap_seed: per-source urlset blob ->
 # <url> blocks -> loc/lastmod extraction -> rule routing
 ORACLES["crawl_sitemap_seed"] = """

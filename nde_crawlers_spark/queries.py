@@ -106,6 +106,54 @@ def crawl_url_canonicalize(spark, sf_dir):
     )
 
 
+def crawl_autothrottle_budget(spark, sf_dir):
+    """Scrapy AutoThrottle analog — every reference crawler ships
+    AUTOTHROTTLE_ENABLED=True with TARGET_CONCURRENCY=1.0 over
+    DOWNLOAD_DELAY=0.5s (e.g. bei_crawler/files/settings.py:2-5): the
+    per-host delay adapts to observed latency by the recurrence
+
+        next = clamp((delay + latency/C) / 2, base_delay, max_delay)
+        (non-200 responses may only RAISE the delay, never lower it)
+
+    folded over each host's round-ordered latency history as ONE
+    row-local higher-order aggregate (no shuffle beyond the per-host
+    regroup); the resulting delay yields the next round's fetch budget.
+    Deterministic synthetic latencies keep the oracle bit-exact; the
+    production loop would feed real per-round latencies into the same
+    fold (deliberately NOT wired into the e2e crawl here, whose
+    N-vs-4N signature invariant requires latency-independent
+    scheduling)."""
+    base, maxd, conc, round_ms = 500.0, 60000.0, 1.0, 10000
+    docs = t(spark, sf_dir, "documents")
+    h = F.regexp_replace("source", "src", "").cast("int")
+    g = (
+        docs.select("source", h.alias("h")).distinct()
+        .select("source", "h", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r"))
+    )
+    lat = (F.lit(80) + ((F.col("h") * 13 + F.col("r") * 7) % 12) * F.lit(140)).cast("double")
+    ok = (F.col("h") + F.col("r")) % 5 != 0
+    signed = F.when(ok, lat).otherwise(-lat)
+    per = g.select("source", "r", signed.alias("x")).groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("r", "x"))), lambda s: s.getField("x")
+        ).alias("xs")
+    )
+
+    def _fold(acc, x):
+        nd = F.least(
+            F.greatest((acc + F.abs(x) / F.lit(conc)) / 2, F.lit(base)), F.lit(maxd)
+        )
+        return F.when(x >= 0, nd).otherwise(F.greatest(acc, nd))
+
+    delay = F.aggregate("xs", F.lit(base), _fold)
+    return per.select(
+        "source",
+        F.size("xs").cast("int").alias("n_rounds"),
+        ftrunc(delay, 3).alias("delay_ms"),
+        F.greatest(F.floor(F.lit(round_ms) / delay), F.lit(1)).cast("int").alias("budget"),
+    )
+
+
 # the reference's SitemapSpider rules shape: (url-substring, callback)
 _SITEMAP_RULES = [("/dataset/", "jsonld"), ("/record/", "api")]
 
@@ -1819,6 +1867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_url_canonicalize": crawl_url_canonicalize,
     "crawl_url_filter": crawl_url_filter,
     "crawl_sitemap_seed": crawl_sitemap_seed,
+    "crawl_autothrottle_budget": crawl_autothrottle_budget,
     "crawl_seen_filter": crawl_seen_filter,
     "crawl_robots_filter": crawl_robots_filter,
     "crawl_frontier_topk": crawl_frontier_topk,
