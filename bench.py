@@ -189,6 +189,7 @@ def run_headline() -> None:
         "text_decontaminate", "sample_stratified", "pack_greedy_bins",
         "text_pii_scrub", "dedup_exact_substring", "text_importance_weights",
         "dedup_semantic_keepone", "crawl_url_filter", "crawl_sitemap_seed",
+        "crawl_autothrottle_budget",
     ]
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:
