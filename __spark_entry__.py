@@ -110,9 +110,10 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = spans_to_nde(run.documents())
     # source = the crawled host, mapped onto REAL uploader specs (the
     # reference maps one uploader per source repository): each host-i
-    # dispatches the chain of the i-th real fixture source — wrapped
-    # hosts get the wrapper tail (placeholder scrub + casefold), bare
-    # ones pass through, zenodo-mapped hosts promote DOIs; operator
+    # dispatches the chain of the i-th real fixture source — every
+    # host gets the wrapper tail (placeholder scrub + casefold; all 59
+    # reference uploaders are wrapped), zenodo-mapped hosts promote
+    # DOIs; operator
     # stages skip (their lookups/columns are absent in this rows-only
     # path) exactly as the registry contract specifies
     from nde_crawlers_spark.uploaders import FIXTURE_SOURCES, UPLOADERS

@@ -275,13 +275,13 @@ SELECT doc_id, host,
        host IN ('src4.example.org', 'src11.example.org', 'src17.example.org') AS blocked,
        contains(path, 'private') AS disallowed_kw,
        (CASE WHEN contains(canonical_url, '?')
-             THEN len(string_split(split_part(canonical_url, '?', 2), '&'))
+             THEN len(string_split(substring(canonical_url, strpos(canonical_url, '?') + 1), '&'))
              ELSE 0 END) >= 2 AS excessive_params,
        length(canonical_url) > 38 AS overlong,
        NOT (host IN ('src4.example.org', 'src11.example.org', 'src17.example.org')
             OR contains(path, 'private')
             OR (CASE WHEN contains(canonical_url, '?')
-                     THEN len(string_split(split_part(canonical_url, '?', 2), '&'))
+                     THEN len(string_split(substring(canonical_url, strpos(canonical_url, '?') + 1), '&'))
                      ELSE 0 END) >= 2
             OR length(canonical_url) > 38) AS keep
 FROM frontier

@@ -231,9 +231,11 @@ def crawl_url_filter(spark, sf_dir):
     ).withColumn("__blocked", F.lit(True))
     out = fr.join(F.broadcast(bl), "host", "left")
     has_q = F.col("canonical_url").contains("?")
-    n_params = F.when(
-        has_q, F.size(F.split(F.substring_index(F.col("canonical_url"), "?", -1), "&"))
-    ).otherwise(F.lit(0))
+    # query string = everything after the FIRST '?' (a second '?' is
+    # part of the query value, not a new query string) — instr-based so
+    # Spark and the DuckDB oracle (strpos) agree on multi-'?' URLs
+    qs = F.expr("substring(canonical_url, instr(canonical_url, '?') + 1)")
+    n_params = F.when(has_q, F.size(F.split(qs, "&"))).otherwise(F.lit(0))
     blocked = F.coalesce(F.col("__blocked"), F.lit(False))
     kw = F.col("path").contains("private")
     many = n_params >= 2

@@ -98,7 +98,20 @@ class UploaderSpec:
 #   mt        -> process_measurement_technique (utils/mt_standardizer).
 #   topic     -> add_topic_category (utils/topic_category_helper).
 #   (load_documents — the corrections ndjson LOADER, utils/
-#   corrections.py:428-449 — is a scan, not a transform: no flag.)
+#   corrections.py:428-449 — is a scan, not a transform: no flag.
+#   add_disambiguating_description — called by immport/uploader.py and
+#   clinepidb/uploader.py between ner and mt — is a description-TEXT
+#   rewrite (utils/disambiguating_description.py) with no structured
+#   column in this engine's document model; it is deliberately OUTSIDE
+#   the stage vocabulary and the chain strings below, so those two
+#   chains are the pre-wrapper sequence MINUS that one call.)
+#
+# Six sources (bioconductor, dockstore, gxa, sb_apps,
+# veupath_collections, workflowhub) define NO load_data of their own:
+# they inherit NDESourceUploader.load_data, which is itself decorated
+# @nde_upload_wrapper (hub/dataload/nde.py:119-127) — so they ARE
+# wrapped with an empty pre-wrapper chain. Every one of the 59
+# uploaders is wrapped; no bare chain exists upstream.
 #
 # zenodo's uploader body additionally runs the sqlite version merge +
 # DOI promotion (zenodo/uploader.py:27-111) -> promote_doi.
@@ -107,7 +120,7 @@ _CHAINS: dict[str, tuple[bool, str]] = {
     "ark": (True, "pmid fund recl mt"),
     "bacdive": (True, "pmid fund recl ner"),
     "bei": (True, "recl ner"),
-    "bioconductor": (False, ""),
+    "bioconductor": (True, ""),
     "biocontainers": (True, "pmid fund"),
     "biosample": (True, "recl mt"),
     "biostudies": (True, "recl mt topic"),
@@ -122,13 +135,13 @@ _CHAINS: dict[str, tuple[bool, str]] = {
     "dbaasp": (True, "recl fund"),
     "dbgap": (True, "pmid fund recl topic mt"),
     "dde": (True, "pmid fund recl ner mt topic"),
-    "dockstore": (False, ""),
+    "dockstore": (True, ""),
     "dryad": (True, "fund ner topic"),
     "emdb": (True, "recl fund"),
     "empiar": (True, "pmid fund recl ner"),
     "figshare": (True, "ner"),
     "flowrepository": (True, "pmid fund ner topic"),
-    "gxa": (False, ""),
+    "gxa": (True, ""),
     "hca": (True, "recl ner"),
     "hubmap": (True, "ner mt topic"),
     "immport": (True, "recl fund ner mt topic"),
@@ -139,9 +152,12 @@ _CHAINS: dict[str, tuple[bool, str]] = {
     "mendeley": (True, "pmid recl fund ner topic"),
     "microbiomedb": (True, "pmid fund ner"),
     "mwccs": (True, "recl fund mt"),
-    "ncbi_bioproject": (True, "pmid fund recl ner mt topic"),
+    # ncbi_bioproject and gsm_ncbi_geo ship COMMENTED-OUT
+    # process_descriptions / add_topic_category calls (uploader.py:19,21
+    # and gsm_uploader.py:21-22) — dead code is not part of the chain.
+    "ncbi_bioproject": (True, "pmid fund recl mt"),
     "gse_ncbi_geo": (True, "pmid fund recl ner mt topic"),
-    "gsm_ncbi_geo": (True, "recl mt ner topic"),
+    "gsm_ncbi_geo": (True, "recl mt"),
     "ncbi_pmc": (True, "pmid fund"),
     "ncbi_sra": (True, "recl ner mt topic"),
     "ncbi_virus": (True, "recl"),
@@ -152,15 +168,15 @@ _CHAINS: dict[str, tuple[bool, str]] = {
     "proteomexchange": (True, "pmid fund recl ner"),
     "qiita": (True, "pmid fund ner topic"),
     "reframedb": (True, "pmid fund recl mt ner topic"),
-    "sb_apps": (False, ""),
+    "sb_apps": (True, ""),
     "tycho": (True, "fund recl"),
     "uniprot": (True, "recl fund"),
     "usidnet": (True, "recl"),
     "vdj": (True, "pmid fund recl ner mt topic"),
-    "veupath_collections": (False, ""),
+    "veupath_collections": (True, ""),
     "veupathdb": (True, "pmid fund recl ner mt topic"),
     "vivli": (True, "recl fund ner topic"),
-    "workflowhub": (False, ""),
+    "workflowhub": (True, ""),
     "zenodo": (True, ""),
 }
 
@@ -169,6 +185,10 @@ def _spec(name: str, wrapped: bool, chain: str) -> UploaderSpec:
     stages = tuple(chain.split()) if chain else ()
     s = set(stages)
     return UploaderSpec(
+        # all 59 reference uploaders are wrapped (the six without their
+        # own load_data inherit the wrapped base, nde.py:119-127); the
+        # `wrapped` param is kept so a hypothetical bare uploader still
+        # round-trips through the spec builder.
         family=("bare" if not wrapped else "zenodo" if name == "zenodo" else "standard"),
         promote_doi=(name == "zenodo"),
         placeholder_fields=("author",) if wrapped else (),
@@ -191,10 +211,11 @@ DEFAULT_SPEC = UploaderSpec()
 
 # The oracle fixtures carry 20 synthetic sources (src0..src19 in the
 # documents table); they are mapped 1:1 onto these 20 REAL uploader
-# names — chosen to span the spec space (zenodo DOI promotion, bare
-# unwrapped chains, every combination of pmid/fund/recl/ner/mt/topic
-# that occurs) — so the flagship registry queries dispatch on the REAL
-# registry, not a synthetic one.
+# names — chosen to span the spec space (zenodo DOI promotion,
+# empty-chain wrapper-only sources like workflowhub/bioconductor, every
+# combination of pmid/fund/recl/ner/mt/topic that occurs) — so the
+# flagship registry queries dispatch on the REAL registry, not a
+# synthetic one.
 FIXTURE_SOURCES: list[str] = [
     "zenodo", "immport", "ncbi_sra", "gse_ncbi_geo", "figshare",
     "hubmap", "biocontainers", "dataverse", "bv_brc", "uniprot",

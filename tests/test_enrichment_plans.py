@@ -230,8 +230,10 @@ def test_uploader_registry_enrichment_chains(spark):
     are reclassified + funder-enriched, every WRAPPED source carries
     lineage and a casefolded _id, node (load_pmid_ctfd +
     process_descriptions) rows gain citations and lose dropped NER
-    entities, zenodo promotes DOIs, and BARE (unwrapped) sources pass
-    through untouched — no casefold, no lineage."""
+    entities, zenodo promotes DOIs, and empty-chain sources
+    (workflowhub — no load_data of its own) still get the INHERITED
+    wrapper tail (lineage + casefold, nde.py:119-127) with no
+    pre-wrapper stage side effects."""
     from nde_crawlers_spark.queries import _uploader_fixture, _uploader_lookups
     from nde_crawlers_spark.uploaders import run_uploader
 
@@ -245,9 +247,10 @@ def test_uploader_registry_enrichment_chains(spark):
     assert imm.filter(F.col("funder_name").isNotNull()).count() > 0
     assert imm.filter(F.col("technique_std").isNotNull()).count() > 0
     assert imm.filter(F.col("topic").isNotNull()).count() > 0
-    # wrapped sources carry lineage; BARE (workflowhub) never does
+    # every wrapped source carries lineage — including empty-chain
+    # workflowhub, whose inherited base load_data is itself wrapped
     assert out.filter((F.col("source") == "immport") & (F.size("_meta_lineage") == 0)).count() == 0
-    assert out.filter((F.col("source") == "workflowhub") & (F.size("_meta_lineage") > 0)).count() == 0
+    assert out.filter((F.col("source") == "workflowhub") & (F.size("_meta_lineage") == 0)).count() == 0
     # node (process_descriptions): rule-hit entities dropped; citations on
     nd = out.filter(F.col("source") == "node")
     assert nd.select(F.explode("ner").alias("e")).filter(F.col("e.name") == "china").count() == 0
@@ -259,9 +262,9 @@ def test_uploader_registry_enrichment_chains(spark):
     # zenodo: single valid DOI promoted into _id (then casefolded)
     zen = out.filter(F.col("source") == "zenodo")
     assert zen.filter(F.col("_id").startswith("10.")).count() > 0
-    # bare source: _id NOT casefolded (no wrapper tail)
+    # empty-chain source: the inherited wrapper tail still casefolds _id
     wf = out.filter(F.col("source") == "workflowhub").select("_id").first()
-    assert wf["_id"].startswith("WORKFLOWHUB:REC:")
+    assert wf["_id"].startswith("workflowhub:rec:")
     out.unpersist()
 
 
@@ -295,84 +298,102 @@ def test_pipeline_e2e_no_extra_shuffles(spark):
     assert smj_pipe <= smj_reg + 3
 
 
+def _parse_reference_chains():
+    """Derive every uploader's (wrapped, chain) by PARSING the reference
+    uploader sources with ``ast`` — independent of the registry table,
+    so a transcription error in ``uploaders._CHAINS`` fails the test.
+
+    Rules (hub/dataload/nde.py):
+    - a class with NO ``load_data`` inherits the base ``load_data``,
+      which is itself decorated ``@nde_upload_wrapper``
+      (NDESourceUploader nde.py:119-127, NDESourceSampleUploader
+      nde.py:1407-1415, NDECombinedUploader nde.py:2237 extends
+      NDESourceUploader) -> wrapped, empty chain;
+    - a class WITH ``load_data`` is wrapped iff the method carries the
+      ``@nde_upload_wrapper`` decorator;
+    - the chain is the source-order sequence of stage-helper calls in
+      the ``load_data`` body (load_pmid_ctfd / standardize_funding /
+      standardize_data / process_descriptions /
+      process_measurement_technique / add_topic_category;
+      add_disambiguating_description is outside the stage vocabulary
+      by design — see the ``uploaders._CHAINS`` header)."""
+    import ast
+    from pathlib import Path
+
+    src = Path("/root/reference/biothings-hub/files/nde-hub/hub/dataload/sources")
+    stage_of = {
+        "load_pmid_ctfd": "pmid",
+        "standardize_funding": "fund",
+        "standardize_data": "recl",
+        "process_descriptions": "ner",
+        "process_measurement_technique": "mt",
+        "add_topic_category": "topic",
+    }
+    wrapped_bases = {"NDESourceUploader", "NDESourceSampleUploader", "NDECombinedUploader"}
+
+    def base_name(b):
+        return getattr(b, "id", None) or getattr(b, "attr", None)
+
+    chains = {}
+    for d in sorted(p for p in src.iterdir() if p.is_dir()):
+        for up in sorted(d.glob("*uploader*.py")):
+            # ncbi_geo ships two uploaders: gse_uploader.py, gsm_uploader.py
+            key = d.name if up.name == "uploader.py" else f"{up.name.split('_')[0]}_{d.name}"
+            tree = ast.parse(up.read_text())
+            for node in tree.body:
+                if not isinstance(node, ast.ClassDef):
+                    continue
+                if not any(str(base_name(b)).endswith("Uploader") for b in node.bases):
+                    continue
+                load = next(
+                    (m for m in node.body
+                     if isinstance(m, ast.FunctionDef) and m.name == "load_data"),
+                    None,
+                )
+                if load is None:
+                    bases = {base_name(b) for b in node.bases}
+                    assert bases & wrapped_bases, f"{key}: no load_data, non-NDE base {bases}"
+                    chains[key] = (True, "")
+                    continue
+                wrapped = any(
+                    getattr(dec, "id", getattr(dec, "attr", None)) == "nde_upload_wrapper"
+                    for dec in load.decorator_list
+                )
+                calls = sorted(
+                    (
+                        (c.lineno, c.col_offset, stage_of[fn])
+                        for c in ast.walk(load)
+                        if isinstance(c, ast.Call)
+                        and (fn := getattr(c.func, "id", getattr(c.func, "attr", None)))
+                        in stage_of
+                    ),
+                )
+                chains[key] = (wrapped, " ".join(s for _, _, s in calls))
+    return chains
+
+
 def test_registry_matches_reference_chains():
     """Every one of the 59 reference uploader classes
     (hub/dataload/sources/** — 58 dirs, ncbi_geo ships gse+gsm) resolves
     to a spec whose stage set matches its load_data chain. The expected
-    table here is an INDEPENDENT transcription of the reference
-    (uploader.py call sequences + @nde_upload_wrapper decoration), so a
-    registry edit that drifts from the reference fails this test.
-    Spot anchors: immport/uploader.py:23-28 (recl fund ner mt topic,
+    table is DERIVED by parsing the reference uploader sources
+    (``_parse_reference_chains``), so any registry drift — wrong stage
+    order, a missed wrapper decoration, a phantom source — fails here.
+    Spot anchors: immport/uploader.py:23-31 (recl fund ner mt topic,
     wrapped), zenodo/uploader.py:27-111 (sqlite version merge + DOI
     promotion, wrapped, no pre-wrapper stages), workflowhub/uploader.py
-    (bare NDESourceUploader, unwrapped), node/uploader.py:15-21
+    (no load_data of its own -> inherits the WRAPPED base load_data,
+    nde.py:119-127), node/uploader.py:15-21
     (pmid fund recl ner mt topic)."""
     from nde_crawlers_spark.uploaders import _CHAINS, UPLOADERS
 
-    expected = {
-        "acd_niaid": (True, "pmid fund recl topic"),
-        "ark": (True, "pmid fund recl mt"),
-        "bacdive": (True, "pmid fund recl ner"),
-        "bei": (True, "recl ner"),
-        "bioconductor": (False, ""),
-        "biocontainers": (True, "pmid fund"),
-        "biosample": (True, "recl mt"),
-        "biostudies": (True, "recl mt topic"),
-        "biotools": (True, "fund ner"),
-        "bv_brc": (True, "recl fund"),
-        "ceirr": (True, "fund recl ner"),
-        "clinepidb": (True, "pmid fund recl ner mt topic"),
-        "clingen": (True, "recl fund"),
-        "covid_radx": (True, "pmid fund recl ner mt topic"),
-        "dash": (True, "pmid fund recl topic"),
-        "dataverse": (True, "fund ner topic"),
-        "dbaasp": (True, "recl fund"),
-        "dbgap": (True, "pmid fund recl topic mt"),
-        "dde": (True, "pmid fund recl ner mt topic"),
-        "dockstore": (False, ""),
-        "dryad": (True, "fund ner topic"),
-        "emdb": (True, "recl fund"),
-        "empiar": (True, "pmid fund recl ner"),
-        "figshare": (True, "ner"),
-        "flowrepository": (True, "pmid fund ner topic"),
-        "gxa": (False, ""),
-        "hca": (True, "recl ner"),
-        "hubmap": (True, "ner mt topic"),
-        "immport": (True, "recl fund ner mt topic"),
-        "immunespace": (True, "recl"),
-        "lincs": (True, "fund ner mt topic"),
-        "malariagen": (True, "ner"),
-        "massive": (True, "recl ner mt"),
-        "mendeley": (True, "pmid recl fund ner topic"),
-        "microbiomedb": (True, "pmid fund ner"),
-        "mwccs": (True, "recl fund mt"),
-        "ncbi_bioproject": (True, "pmid fund recl ner mt topic"),
-        "gse_ncbi_geo": (True, "pmid fund recl ner mt topic"),
-        "gsm_ncbi_geo": (True, "recl mt ner topic"),
-        "ncbi_pmc": (True, "pmid fund"),
-        "ncbi_sra": (True, "recl ner mt topic"),
-        "ncbi_virus": (True, "recl"),
-        "ndex": (True, "pmid recl topic"),
-        "node": (True, "pmid fund recl ner mt topic"),
-        "omicsdi": (True, "pmid fund recl ner mt topic"),
-        "pdb": (True, "recl fund"),
-        "proteomexchange": (True, "pmid fund recl ner"),
-        "qiita": (True, "pmid fund ner topic"),
-        "reframedb": (True, "pmid fund recl mt ner topic"),
-        "sb_apps": (False, ""),
-        "tycho": (True, "fund recl"),
-        "uniprot": (True, "recl fund"),
-        "usidnet": (True, "recl"),
-        "vdj": (True, "pmid fund recl ner mt topic"),
-        "veupath_collections": (False, ""),
-        "veupathdb": (True, "pmid fund recl ner mt topic"),
-        "vivli": (True, "recl fund ner topic"),
-        "workflowhub": (False, ""),
-        "zenodo": (True, ""),
-    }
+    expected = _parse_reference_chains()
     assert _CHAINS == expected
     assert len(UPLOADERS) == 59
-    assert sum(1 for _, (w, _c) in expected.items() if w) == 53
+    # ALL 59 are wrapped: the six classes without their own load_data
+    # (bioconductor, dockstore, gxa, sb_apps, veupath_collections,
+    # workflowhub) inherit the base load_data, itself @nde_upload_wrapper
+    assert sum(1 for _, (w, _c) in expected.items() if w) == 59
     for name, (wrapped, chain) in expected.items():
         sp = UPLOADERS[name]
         s = set(chain.split())
