@@ -11,6 +11,7 @@ the full-catalog parity mirror, tests/test_queries_parity.py).
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 from collections.abc import Callable
@@ -35,19 +36,9 @@ def _crawl_e2e_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two checkpointed crawl rounds on a 100-seed synthetic frontier;
     returns the harvested documents (spans flattened for a stable
     schema). Oracle-equivalence of order/seen/spans is asserted in
-    tests/test_crawl_oracle.py against the straight-line Python oracle."""
-    from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
-    from nde_crawlers_spark.sources.synthetic import make_seeds
-
-    seeds = make_seeds(100, 10)
-    run = CrawlRun(
-        spark,
-        os.path.join(tempfile.gettempdir(), "nde_spark_e2e"),
-        CrawlConfig(num_hosts=10, round_seconds=2, max_rounds=2),
-    )
-    sdf = spark.createDataFrame([(s["url"], s["priority"]) for s in seeds], ["url", "priority"])
-    run.run(seeds=sdf)
-    docs = run.documents()
+    tests/test_crawl_oracle.py against the straight-line Python oracle
+    AND witnessed by the driver gate via crawl_e2e_signatures."""
+    docs = _e2e_crawl_run(spark, "nde_spark_e2e").documents()
     return docs.select(
         "doc_id",
         F.posexplode("spans").alias("span_idx", "span"),
@@ -58,6 +49,106 @@ def _crawl_e2e_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
+
+
+def _e2e_crawl_run(spark: SparkSession, run_name: str):
+    """The shared e2e crawl scenario (100 seeds / 10 hosts / 2 rounds)
+    under a caller-chosen run dir."""
+    from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    seeds = make_seeds(100, 10)
+    run = CrawlRun(
+        spark,
+        os.path.join(tempfile.gettempdir(), run_name),
+        CrawlConfig(num_hosts=10, round_seconds=2, max_rounds=2),
+    )
+    sdf = spark.createDataFrame([(s["url"], s["priority"]) for s in seeds], ["url", "priority"])
+    run.run(seeds=sdf)
+    return run
+
+
+def _span_doc_string(doc_id, spans):
+    """Column expr: one canonical string per harvested document —
+    doc_id '=' ';'-joined 'kind,text,media_ref,offset' spans. Mirrored
+    literally by _py_oracle_signatures; any formatting drift breaks the
+    driver hash on purpose."""
+    return F.concat(
+        doc_id, F.lit("="),
+        F.array_join(
+            F.transform(
+                spans,
+                lambda s: F.concat_ws(
+                    ",", s.getField("kind"), s.getField("text"),
+                    s.getField("media_ref"), s.getField("offset"),
+                ),
+            ),
+            ";",
+        ),
+    )
+
+
+def _crawl_e2e_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule invariants as a DRIVER-CHECKABLE one-row query:
+    md5 signatures of (a) the crawl ORDER (round:priority:seq:url_hash
+    in total order), (b) the URL-SEEN set, (c) every harvested
+    document's span sequence — computed from the Spark crawl with
+    DataFrame aggregates. The oracle SQL (oracle_sql()) carries the
+    LITERAL signatures produced by the independent straight-line Python
+    oracle (plans/oracle.py) over the same scenario, so the driver gate
+    itself witnesses order/seen/span equality end-to-end."""
+    run = _e2e_crawl_run(spark, "nde_spark_sig")
+    order_sig = run.crawl_order().agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("round", "priority", "seq", "url_hash"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s.getField("round"), s.getField("priority"),
+                        s.getField("seq"), s.getField("url_hash"),
+                    ),
+                ),
+                "|",
+            )
+        ).alias("order_sig"),
+        F.count("*").cast("int").alias("n_order"),
+    )
+    seen_sig = run.seen().agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("url_hash")), "|")).alias("seen_sig"),
+        F.count("*").cast("int").alias("n_seen"),
+    )
+    docs_sig = run.documents().select(
+        _span_doc_string(F.col("doc_id"), F.col("spans")).alias("d")
+    ).agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("d")), "|")).alias("docs_sig"),
+        F.count("*").cast("int").alias("n_docs"),
+    )
+    return order_sig.crossJoin(seen_sig).crossJoin(docs_sig)
+
+
+@functools.lru_cache(maxsize=1)
+def _py_oracle_signatures() -> dict:
+    """The Python oracle's literal signatures for the shared e2e
+    scenario — the oracle side of crawl_e2e_signatures."""
+    import hashlib
+
+    from nde_crawlers_spark.plans.oracle import crawl_oracle
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    orc = crawl_oracle(make_seeds(100, 10), 10, round_seconds=2, max_rounds=2)
+    md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()  # noqa: E731
+    order_strs = [f"{r}:{p}:{q}:{h}" for r, p, q, h in sorted(orc.order)]
+    doc_strs = sorted(
+        k + "=" + ";".join(f"{kd},{tx},{mr},{off}" for kd, tx, mr, off in v)
+        for k, v in orc.documents.items()
+    )
+    return {
+        "order_sig": md5("|".join(order_strs)), "n_order": len(order_strs),
+        "seen_sig": md5("|".join(sorted(orc.seen))), "n_seen": len(orc.seen),
+        "docs_sig": md5("|".join(doc_strs)), "n_docs": len(doc_strs),
+    }
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,6 +284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # flagship e2e crawl (rows-only) inside the window too
     out["crawl_e2e_documents"] = _crawl_e2e_documents
+    # north-rule order/seen/span signatures, oracle-checked against the
+    # Python oracle's literal signatures (driver-visible e2e evidence)
+    out["crawl_e2e_signatures"] = _crawl_e2e_signatures
     for k, v in QUERIES.items():
         if k not in out and k not in _ROTATED_OUT:
             out[k] = v
@@ -204,4 +298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    # e2e crawl signatures: the oracle side is the LITERAL signature set
+    # from the independent Python oracle (computed once per process)
+    sig = _py_oracle_signatures()
+    out["crawl_e2e_signatures"] = (
+        f"SELECT '{sig['order_sig']}' AS order_sig, {sig['n_order']} AS n_order, "
+        f"'{sig['seen_sig']}' AS seen_sig, {sig['n_seen']} AS n_seen, "
+        f"'{sig['docs_sig']}' AS docs_sig, {sig['n_docs']} AS n_docs"
+    )
+    return out

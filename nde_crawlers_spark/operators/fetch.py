@@ -82,6 +82,10 @@ FUSED_SCHEMA = T.StructType(
         # Retry-After seconds from the final attempt (0 unless the fetch
         # ended 429) — consumed by the next round's host budgets
         T.StructField("retry_after_s", T.IntegerType()),
+        # deterministic observed latency (synthetic corpus DATA, not
+        # wall-clock) — the AutoThrottle adaptation input; in production
+        # this is the measured download latency per response
+        T.StructField("latency_ms", T.IntegerType()),
         T.StructField(
             "spans",
             T.ArrayType(T.StructType([
@@ -191,12 +195,14 @@ def fetch_parse(
             sspan_offsets = [0]
             subdoc_offsets = [0]
             retry_afters: list[int] = []
+            latencies: list[int] = []
             for u in canon:
                 f = synth_fetch(u, num_hosts, max_attempts)
                 statuses.append(f["status"])
                 attempts.append(f["attempts"])
                 nbytes.append(f["bytes"])
                 retry_afters.append(f["retry_after_s"])
+                latencies.append(f["latency_ms"])
                 if f["status"] == 200:
                     docs, links = parse_record(f["kind"], f["body"])
                     for k, t, m, o in docs[0][1]:
@@ -241,6 +247,7 @@ def fetch_parse(
                     pa.array(nbytes, pa.int64()),
                     pa.array([wall] * n, pa.int64()),
                     pa.array(retry_afters, pa.int32()),
+                    pa.array(latencies, pa.int32()),
                     spans_arr, links_arr, subdocs_arr,
                 ],
                 names=[f.name for f in FUSED_SCHEMA.fields],

@@ -57,26 +57,40 @@ def with_host_budget(
     """Attach per-host round budget k = round_ms / crawl_delay_ms (min 1);
     hosts missing from robots get the 500 ms reference default.
 
-    ``host_state`` (host, next_allowed_round) closes the Retry-After
-    feedback loop (dataverse/files/dataverse.py:20-52): a host whose last
-    round ended in a 429 carries a cooldown — its budget is 0 until
-    ``current_round`` reaches next_allowed_round, so its frontier rows
-    stay queued instead of hammering the host again."""
+    ``host_state`` (host, next_allowed_round[, at_delay_ms]) closes two
+    feedback loops:
+
+    - Retry-After (dataverse/files/dataverse.py:20-52): a host whose
+      last round ended in a 429 carries a cooldown — its budget is 0
+      until ``current_round`` reaches next_allowed_round, so its
+      frontier rows stay queued instead of hammering the host again.
+    - AutoThrottle (every reference crawler ships
+      AUTOTHROTTLE_ENABLED=True, e.g. bei_crawler/files/settings.py:
+      2-5): ``at_delay_ms`` is the per-host delay adapted to observed
+      latency (plans/crawl.py folds the recurrence over each round's
+      fetch latencies). Like Scrapy, the adapted delay can only RAISE
+      the effective delay above the robots/default floor, never lower
+      it: effective = greatest(crawl_delay_ms, at_delay_ms)."""
     r = F.broadcast(robots.select("host", "crawl_delay_ms"))
     out = candidates.join(r, on="host", how="left")
     delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(500))
+    has_state = host_state is not None and "next_allowed_round" in host_state.columns
+    throttled = has_state and "at_delay_ms" in host_state.columns
+    if throttled:
+        delay = F.greatest(delay.cast("double"), F.coalesce(F.col("at_delay_ms"), F.lit(0.0)))
     budget = F.when(delay <= 0, F.lit(round_seconds * 1000)).otherwise(
         F.greatest(F.floor(F.lit(round_seconds * 1000) / delay), F.lit(1))
     )
-    if host_state is not None and "next_allowed_round" in host_state.columns:
-        hs = F.broadcast(host_state.select("host", "next_allowed_round"))
+    if has_state:
+        cols = ["host", "next_allowed_round"] + (["at_delay_ms"] if throttled else [])
+        hs = F.broadcast(host_state.select(*cols))
         out = out.join(hs, on="host", how="left")
         budget = F.when(
             F.coalesce(F.col("next_allowed_round"), F.lit(0)) > F.lit(current_round),
             F.lit(0),
         ).otherwise(budget)
         out = out.withColumn("host_budget", budget.cast("int")).drop(
-            "crawl_delay_ms", "next_allowed_round"
+            "crawl_delay_ms", "next_allowed_round", *(["at_delay_ms"] if throttled else [])
         )
         return out
     return out.withColumn("host_budget", budget.cast("int")).drop("crawl_delay_ms")

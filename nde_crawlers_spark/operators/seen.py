@@ -28,33 +28,20 @@ Spark 4.1 does not expose ``bloom_filter_agg`` as a SQL-registered
 function (it is an internal runtime-filter expression), so the bloom is
 built here: the two 64-bit key hashes are computed JVM-side
 (``xxhash64``), and the bit arrays are built/probed with vectorized
-numpy inside Arrow batches — no per-row Python. A legacy single-bloom
-form (driver OR-combine, task-closure broadcast) is kept for small seen
-sets only.
+numpy inside Arrow batches — no per-row Python. The segmented table is
+the ONLY membership filter (the r1-r4 single-bloom form with its
+driver OR-combine was retired in r5; no production path ever holds a
+global bit array in one place).
 """
 
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
-from dataclasses import dataclass
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-
-@dataclass
-class Bloom:
-    bits: np.ndarray  # uint8 array of nbits/8 bytes
-    nbits: int
-    nhashes: int
-
-    def union(self, other: "Bloom") -> "Bloom":
-        assert self.nbits == other.nbits and self.nhashes == other.nhashes
-        return Bloom(np.bitwise_or(self.bits, other.bits), self.nbits, self.nhashes)
 
 
 def _params(expected: int, fpp: float) -> tuple[int, int]:
@@ -64,14 +51,6 @@ def _params(expected: int, fpp: float) -> tuple[int, int]:
     return nbits, min(k, 8)
 
 
-def _with_key_hashes(df: DataFrame, key: str) -> DataFrame:
-    """Two independent 64-bit hashes, computed JVM-side."""
-    return df.select(
-        F.xxhash64(F.col(key)).alias("__h1"),
-        F.xxhash64(F.concat(F.col(key), F.lit("#bloom2"))).alias("__h2"),
-    )
-
-
 def _positions(h1: np.ndarray, h2: np.ndarray, nhashes: int, nbits: int) -> np.ndarray:
     """Double hashing: pos_i = (h1 + i*h2) mod nbits, vectorized.
     -> int64 array of shape (len, nhashes)."""
@@ -79,63 +58,6 @@ def _positions(h1: np.ndarray, h2: np.ndarray, nhashes: int, nbits: int) -> np.n
     u1 = h1.astype(np.uint64)[:, None]
     u2 = h2.astype(np.uint64)[:, None]
     return ((u1 + i[None, :] * u2) % np.uint64(nbits)).astype(np.int64)
-
-
-def build_bloom(
-    seen: DataFrame, key: str = "url_hash", expected: int = 1_000_000, fpp: float = 0.01
-) -> Bloom | None:
-    """Build a bloom over the seen keys: per-partition numpy bit arrays
-    (Arrow batches), OR-combined. Returns None for an empty input."""
-    nbits, k = _params(max(expected, 1), fpp)
-    nbytes = nbits // 8
-
-    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.zeros(nbytes, dtype=np.uint8)
-        any_rows = False
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            any_rows = True
-            pos = _positions(pdf["__h1"].values, pdf["__h2"].values, k, nbits).ravel()
-            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        if any_rows:
-            yield pd.DataFrame({"bloom": [bits.tobytes()]})
-
-    parts = _with_key_hashes(seen, key).mapInPandas(
-        _build, schema=T.StructType([T.StructField("bloom", T.BinaryType())])
-    ).collect()
-    if not parts:
-        return None
-    acc = np.zeros(nbytes, dtype=np.uint8)
-    for row in parts:
-        acc |= np.frombuffer(row["bloom"], dtype=np.uint8)
-    return Bloom(acc, nbits, k)
-
-
-def probe_bloom(candidates: DataFrame, bloom: Bloom, key: str = "url_hash") -> DataFrame:
-    """Add boolean ``__maybe_seen`` via vectorized numpy probe of the
-    broadcast bit array."""
-    nbits, k = bloom.nbits, bloom.nhashes
-    blob = bloom.bits.tobytes()  # broadcast via task closure (small, <= a few MB)
-
-    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.frombuffer(blob, dtype=np.uint8)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pos = _positions(pdf["__h1"].values, pdf["__h2"].values, k, nbits)
-            hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-            out = pdf.drop(columns=["__h1", "__h2"]).copy()
-            out["__maybe_seen"] = hit.all(axis=1).astype(bool)
-            yield out
-
-    withh = candidates.withColumn("__h1", F.xxhash64(F.col(key))).withColumn(
-        "__h2", F.xxhash64(F.concat(F.col(key), F.lit("#bloom2")))
-    )
-    schema = T.StructType(
-        candidates.schema.fields + [T.StructField("__maybe_seen", T.BooleanType())]
-    )
-    return withh.mapInPandas(_probe, schema=schema)
 
 
 def filter_unseen_exact(candidates: DataFrame, seen: DataFrame, key: str = "url_hash") -> DataFrame:
@@ -157,32 +79,6 @@ def write_seen_bucketed(seen: DataFrame, table: str, buckets: int = 64, key: str
         .sortBy(key)
         .saveAsTable(table)
     )
-
-
-def filter_unseen_bloom(
-    candidates: DataFrame,
-    seen: DataFrame,
-    key: str = "url_hash",
-    expected: int = 1_000_000,
-    fpp: float = 0.01,
-) -> DataFrame:
-    """Bloom-prefiltered unseen filter (LEGACY single-bloom form — kept
-    for small seen sets; the scale path is
-    ``filter_unseen_bloom_segmented``, which never materializes a global
-    bit array on the driver).
-
-    definite_new  = candidates where NOT might_contain(bloom, key)
-    maybe_seen    = the rest -> confirmed via exact anti-join
-    result        = definite_new UNION confirmed_new  (exact semantics)
-    """
-    bloom = build_bloom(seen, key=key, expected=expected, fpp=fpp)
-    if bloom is None:
-        return filter_unseen_exact(candidates, seen, key)
-    probed = probe_bloom(candidates, bloom, key=key)
-    definite_new = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-    maybe = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    confirmed_new = filter_unseen_exact(maybe, seen, key)
-    return definite_new.unionByName(confirmed_new)
 
 
 # --------------------- segmented (partitioned) bloom ---------------------
@@ -211,12 +107,33 @@ def filter_unseen_bloom(
 # around the join entirely. The crawl keeps use_bloom on because its
 # per-round candidates << seen-total matches that regime.
 
+# `nseg` (the segment-count the table was built with) is PERSISTED in
+# every row: probe routing hashes key -> segment with it, so a probe
+# against a table built under a different segment count would silently
+# produce FALSE NEGATIVES (candidates hashed to the wrong segment skip
+# the exact confirm). Recording it makes the table self-describing —
+# probes route by the TABLE's nseg, and resume paths detect a config
+# change and rebuild (plans/crawl.py) instead of mis-probing.
 SEGMENT_SCHEMA = T.StructType([
     T.StructField("seg", T.IntegerType()),
+    T.StructField("nseg", T.IntegerType()),
     T.StructField("nbits", T.LongType()),
     T.StructField("nhashes", T.IntegerType()),
     T.StructField("bits", T.BinaryType()),
 ])
+
+
+def segments_sizing(segments: DataFrame) -> tuple[int, int, int] | None:
+    """The (nseg, nbits, nhashes) a persisted segment table was built
+    with — read from one row (single tiny driver action). ``None`` when
+    the table is empty or predates the self-describing schema (callers
+    must then rebuild from the full seen set)."""
+    if "nseg" not in segments.columns:
+        return None
+    row = segments.select("nseg", "nbits", "nhashes").first()
+    if row is None:
+        return None
+    return int(row["nseg"]), int(row["nbits"]), int(row["nhashes"])
 
 
 def segment_of(col: F.Column, nseg: int) -> F.Column:
@@ -235,23 +152,26 @@ def build_bloom_segments(
     nseg: int = 64,
     expected: int = 1_000_000,
     fpp: float = 0.01,
+    sizing: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-segment blooms over the seen keys: one shuffle on the segment
     key, one numpy bit-array per group, zero driver-side state. Segments
     with no keys emit no row (probe treats absent = definitely unseen).
     ``expected`` is the TOTAL key design point; each segment is sized
-    for expected/nseg."""
-    nbits, k = _seg_params(expected, nseg, fpp)
+    for expected/nseg. ``sizing=(nbits, nhashes)`` overrides the derived
+    parameters — required when building a DELTA to OR into an existing
+    table (the delta must carry the table's exact geometry)."""
+    nbits, k = sizing if sizing is not None else _seg_params(expected, nseg, fpp)
     nbytes = nbits // 8
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame(columns=["seg", "nbits", "nhashes", "bits"])
+            return pd.DataFrame(columns=["seg", "nseg", "nbits", "nhashes", "bits"])
         bits = np.zeros(nbytes, dtype=np.uint8)
         pos = _positions(pdf["__h1"].values, pdf["__h2"].values, k, nbits).ravel()
         np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         return pd.DataFrame({
-            "seg": [int(pdf["__seg"].iloc[0])], "nbits": [nbits],
+            "seg": [int(pdf["__seg"].iloc[0])], "nseg": [nseg], "nbits": [nbits],
             "nhashes": [k], "bits": [bits.tobytes()],
         })
 
@@ -270,14 +190,18 @@ def or_bloom_segments(a: DataFrame, b: DataFrame) -> DataFrame:
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame(columns=["seg", "nbits", "nhashes", "bits"])
-        assert pdf["nbits"].nunique() == 1 and pdf["nhashes"].nunique() == 1, \
-            "segment tables built with different parameters cannot be OR-ed"
+            return pd.DataFrame(columns=["seg", "nseg", "nbits", "nhashes", "bits"])
+        assert (
+            pdf["nseg"].nunique() == 1
+            and pdf["nbits"].nunique() == 1
+            and pdf["nhashes"].nunique() == 1
+        ), "segment tables built with different parameters cannot be OR-ed"
         acc = np.zeros(len(pdf["bits"].iloc[0]), dtype=np.uint8)
         for blob in pdf["bits"]:
             acc |= np.frombuffer(blob, dtype=np.uint8)
         return pd.DataFrame({
-            "seg": [int(pdf["seg"].iloc[0])], "nbits": [int(pdf["nbits"].iloc[0])],
+            "seg": [int(pdf["seg"].iloc[0])], "nseg": [int(pdf["nseg"].iloc[0])],
+            "nbits": [int(pdf["nbits"].iloc[0])],
             "nhashes": [int(pdf["nhashes"].iloc[0])], "bits": [acc.tobytes()],
         })
 
@@ -285,13 +209,24 @@ def or_bloom_segments(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def probe_bloom_segmented(
-    candidates: DataFrame, segments: DataFrame, key: str = "url_hash", nseg: int = 64
+    candidates: DataFrame, segments: DataFrame, key: str = "url_hash",
+    nseg: int | None = None,
 ) -> DataFrame:
     """Add ``__maybe_seen`` by probing each candidate against ITS OWN
     segment only: candidates and segments are co-grouped on the segment
     id, so a task holds one segment's bit array and that segment's
     candidates — never the whole filter. A candidate whose segment has
-    no row is definitely unseen."""
+    no row is definitely unseen.
+
+    ``nseg`` defaults to the SEGMENT TABLE's own recorded segment count
+    (``segments_sizing``) — routing with any other value would hash
+    candidates into the wrong segment and produce false negatives, so
+    passing it explicitly is only for freshly-built, un-persisted
+    tables whose geometry the caller just chose."""
+    if nseg is None:
+        sizing = segments_sizing(segments)
+        # empty table -> any routing yields "no segment row" = not seen
+        nseg = sizing[0] if sizing is not None else 64
     out_schema = T.StructType(
         candidates.schema.fields + [T.StructField("__maybe_seen", T.BooleanType())]
     )
@@ -340,10 +275,16 @@ def filter_unseen_bloom_segmented(
 
     ``segments`` is the persisted incremental table when the caller
     maintains one (the crawl plan does, per round, beside the seen
-    table); built from ``seen`` on the fly otherwise."""
+    table); built from ``seen`` on the fly otherwise. A persisted table
+    is probed with ITS OWN recorded segment count (self-describing
+    schema), never the caller's — a config change between build and
+    probe therefore cannot mis-route candidates."""
     if segments is None:
         segments = build_bloom_segments(seen, key=key, nseg=nseg, expected=expected, fpp=fpp)
-    probed = probe_bloom_segmented(candidates, segments, key=key, nseg=nseg)
+        probe_nseg: int | None = nseg
+    else:
+        probe_nseg = None  # derive from the table's recorded geometry
+    probed = probe_bloom_segmented(candidates, segments, key=key, nseg=probe_nseg)
     definite_new = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     confirmed_new = filter_unseen_exact(maybe, seen, key)

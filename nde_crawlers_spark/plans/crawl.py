@@ -83,6 +83,21 @@ class CrawlConfig:
     bloom_expected: int = 1_000_000  # TOTAL expected keys across segments
     bloom_fpp: float = 0.01
     salt_factor: int = 8
+    # AutoThrottle (every reference crawler ships AUTOTHROTTLE_ENABLED=
+    # True, TARGET_CONCURRENCY=1.0 over DOWNLOAD_DELAY=0.5s — e.g.
+    # bei_crawler/files/settings.py:2-5): each host's delay adapts to
+    # its observed fetch latencies by the Scrapy recurrence
+    #   next = clamp((delay + latency/C) / 2, base, max)
+    #   (non-200 responses may only RAISE the delay, never lower it)
+    # folded per host over the round's fetches in crawl order. The
+    # latencies are deterministic corpus DATA (sources/synthetic.py::
+    # synth_latency_ms), not wall-clock, so scheduling stays
+    # bit-identical at any parallelism (north-rule N-vs-4N invariant);
+    # in production the same fold consumes measured latencies.
+    autothrottle: bool = True
+    at_base_delay_ms: float = 500.0
+    at_max_delay_ms: float = 60_000.0
+    at_concurrency: float = 1.0
     # frontier persistence: False = full snapshot per round (simple,
     # sandbox default); True = O(delta) writes per round (frontier_add +
     # frontier_remove) with a full compaction snapshot every
@@ -111,6 +126,9 @@ class CrawlRun:
         self.spark = spark
         self.run_dir = run_dir
         self.cfg = config or CrawlConfig()
+        # cumulative committed seen-key count (from round metas) —
+        # adaptive bloom sizing input; _run_locked refreshes it on resume
+        self._seen_total = 0
         os.makedirs(run_dir, exist_ok=True)
 
     # ---------- single-flight lock ----------
@@ -205,6 +223,11 @@ class CrawlRun:
             os.fsync(f.fileno())
         os.rename(tmp, self._marker(r))
 
+    def _meta(self, r: int) -> dict:
+        """A committed round's meta (the _COMMIT marker's JSON body)."""
+        with open(self._marker(r)) as f:
+            return json.load(f)
+
     def _write(self, df: DataFrame, r: int, name: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self._rdir(r), name))
 
@@ -272,6 +295,11 @@ class CrawlRun:
             os.path.join(self._rdir(r - 1), "bloom_segments")
         ):
             prev_segments = self._read(r - 1, "bloom_segments")
+            # a table from before the self-describing schema (no nseg
+            # column) cannot be probed safely — its routing geometry is
+            # unknown; drop it and probe/rebuild from the full seen set
+            if "nseg" not in prev_segments.columns:
+                prev_segments = None
         unseen = (
             SN.filter_unseen_bloom_segmented(
                 cand, seen, segments=prev_segments, nseg=cfg.bloom_segments,
@@ -293,9 +321,16 @@ class CrawlRun:
             if r > 0 and os.path.isdir(os.path.join(self._rdir(r - 1), "host_state"))
             else self._empty_host_state()
         )
+        if "at_delay_ms" not in prev_state.columns:
+            # resume across the pre-autothrottle layout: hosts start at
+            # the base delay (NULL -> base in the fold / budget floor)
+            prev_state = prev_state.withColumn("at_delay_ms", F.lit(None).cast("double"))
         budgeted = FR.with_host_budget(
             frontier_all, robots, cfg.round_seconds,
-            host_state=prev_state, current_round=r,
+            host_state=(
+                prev_state if cfg.autothrottle else prev_state.drop("at_delay_ms")
+            ),
+            current_round=r,
         )
         selected = FR.topk_per_host(budgeted, salt_factor=cfg.salt_factor).drop("host_budget").cache()
 
@@ -333,17 +368,50 @@ class CrawlRun:
         # ceil(max_retry_after / round_seconds) rounds. READ back by
         # with_host_budget at the top of the next round — the feedback
         # loop the round-1 audit found missing.
+        # signed latency history in crawl order (priority, seq, url_hash):
+        # positive for 200s, negative marks a failed fetch (the fold may
+        # only raise the delay on those) — the AutoThrottle input
+        signed_lat = F.when(
+            F.col("status") == 200, F.col("latency_ms").cast("double")
+        ).otherwise(-F.col("latency_ms").cast("double"))
         spent = fetched.groupBy("host").agg(
             F.count("*").alias("fetched_round"),
             F.sum("bytes").alias("bytes_round"),
             F.max(
                 F.when(F.col("status") == 429, F.col("retry_after_s")).otherwise(0)
             ).alias("ra_s"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("priority", "seq", "url_hash", signed_lat.alias("x")))
+                ),
+                lambda s: s.getField("x"),
+            ).alias("lat_hist"),
         )
         new_nar = F.when(
             F.col("ra_s") > 0,
             F.lit(r) + F.ceil(F.col("ra_s") / F.lit(float(cfg.round_seconds))),
         ).otherwise(F.lit(None))
+        # AutoThrottle fold: seed with the host's previous adapted delay
+        # (base for new hosts), fold this round's signed latencies in
+        # crawl order; hosts not fetched this round keep their delay.
+        base_d = F.lit(float(cfg.at_base_delay_ms))
+        max_d = F.lit(float(cfg.at_max_delay_ms))
+        prev_at = F.coalesce(F.col("at_delay_ms"), base_d)
+
+        def _at_fold(acc, x):
+            nd = F.least(
+                F.greatest((acc + F.abs(x) / F.lit(float(cfg.at_concurrency))) / 2, base_d),
+                max_d,
+            )
+            return F.when(x >= 0, nd).otherwise(F.greatest(acc, nd))
+
+        new_at = (
+            F.when(F.col("lat_hist").isNull(), prev_at).otherwise(
+                F.aggregate(F.col("lat_hist"), prev_at, _at_fold)
+            )
+            if cfg.autothrottle
+            else prev_at
+        )
         host_state = (
             prev_state.join(spent, "host", "full")
             .select(
@@ -356,6 +424,7 @@ class CrawlRun:
                     F.coalesce(F.col("next_allowed_round"), F.lit(0)),
                     F.coalesce(new_nar, F.lit(0)),
                 ).cast("int").alias("next_allowed_round"),
+                new_at.alias("at_delay_ms"),
             )
         )
 
@@ -419,20 +488,37 @@ class CrawlRun:
             # incremental maintenance: this round's segment table =
             # previous table OR the delta's segments — committed with the
             # round, so a resumed run picks up exactly the filter state
-            # matching its seen set. When no previous table exists (round
-            # 0, or resume across a layout change) the table is rebuilt
-            # from the full seen-through-r set.
-            if prev_segments is not None:
+            # matching its seen set. The table is REBUILT from the full
+            # seen-through-r set instead of OR-ed when (a) no previous
+            # table exists (round 0, resume across a layout change),
+            # (b) the configured segment count changed (the persisted
+            # nseg disagrees — OR-ing would mis-route keys), or (c) the
+            # committed key count has outgrown the persisted bit-array
+            # sizing (fpp would blow past budget). Rebuilds size for
+            # 2x the current count, so growth triggers amortized-O(1)
+            # doubling rebuilds, never a per-round resize.
+            seen_total = self._seen_total + n_unseen
+            need_nbits, _ = SN._seg_params(
+                max(cfg.bloom_expected, seen_total), cfg.bloom_segments, cfg.bloom_fpp
+            )
+            sizing = SN.segments_sizing(prev_segments) if prev_segments is not None else None
+            if sizing is not None and (
+                sizing[0] != cfg.bloom_segments or sizing[1] < need_nbits
+            ):
+                prev_segments, sizing = None, None
+            if prev_segments is not None and sizing is not None:
+                # delta carries the persisted table's exact geometry
                 delta_segments = SN.build_bloom_segments(
-                    new_seen, nseg=cfg.bloom_segments,
-                    expected=cfg.bloom_expected, fpp=cfg.bloom_fpp,
+                    new_seen, nseg=sizing[0], fpp=cfg.bloom_fpp,
+                    sizing=(sizing[1], sizing[2]),
                 )
                 new_segments = SN.or_bloom_segments(prev_segments, delta_segments)
             else:
                 new_segments = SN.build_bloom_segments(
                     seen.select("url_hash").unionByName(new_seen.select("url_hash")),
                     nseg=cfg.bloom_segments,
-                    expected=cfg.bloom_expected, fpp=cfg.bloom_fpp,
+                    expected=max(cfg.bloom_expected, 2 * seen_total),
+                    fpp=cfg.bloom_fpp,
                 )
             writes.append((new_segments.coalesce(8), "bloom_segments"))
         if cfg.frontier_deltas:
@@ -462,6 +548,7 @@ class CrawlRun:
             "wall_s": round(time.monotonic() - t0, 3),
         }
         self._commit(r, meta)
+        self._seen_total += n_unseen
         for df in (robots, frontier_all, selected, fetched, unseen):
             df.unpersist()
         return meta
@@ -518,7 +605,9 @@ class CrawlRun:
 
     def _empty_host_state(self) -> DataFrame:
         return self.spark.createDataFrame(
-            [], "host string, fetched_total long, bytes_total long, next_allowed_round int"
+            [],
+            "host string, fetched_total long, bytes_total long, "
+            "next_allowed_round int, at_delay_ms double",
         )
 
     # ---------- driver ----------
@@ -540,6 +629,9 @@ class CrawlRun:
                 if d.startswith("round="):
                     shutil.rmtree(os.path.join(self.run_dir, d))
         metas: list[dict] = []
+        # cumulative committed seen-key count — drives adaptive bloom
+        # sizing (a count from meta JSON, never a Spark count() job)
+        self._seen_total = sum(self._meta(i)["new_seen"] for i in done)
         if done:
             last = done[-1]
             start = last + 1

@@ -86,11 +86,16 @@ def crawl_oracle(
     max_rounds: int = 5,
     max_attempts: int = 3,
     discovered_priority: int = 5,
+    autothrottle: bool = True,
+    at_base_delay_ms: float = 500.0,
+    at_max_delay_ms: float = 60_000.0,
+    at_concurrency: float = 1.0,
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, tuple] = {}  # url_hash -> (priority, seq, canon, host)
     robots: dict[str, dict] = {}
     cooldown: dict[str, int] = {}    # host -> next_allowed_round (Retry-After)
+    at_delay: dict[str, float] = {}  # host -> AutoThrottle-adapted delay (ms)
     candidates = [(s["url"], int(s["priority"])) for s in seeds]
 
     for r in range(max_rounds):
@@ -127,19 +132,29 @@ def crawl_oracle(
         for host, items in per_host.items():
             if cooldown.get(host, 0) > r:
                 continue  # Retry-After cooldown: budget 0 this round
-            delay = robots[host]["crawl_delay_ms"]
-            k = round_seconds * 1000 if delay <= 0 else max(round_seconds * 1000 // delay, 1)
+            delay = float(robots[host]["crawl_delay_ms"])
+            if autothrottle:
+                # adapted delay can only RAISE the robots/default floor
+                delay = max(delay, at_delay.get(host, 0.0))
+            k = (
+                round_seconds * 1000
+                if delay <= 0
+                else max(int(round_seconds * 1000 // delay), 1)
+            )
             for prio, seq, h, canon in sorted(items)[:k]:
                 selected.append((prio, seq, h, canon, host))
 
         # fetch + parse
         n_docs = 0
         ra_by_host: dict[str, int] = {}
+        lat_hist: dict[str, list[float]] = {}  # signed: -lat marks a failure
         next_candidates: list[tuple] = []
         for prio, seq, h, canon, host in sorted(selected):
             res.order.append((r, prio, seq, h))
             del frontier[h]
             f = synth_fetch(canon, num_hosts, max_attempts)
+            lat = float(f["latency_ms"])
+            lat_hist.setdefault(host, []).append(lat if f["status"] == 200 else -lat)
             if f["status"] != 200:
                 res.failures.append((r, h, f["status"]))
                 if f["status"] == 429:
@@ -158,6 +173,21 @@ def crawl_oracle(
         for host, ra in ra_by_host.items():
             nar = r + -(-ra // round_seconds)  # ceil
             cooldown[host] = max(cooldown.get(host, 0), nar)
+
+        # AutoThrottle adaptation (mirror of plans/crawl.py host_state):
+        # fold each host's signed latencies in crawl order, seeded with
+        # its previous adapted delay (base for new hosts); failures may
+        # only raise the delay
+        if autothrottle:
+            for host, xs in lat_hist.items():
+                acc = at_delay.get(host, at_base_delay_ms)
+                for x in xs:
+                    nd = min(
+                        max((acc + abs(x) / at_concurrency) / 2, at_base_delay_ms),
+                        at_max_delay_ms,
+                    )
+                    acc = nd if x >= 0 else max(acc, nd)
+                at_delay[host] = acc
 
         res.rounds.append(
             {"round": r, "selected": len(selected), "documents": n_docs,

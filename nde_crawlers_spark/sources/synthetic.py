@@ -152,6 +152,25 @@ def oai_list_records(
     return recs, nxt
 
 
+def synth_latency_ms(canonical_url: str) -> int:
+    """Deterministic 'observed fetch latency' for a URL (ms) — DATA, not
+    wall-clock, so AutoThrottle adaptation (plans/crawl.py) is a pure
+    function of the corpus and crawl scheduling stays bit-identical at
+    any parallelism (the north rule's N-vs-4N invariant). Host-level
+    bias: ~25% of hosts are systematically SLOW (+1200 ms), the rest
+    fast, plus per-URL jitter — so per-host adapted delays genuinely
+    diverge (slow host's budget shrinks, fast host's grows)."""
+    host = host_of_url(canonical_url)
+    slow = _frac("lat-host:" + host) < 0.25
+    jitter = int(_frac("lat:" + canonical_url) * 240)
+    return (1200 if slow else 80) + jitter
+
+
+def host_of_url(url: str) -> str:
+    rest = url.split("://", 1)[1] if "://" in url else url
+    return rest.split("/")[0].split("?")[0].split(":")[0].lower()
+
+
 def retry_after_s(url: str) -> int:
     """Deterministic Retry-After header value (2..8 s) a host sends with
     a 429 — the dataverse cooldown analog (dataverse/files/dataverse.py:
@@ -331,6 +350,7 @@ def synth_fetch(canonical_url: str, num_hosts: int, max_attempts: int = 3) -> di
             "body": "",
             "bytes": 0,
             "retry_after_s": retry_after_s(canonical_url) if status == 429 else 0,
+            "latency_ms": synth_latency_ms(canonical_url),
         }
     page = synth_body(canonical_url, num_hosts)
     body = render_body(page)
@@ -341,4 +361,5 @@ def synth_fetch(canonical_url: str, num_hosts: int, max_attempts: int = 3) -> di
         "body": body,
         "bytes": len(body.encode("utf-8")),
         "retry_after_s": 0,
+        "latency_ms": synth_latency_ms(canonical_url),
     }

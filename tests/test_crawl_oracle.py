@@ -209,3 +209,149 @@ def test_crawl_bloom_segments_equal_full_rebuild(spark, oracle):
         ).collect()
     }
     assert committed == rebuilt
+
+
+def test_autothrottle_adapts_budgets(spark):
+    """AutoThrottle wired into the LIVE scheduler (r4 task 1): after a
+    crawl, systematically slow hosts (synth_latency_ms host bias) carry
+    a larger adapted delay than fast hosts, and feeding the committed
+    host_state back through with_host_budget SHRINKS a slow host's
+    next-round budget below its politeness-only budget while a fast
+    host with a real crawl-delay keeps its budget unchanged. The crawl
+    itself stays oracle-exact with autothrottle ON (the latencies are
+    corpus data, not wall-clock)."""
+    import os
+
+    from nde_crawlers_spark.operators import frontier as FR
+    from nde_crawlers_spark.sources.synthetic import _frac, robots_rules
+
+    n_hosts, n_seeds = 20, 160
+    seeds = make_seeds(n_seeds, n_hosts)
+    orc = crawl_oracle(seeds, n_hosts, round_seconds=2, max_rounds=2)
+    d = tempfile.mkdtemp(prefix="crawl_at_")
+    cfg = CrawlConfig(num_hosts=n_hosts, round_seconds=2, max_rounds=2)
+    assert cfg.autothrottle  # autothrottle is the shipped default
+    run = CrawlRun(spark, d, cfg)
+    run.run(seeds=spark.createDataFrame(
+        [(s["url"], s["priority"]) for s in seeds], ["url", "priority"]))
+    order = [
+        (r["round"], r["priority"], r["seq"], r["url_hash"])
+        for r in run.crawl_order().select("round", "priority", "seq", "url_hash").collect()
+    ]
+    assert order == sorted(orc.order)
+    assert {r["url_hash"] for r in run.seen().collect()} == orc.seen
+
+    last = run.committed_rounds()[-1]
+    robots = spark.read.parquet(os.path.join(d, f"round={last:04d}", "robots_cache"))
+    state = spark.read.parquet(os.path.join(d, f"round={last:04d}", "host_state"))
+    at = {r["host"]: r["at_delay_ms"] for r in state.collect()}
+    slow = {h for h in at if _frac("lat-host:" + h) < 0.25}
+    fast = set(at) - slow
+    assert slow and fast, "fixture must exercise both latency classes"
+    assert min(at[h] for h in slow) > max(at[h] for h in fast)
+
+    hosts = state.select("host")
+    with_at = {
+        r["host"]: r["host_budget"]
+        for r in FR.with_host_budget(
+            hosts, robots, 2, host_state=state, current_round=last + 1
+        ).collect()
+    }
+    plain = {
+        r["host"]: r["host_budget"]
+        for r in FR.with_host_budget(
+            hosts, robots, 2, host_state=state.drop("at_delay_ms"), current_round=last + 1
+        ).collect()
+    }
+    # throttling only ever lowers budgets (delay floor can only rise)
+    assert all(with_at[h] <= plain[h] for h in with_at)
+    crawl_delay = {h: robots_rules(h)["crawl_delay_ms"] for h in at}
+    for h in slow:
+        if crawl_delay[h] <= 500:
+            assert with_at[h] < plain[h], f"slow host {h} budget did not shrink"
+    for h in fast:
+        if crawl_delay[h] >= 500:
+            assert with_at[h] == plain[h], f"fast host {h} budget changed"
+
+
+def test_crawl_bloom_adapts_to_seen_growth(spark, oracle):
+    """Adaptive segment sizing: with a deliberately-undersized
+    ``bloom_expected``, the committed key count outgrows the persisted
+    bit arrays mid-crawl and the round commit REBUILDS (larger nbits,
+    2x-headroom sizing) instead of OR-ing into a saturating filter. The
+    final table must still equal a from-scratch build at the adaptive
+    size, and the crawl itself stays oracle-exact."""
+    import json
+    import os
+
+    from nde_crawlers_spark.operators import seen as SN
+
+    d = tempfile.mkdtemp(prefix="crawl_grow_")
+    # round 0 commits ~N_SEEDS keys, later rounds add outlink URLs.
+    # nseg=2 keeps per-segment counts above _seg_params' 64-key floor,
+    # so the growing seen set genuinely outgrows the round-0 sizing and
+    # the fpp budget forces a resize rebuild mid-crawl.
+    cfg = CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=ROUNDS,
+                      bloom_expected=32, bloom_segments=2)
+    run = CrawlRun(spark, d, cfg)
+    run.run(seeds=_seed_df(spark))
+    _check_against_oracle(run, oracle)
+
+    rounds = run.committed_rounds()
+    sizes, totals = [], []
+    total = 0
+    for r in rounds:
+        with open(os.path.join(d, f"round={r:04d}", "_COMMIT")) as f:
+            total += json.load(f)["new_seen"]
+        totals.append(total)
+        segs = spark.read.parquet(os.path.join(d, f"round={r:04d}", "bloom_segments"))
+        sizes.append(SN.segments_sizing(segs))
+    # growth actually triggered at least one resize rebuild
+    assert sizes[-1][1] > sizes[0][1], f"no adaptive rebuild happened: {sizes}"
+    # every committed geometry satisfies the fpp budget for its own
+    # committed key count (the adaptive guarantee)
+    for (nseg, nbits, _k), tot in zip(sizes, totals):
+        need_nbits, _ = SN._seg_params(max(cfg.bloom_expected, tot), nseg, cfg.bloom_fpp)
+        assert nbits >= need_nbits, (nbits, need_nbits, tot)
+    # final table == full rebuild at the adaptive size it was born with
+    last = rounds[-1]
+    committed = {
+        r["seg"]: (r["bits"], r["nseg"], r["nbits"], r["nhashes"])
+        for r in spark.read.parquet(
+            os.path.join(d, f"round={last:04d}", "bloom_segments")
+        ).collect()
+    }
+    rebuilt = {
+        r["seg"]: (r["bits"], r["nseg"], r["nbits"], r["nhashes"])
+        for r in SN.build_bloom_segments(
+            run.seen().select("url_hash"), nseg=cfg.bloom_segments,
+            fpp=cfg.bloom_fpp, sizing=(sizes[-1][1], sizes[-1][2]),
+        ).collect()
+    }
+    assert committed == rebuilt
+
+
+def test_crawl_bloom_nseg_change_on_resume_rebuilds(spark, oracle):
+    """The r4 ADVICE resume hazard: a resume under a DIFFERENT
+    bloom_segments must not probe the old table with new-config routing
+    (bloom false negatives -> re-enqueued seen URLs). The persisted
+    geometry makes probes route by the table's own nseg, and the next
+    commit rebuilds under the new config — crawl stays oracle-exact
+    and the final table carries the new segment count."""
+    import os
+
+    from nde_crawlers_spark.operators import seen as SN
+
+    d = tempfile.mkdtemp(prefix="crawl_nseg_")
+    cfg1 = CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=1,
+                       bloom_segments=16)
+    CrawlRun(spark, d, cfg1).run(seeds=_seed_df(spark))
+
+    cfg2 = CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=ROUNDS,
+                       bloom_segments=4)
+    run2 = CrawlRun(spark, d, cfg2)
+    run2.run(resume=True)
+    _check_against_oracle(run2, oracle)
+    last = run2.committed_rounds()[-1]
+    segs = spark.read.parquet(os.path.join(d, f"round={last:04d}", "bloom_segments"))
+    assert SN.segments_sizing(segs)[0] == 4

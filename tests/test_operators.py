@@ -19,25 +19,58 @@ def test_bloom_seen_filter_equals_exact(spark):
     cand = spark.range(0, 500).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
     seen = spark.range(0, 500, 3).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
     exact = {r["url_hash"] for r in SN.filter_unseen_exact(cand, seen).collect()}
-    bloom = {r["url_hash"] for r in SN.filter_unseen_bloom(cand, seen, expected=1000).collect()}
+    bloom = {
+        r["url_hash"]
+        for r in SN.filter_unseen_bloom_segmented(cand, seen, expected=1000).collect()
+    }
     assert bloom == exact
     assert len(exact) == 500 - len(range(0, 500, 3))
 
 
-def test_bloom_build_and_probe(spark):
+def test_bloom_segments_build_and_probe(spark):
     seen = spark.range(200).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
-    bloom = SN.build_bloom(seen, expected=200, fpp=0.01)
-    assert bloom is not None and bloom.nbits >= 64
+    segs = SN.build_bloom_segments(seen, nseg=8, expected=200, fpp=0.01)
     # every seen key must hit (no false negatives)
-    probed = SN.probe_bloom(seen, bloom)
+    probed = SN.probe_bloom_segmented(seen, segs, nseg=8)
     assert probed.filter(~F.col("__maybe_seen")).count() == 0
     # unseen keys mostly miss (fpp bound with slack)
-    fresh = spark.range(10_000, 11_000).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
-    fp = SN.probe_bloom(fresh, bloom).filter(F.col("__maybe_seen")).count()
+    fresh = spark.range(10_000, 11_000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("url_hash")
+    )
+    fp = SN.probe_bloom_segmented(fresh, segs, nseg=8).filter(F.col("__maybe_seen")).count()
     assert fp < 50
-    # empty seen -> None
+    # empty seen -> empty segment table; every candidate definitely new
     empty = spark.createDataFrame([], "url_hash string")
-    assert SN.build_bloom(empty, expected=10) is None
+    esegs = SN.build_bloom_segments(empty, nseg=8, expected=10)
+    assert esegs.count() == 0
+    assert SN.probe_bloom_segmented(fresh, esegs, nseg=8).filter(F.col("__maybe_seen")).count() == 0
+
+
+def test_bloom_segments_self_describing_geometry(spark, tmp_path):
+    """The persisted table records its own (nseg, nbits, nhashes); a
+    probe with NO explicit nseg routes by the TABLE's geometry, so a
+    caller whose configured segment count has drifted cannot produce
+    bloom false negatives (the r4 resume bug class)."""
+    seen = spark.range(300).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+    path = str(tmp_path / "segs")
+    SN.build_bloom_segments(seen, nseg=16, expected=300).write.parquet(path)
+    segs = spark.read.parquet(path)
+    assert SN.segments_sizing(segs)[0] == 16
+    # no-arg probe: derives nseg=16 from the table -> zero false negatives
+    probed = SN.probe_bloom_segmented(seen, segs)
+    assert probed.filter(~F.col("__maybe_seen")).count() == 0
+    # the full filter keeps exact semantics against a persisted table
+    cand = spark.range(0, 600).select(F.sha2(F.col("id").cast("string"), 256).alias("url_hash"))
+    exact = {r["url_hash"] for r in SN.filter_unseen_exact(cand, seen).collect()}
+    got = {
+        r["url_hash"]
+        for r in SN.filter_unseen_bloom_segmented(cand, seen, segments=segs).collect()
+    }
+    assert got == exact
+    # OR-ing tables with mismatched geometry fails loudly, executor-side
+    other = SN.build_bloom_segments(seen, nseg=8, expected=300)
+    with pytest.raises(Exception):
+        SN.or_bloom_segments(segs, other).collect()
 
 
 def test_segmented_bloom_filter_equals_exact(spark):
