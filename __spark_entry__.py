@@ -2,11 +2,12 @@
 
 ``entry(spark)`` runs the flagship crawl-scheduling query on sf0.001;
 ``queries()``/``oracle_sql()`` expose the full catalog from
-``nde_crawlers_spark`` (66 oracle-checked queries + 3 non-SQL-expressible
+``nde_crawlers_spark`` (67 oracle-checked queries + 3 non-SQL-expressible
 extras checked rows-only). The driver oracle-checks the first 50 catalog
-entries, so ``queries()`` orders highest-information queries first and
-rotates long-settled ones behind the window (all of them stay covered by
-the full-catalog parity mirror, tests/test_queries_parity.py).
+entries; the rotation rule (at ``_WINDOW_PRIORITY`` below) guarantees the
+union of two consecutive rounds' driver windows covers the complete
+catalog, and every query stays covered by the full-catalog parity mirror
+(tests/test_queries_parity.py) every run.
 """
 
 from __future__ import annotations
@@ -239,42 +240,47 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_exact_duplicates(scored, id_col="_id").drop("text")
 
 
-# The driver oracle-checks the FIRST 50 entries in iteration order
-# (round-3 rows == catalog indices 0-49 exactly), so ordering is part of
-# the evidence plan: the composed hub-lifecycle queries that round 3
-# could not get driver rows for go FIRST, and long-settled TPC-H/events
-# queries (green in CORRECTNESS_r01-r03 and in the local parity mirror,
-# tests/test_queries_parity.py, which always checks the FULL catalog)
-# rotate behind the window.
+# ROTATION RULE (instituted r5, per the r4 verdict): the driver
+# oracle-checks only the FIRST 50 entries of queries(), so the window
+# ROTATES round-robin — every query that earned a green driver row in
+# the PREVIOUS round's window is eligible to rotate behind the window
+# this round, and everything that sat behind it rotates back in. The
+# union of any two consecutive CORRECTNESS_r{N} files therefore covers
+# the COMPLETE catalog; the full-catalog DuckDB parity mirror
+# (tests/test_queries_parity.py) still checks every query every run.
+# Queries whose implementation or oracle changed in the current round
+# are PINNED in-window regardless of rotation (head of the list).
 _WINDOW_PRIORITY = [
-    "uploader_registry",     # registry dispatch over the real 59-source table
-    "nde_pipeline_e2e",      # composed §3.3 hub lifecycle as ONE lazy plan
-    "nde_record_normalize",
-    "nde_quarantine_counts",
-    "nde_doi_promote",
-    "setops_union_by_name",
+    # r5 pinned: registry wrapped-flags + two chain transcriptions fixed
+    # (all 59 uploaders wrapped), multi-'?' URL-param semantics aligned
+    "uploader_registry",
+    "nde_pipeline_e2e",
+    "crawl_url_filter",
 ]
+# settled r4-green rows rotating behind the window for r5 (they rotate
+# back in next round; every name below has a green hash-match row in
+# CORRECTNESS_r04.json and stays covered by the parity mirror)
 _ROTATED_OUT = [
-    "events_pivot",
-    "scalar_showcase",
-    "tpch_rollup",
-    "events_props_extract",
-    "events_hourly",
-    "tpch_q5ish",
-    "window_topk_orders",
-    # rotated in round 4 to make window room for the four new
-    # training-data ops (decontaminate / stratified sample / greedy
-    # pack / pii scrub) — all four green vs r1-r3 driver rows + parity
-    "tpch_q3_top10",
-    "semi_anti_parts",
-    "events_running_total",
-    "events_sessionize",
-    "text_quality_filter",
-    "text_bpe_tokens",
-    "merge_priority_lastwriter",
-    "text_lang_agreement",
-    "enrich_broadcast_lookup",
-    "enrich_explode_collect",
+    "crawl_url_canonicalize",
+    "crawl_sitemap_seed",
+    "crawl_autothrottle_budget",
+    "crawl_seen_filter",
+    "crawl_robots_filter",
+    "crawl_politeness_budget",
+    "crawl_retry_after_budget",
+    "crawl_host_lineage",
+    "dedup_exact_prefix",
+    "dedup_simhash",
+    "text_gopher_quality",
+    "text_repetition",
+    "sample_stratified",
+    "pack_greedy_bins",
+    "text_pii_scrub",
+    "merge_key_dedup_1x1",
+    "merge_identifier_dedup",
+    "enrich_cache_miss",
+    "enrich_theta_contains",
+    "nde_doi_promote",
 ]
 
 
@@ -282,18 +288,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         k: QUERIES[k] for k in _WINDOW_PRIORITY
     }
-    # flagship e2e crawl (rows-only) inside the window too
-    out["crawl_e2e_documents"] = _crawl_e2e_documents
     # north-rule order/seen/span signatures, oracle-checked against the
     # Python oracle's literal signatures (driver-visible e2e evidence)
     out["crawl_e2e_signatures"] = _crawl_e2e_signatures
+    # rows-only extras rotate IN this round (rotation rule above):
+    # flagship e2e crawl + media plumbing + wide-record uploader chain
+    out["crawl_e2e_documents"] = _crawl_e2e_documents
+    out["multimodal_features"] = _multimodal_features
+    out["uploader_pipeline"] = _uploader_pipeline
     for k, v in QUERIES.items():
         if k not in out and k not in _ROTATED_OUT:
             out[k] = v
     for k in _ROTATED_OUT:
         out[k] = QUERIES[k]
-    out["multimodal_features"] = _multimodal_features
-    out["uploader_pipeline"] = _uploader_pipeline
     return out
 
 

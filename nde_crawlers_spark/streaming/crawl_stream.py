@@ -230,3 +230,83 @@ class StreamingCrawl:
             # deltas folded into the SECOND-newest snapshot — see
             # gc_seen_deltas for the crash-window argument
             self.gc_seen_deltas()
+
+
+class StreamingCrawlDedup(StreamingCrawl):
+    """Composed always-on pipeline: crawl micro-batches flow straight
+    into incremental near-dup detection in the SAME foreachBatch —
+    the streaming form of the full training-data ingest path
+    (discover -> fetch -> parse -> dedup) the reference runs as
+    separate cron stages (docker-entrypoint loops, README.md:10-27).
+
+    Per micro-batch, after the crawl step commits its documents delta:
+    the batch's harvested docs (span text concatenated) are banded
+    (operators/dedup.py::incremental_minhash_pairs) against the
+    signature store of strictly-EARLIER batches, candidate pairs and
+    the delta's signatures are written idempotently per batch id.
+    Replay discipline is inherited: a crashed-and-replayed batch
+    recomputes the identical docs (crawl side) and therefore the
+    identical signatures and pairs (dedup side) — the composed
+    pipeline stays exactly-once end-to-end, including across a seen
+    compaction boundary (tested). The composed per-batch cost is
+    O(|batch| + matching buckets): neither the corpus's documents nor
+    its signatures are ever recomputed."""
+
+    _DEDUP_STORE_SCHEMA = "id string, band int, bucket string"
+
+    def __init__(self, spark: SparkSession, root: str, num_hosts: int,
+                 crawl_delay_ms: int = 500, compact_every: int = 8,
+                 compact_partitions: int = 16,
+                 shingle_n: int = 3, bands: int = 4, rows_per_band: int = 2):
+        super().__init__(spark, root, num_hosts, crawl_delay_ms,
+                         compact_every, compact_partitions)
+        self.shingle_n = shingle_n
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        for d in ("dedup_store", "dedup_pairs"):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+
+    def dedup_store(self, before_batch: int | None = None) -> DataFrame:
+        """Persisted signature store (union of committed per-batch
+        deltas), restricted to strictly-earlier batches for replay."""
+        base = self._dir("dedup_store")
+        parts = []
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("batch="):
+                continue
+            b = int(d.split("=")[1])
+            if before_batch is None or b < before_batch:
+                parts.append(os.path.join(base, d))
+        if not parts:
+            return self.spark.createDataFrame([], self._DEDUP_STORE_SCHEMA)
+        return self.spark.read.parquet(*parts)
+
+    def dedup_pairs(self) -> DataFrame:
+        return self.spark.read.parquet(self._dir("dedup_pairs") + "/*")
+
+    def _process_batch(self, decisions: DataFrame, batch_id: int) -> None:
+        from ..operators import dedup as DD
+
+        super()._process_batch(decisions, batch_id)
+        # read back THIS batch's just-committed docs (idempotent
+        # overwrite above makes this deterministic under replay) and
+        # push them through the signature store
+        docs = self.spark.read.parquet(
+            self._dir(f"documents/batch={batch_id:06d}")
+        ).select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("spans"), lambda s: s.getField("text")), " "
+            ).alias("text"),
+        )
+        pairs, new_banded = DD.incremental_minhash_pairs(
+            docs, self.dedup_store(before_batch=batch_id),
+            shingle_n=self.shingle_n, bands=self.bands,
+            rows_per_band=self.rows_per_band,
+        )
+        pairs.withColumn("batch", F.lit(batch_id)).write.mode("overwrite").parquet(
+            self._dir(f"dedup_pairs/batch={batch_id:06d}")
+        )
+        new_banded.write.mode("overwrite").parquet(
+            self._dir(f"dedup_store/batch={batch_id:06d}")
+        )

@@ -285,3 +285,81 @@ def test_streaming_dedup_matches_full_recompute(spark):
     # no new input -> drain is a no-op
     sd.run_available_now()
     assert {(r["id_a"], r["id_b"]) for r in sd.pairs().collect()} == full
+
+
+def test_streaming_crawl_dedup_composed_equals_batch(spark):
+    """The COMPOSED pipeline (crawl -> docs -> incremental minhash in
+    one foreachBatch, streaming/crawl_stream.py::StreamingCrawlDedup)
+    over three drains must produce exactly the pair set a BATCH
+    pipeline produces (crawl everything, then one full minhash LSH
+    recompute over all harvested docs), and a manual replay of the last
+    micro-batch — which sits past a seen-compaction boundary
+    (compact_every=2) — must reproduce identical docs, signatures and
+    pairs (exactly-once end-to-end)."""
+    import glob
+
+    from nde_crawlers_spark.functions import urls as U2
+    from nde_crawlers_spark.operators.dedup import minhash_lsh_candidates
+    from nde_crawlers_spark.streaming.crawl_stream import StreamingCrawlDedup
+
+    root = tempfile.mkdtemp(prefix="scd_")
+    sc = StreamingCrawlDedup(spark, root, num_hosts=6, crawl_delay_ms=500,
+                             compact_every=2)
+    seeds = make_seeds(60, 6)
+    waves = [seeds[0:20], seeds[20:40], seeds[40:60]]
+    for k, wave in enumerate(waves):
+        _write_candidates(
+            spark, root, f"b{k}",
+            [(s["url"], s["priority"], float(10 * k)) for s in wave],
+        )
+        sc.run_available_now()
+
+    # the compaction boundary actually happened (batch 1 folded)
+    assert glob.glob(os.path.join(root, "seen_compacted", "upto=*"))
+
+    # composed pairs == one full recompute over ALL harvested docs
+    text = F.array_join(
+        F.transform(F.col("spans"), lambda s: s.getField("text")), " "
+    ).alias("text")
+    all_docs = sc.documents().select("doc_id", text)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            all_docs, id_col="doc_id", shingle_n=3, bands=4, rows_per_band=2
+        ).collect()
+    }
+    got = {(r["id_a"], r["id_b"]) for r in sc.dedup_pairs().collect()}
+    assert got == full and len(full) >= 0
+
+    # ---- replay the last micro-batch by hand (crash-window case) ----
+    batch_dirs = sorted(glob.glob(os.path.join(root, "seen", "batch=*")))
+    last_id = int(batch_dirs[-1].split("=")[-1])
+    def _snap(sub):
+        p = os.path.join(root, sub, f"batch={last_id:06d}")
+        return sorted(map(tuple, spark.read.parquet(p).collect()))
+    before = {s: _snap(s) for s in ("documents", "dedup_pairs", "dedup_store", "seen")}
+    deferred_last = {
+        r["url"]
+        for r in spark.read.parquet(
+            os.path.join(root, "deferred", f"batch={last_id:06d}")
+        ).collect()
+    }
+    cand = spark.createDataFrame(
+        [(s["url"], s["priority"], 20.0) for s in waves[-1]],
+        "url string, priority int, asof_s double",
+    )
+    keyed = (
+        U2.with_url_columns(cand)
+        .withColumn("seq", U2.hash_seq(F.col("canonical_url")))
+        .withColumn(
+            "decision",
+            F.when(F.col("url").isin(list(deferred_last)), F.lit("defer")).otherwise(
+                F.lit("fetch")
+            ),
+        )
+        .withColumn("tokens_left", F.lit(0.0))
+    )
+    sc._process_batch(keyed, last_id)
+    after = {s: _snap(s) for s in ("documents", "dedup_pairs", "dedup_store", "seen")}
+    assert after == before
+    assert len(before["seen"]) > 0
