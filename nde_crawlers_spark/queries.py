@@ -1606,10 +1606,20 @@ def _uploader_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPLOADER_LOOKUP_CACHE: dict[int, dict] = {}
+
+
 def _uploader_lookups(spark: SparkSession):
     """The registry's shared enrichment inputs: the PubTator species
     lookup, the taxonomy closure, the NER drop rules, and the funder
-    memo table — all small broadcast-side dims."""
+    memo table — all small broadcast-side dims. Memoized per session:
+    the lookups are input-independent, the taxonomy closure is an
+    iterative (driver-chatty) build, and re-creating it per query call
+    both costs ~1s of plan-build time AND leaks a fresh .cache() entry
+    each time."""
+    key = id(spark)
+    if key in _UPLOADER_LOOKUP_CACHE:
+        return _UPLOADER_LOOKUP_CACHE[key]
     from .operators import lineage as LN
 
     species_lookup = spark.range(0, 24).select(
@@ -1654,7 +1664,7 @@ def _uploader_lookups(spark: SparkSession):
         F.col("id").cast("int").alias("topic_key"),
         F.concat(F.lit("topic-"), (F.col("id") % 5).cast("string")).alias("topic"),
     )
-    return {
+    _UPLOADER_LOOKUP_CACHE[key] = {
         "species_lookup": species_lookup,
         "closure": closure,
         "ner_rules": ner_rules,
@@ -1663,6 +1673,7 @@ def _uploader_lookups(spark: SparkSession):
         "mt_lookup": mt_lookup,
         "topic_lookup": topic_lookup,
     }
+    return _UPLOADER_LOOKUP_CACHE[key]
 
 
 def uploader_registry(spark, sf_dir):

@@ -235,6 +235,19 @@ def _family(registry: dict[str, UploaderSpec], pred) -> list[str]:
     return sorted(s for s, sp in registry.items() if pred(sp))
 
 
+def _in_family(source_col: str, names: list[str]) -> F.Column:
+    """``source IN ('a','b',...)`` as ONE parsed SQL expression.
+    ``F.col(...).isin(names)`` costs one py4j round-trip PER literal
+    (~1 ms each), which with 59-source families made driver-side plan
+    BUILD dominate the registry query's wall time (profiled r5: ~10k
+    java calls, isin alone >1s). Source names are [a-z0-9_] registry
+    keys, safe to embed."""
+    if not names:
+        return F.lit(False)
+    vals = ",".join("'" + n + "'" for n in names)
+    return F.expr(f"{source_col} IN ({vals})")
+
+
 def run_uploader(
     docs: DataFrame,
     registry: dict[str, UploaderSpec] | None = None,
@@ -267,7 +280,7 @@ def run_uploader(
     # scanned 1 + #operator-stage-kinds times total.
     rs = _family(reg, lambda sp: sp.reclassify)
     if rs and species_lookup is not None and {"species", "infectiousAgent"} <= set(docs.columns):
-        sub = docs.filter(F.col(source_col).isin(rs)).select(
+        sub = docs.filter(_in_family(source_col, rs)).select(
             id_col, "species", "infectiousAgent"
         )
         red = SD.reclassify_species(sub, species_lookup).select(
@@ -275,7 +288,7 @@ def run_uploader(
             F.col("species").alias("__r_species"),
             F.col("infectiousAgent").alias("__r_agents"),
         )
-        in_f = F.col(source_col).isin(rs)
+        in_f = _in_family(source_col, rs)
         out = (
             out.join(red, id_col, "left")
             .withColumn("species", F.when(in_f, F.col("__r_species")).otherwise(F.col("species")))
@@ -288,7 +301,7 @@ def run_uploader(
 
     ls = _family(reg, lambda sp: sp.lineage)
     if ls and closure is not None and "taxids" in docs.columns:
-        sub = docs.filter(F.col(source_col).isin(ls)).select(id_col, "taxids")
+        sub = docs.filter(_in_family(source_col, ls)).select(id_col, "taxids")
         lin = LN.expand_lineage(sub, closure).select(
             id_col, F.col("_meta_lineage").alias("__lin")
         )
@@ -296,7 +309,7 @@ def run_uploader(
             out.join(lin, id_col, "left")
             .withColumn(
                 "_meta_lineage",
-                F.when(F.col(source_col).isin(ls), F.col("__lin")).otherwise(
+                F.when(_in_family(source_col, ls), F.col("__lin")).otherwise(
                     F.array().cast(_LIN_SQL)
                 ),
             )
@@ -306,7 +319,7 @@ def run_uploader(
     ds = _family(reg, lambda sp: sp.drop_rules)
     if ds and ner_rules and "ner" in docs.columns:
         sub = (
-            docs.filter(F.col(source_col).isin(ds))
+            docs.filter(_in_family(source_col, ds))
             .select(id_col, F.posexplode("ner").alias("pos", "e"))
             .select(id_col, "pos", F.col("e.name").alias("name"), F.col("e.taxid").alias("taxid"))
         )
@@ -319,7 +332,7 @@ def run_uploader(
                 ),
             ).alias("__ner")
         )
-        in_f = F.col(source_col).isin(ds)
+        in_f = _in_family(source_col, ds)
         out = (
             out.join(regrouped, id_col, "left")
             .withColumn(
@@ -337,7 +350,7 @@ def run_uploader(
         # array, broadcast-join the citation lookup, regroup sorted —
         # the J1 shape, one subset + one regroup shuffle for ALL pmid
         # sources together
-        sub = docs.filter(F.col(source_col).isin(ps)).select(
+        sub = docs.filter(_in_family(source_col, ps)).select(
             id_col, F.explode_outer("pmids").alias("pmid")
         )
         per = (
@@ -345,7 +358,7 @@ def run_uploader(
             .groupBy(id_col)
             .agg(F.array_sort(F.collect_list("citation")).alias("__cit"))
         )
-        in_f = F.col(source_col).isin(ps)
+        in_f = _in_family(source_col, ps)
         out = (
             out.join(per, id_col, "left")
             .withColumn(
@@ -362,7 +375,7 @@ def run_uploader(
         # the family — the funder_cache hit path (utils/funding_helper.py)
         out = out.join(F.broadcast(funding_lookup), on="funding_id", how="left").withColumn(
             "funder_name",
-            F.when(F.col(source_col).isin(fs), F.col("funder_name")).otherwise(
+            F.when(_in_family(source_col, fs), F.col("funder_name")).otherwise(
                 F.lit(None).cast("string")
             ),
         )
@@ -374,7 +387,7 @@ def run_uploader(
         # funding-lookup shape — no subset scan)
         out = out.join(F.broadcast(mt_lookup), on="technique", how="left").withColumn(
             "technique_std",
-            F.when(F.col(source_col).isin(ms), F.col("technique_std")).otherwise(
+            F.when(_in_family(source_col, ms), F.col("technique_std")).otherwise(
                 F.lit(None).cast("string")
             ),
         )
@@ -385,7 +398,7 @@ def run_uploader(
         # broadcast keyed lookup, masked to the family
         out = out.join(F.broadcast(topic_lookup), on="topic_key", how="left").withColumn(
             "topic",
-            F.when(F.col(source_col).isin(ts), F.col("topic")).otherwise(
+            F.when(_in_family(source_col, ts), F.col("topic")).otherwise(
                 F.lit(None).cast("string")
             ),
         )
@@ -394,7 +407,7 @@ def run_uploader(
     dois = _family(reg, lambda sp: sp.promote_doi)
     if dois and "doi" in out.columns:
         new_id, new_doi = NS.promote_doi_id(F.col("_id"), F.col("doi"))
-        in_f = F.col(source_col).isin(dois)
+        in_f = _in_family(source_col, dois)
         out = out.withColumn("_id", F.when(in_f, new_id).otherwise(F.col("_id"))).withColumn(
             "doi", F.when(in_f, new_doi).otherwise(F.col("doi"))
         )
@@ -408,15 +421,15 @@ def run_uploader(
         out = out.withColumn(
             c,
             F.when(
-                F.col(source_col).isin(sorted(srcs)), W.placeholder_filter(F.col(c))
+                _in_family(source_col, sorted(srcs)), W.placeholder_filter(F.col(c))
             ).otherwise(F.col(c)),
         )
 
     folds = _family(reg, lambda sp: sp.casefold_id)
     if DEFAULT_SPEC.casefold_id:
-        unknown_is_folded = ~F.col(source_col).isin(list(reg)) | F.col(source_col).isin(folds)
+        unknown_is_folded = ~_in_family(source_col, sorted(reg)) | _in_family(source_col, folds)
     else:
-        unknown_is_folded = F.col(source_col).isin(folds)
+        unknown_is_folded = _in_family(source_col, folds)
     out = out.withColumn(
         "_id", F.when(unknown_is_folded, W.casefold_id(F.col("_id"))).otherwise(F.col("_id"))
     )
