@@ -217,7 +217,180 @@ def run_headline() -> None:
         "sf": float(sf),
         "fetch_normalize_urls_per_sec": fb["urls_per_sec"],
         "cores": CPUS,
+        # sf1 soak (10x rows): pre-run via `python bench.py --soak-sf1`
+        # (minutes-long; not re-run per driver bench), embedded verbatim
+        # with its own cores/timing disclosures
+        **({"soak_sf1": json.load(open("BENCH/soak_sf1.json"))}
+           if os.path.exists("BENCH/soak_sf1.json") else {}),
     }))
+
+
+
+# ------------------------------ sf1 soak ----------------------------------
+#
+# 10x the bench scale, same local[32]: catches driver-side or memory
+# cliffs invisible at sf0.1 and records per-query scale factors. sf1
+# parquet does NOT ship in /root/testdata, so inputs are synthesized
+# deterministically (no wall-clock, no RNG):
+#   - TPC-H tables + events: sf0.1 replicated 10x with per-replica key
+#     offsets on EVERY key column (order/cust/part/supp/event/user), so
+#     join fan-outs and per-key group sizes are preserved exactly -
+#     replica 0 is the identity, making the m1 baseline byte-identical
+#     to sf0.1.
+#   - documents/embeddings: generated fresh at n and 10n from one
+#     hash-driven family (vocab word-salad with CONSTANT-RATE planted
+#     near-dup families of fixed size 5 per 50 docs, 64-dim hash
+#     vectors) - replication would make near-dup pair counts quadratic
+#     in the replica count, which is not what a 10x corpus looks like.
+#     m1 times for these tables are re-measured on the generated data
+#     (disclosed), so scale factors are like-for-like.
+
+_SOAK_VOCAB = ["batch", "part", "spark", "line", "column", "order", "small",
+               "sort", "fast", "value", "scan", "hash", "slow", "query",
+               "agg", "table", "stream", "filter", "customer", "key",
+               "group", "the", "vector", "a"]
+
+
+def _soak_docs(spark, n: int):
+    from pyspark.sql import functions as F
+    vocab = F.array(*[F.lit(w) for w in _SOAK_VOCAB])
+    did = F.col("id")
+    # fixed-size near-dup families at a constant rate: the first 5 ids
+    # of every 50-block share a family seed -> dup pairs scale LINEARLY
+    fam = F.when((did % 50) < 5, (did - (did % 50)) + F.lit(10 ** 12)).otherwise(did)
+    nw = (F.lit(12) + F.pmod(F.xxhash64(fam, F.lit("nw")), F.lit(50))).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda i: F.element_at(vocab, (F.pmod(F.xxhash64(fam, i), F.lit(len(_SOAK_VOCAB))) + 1).cast("int")),
+    )
+    text = F.concat(
+        F.array_join(words, " "),
+        # member-specific tail keeps family members NEAR-dups, not exact
+        F.concat(F.lit(" tail"), F.pmod(did, F.lit(7)).cast("string")),
+    )
+    return spark.range(n).select(
+        did.alias("doc_id"),
+        text.alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("en"), F.lit("zh"), F.lit("de")),
+                     (F.pmod(F.xxhash64(did, F.lit("lg")), F.lit(4)) + 1).cast("int")).alias("lang"),
+        F.concat(F.lit("src"), F.pmod(did, F.lit(20)).cast("string")).alias("source"),
+        F.length(text).cast("int").alias("n_chars"),
+    )
+
+
+def _soak_embeddings(spark, n: int):
+    from pyspark.sql import functions as F
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) / 1000.0 - 1.0).cast("float"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        F.pmod(F.col("id"), F.lit(10)).cast("int").alias("label"),
+    )
+
+
+_SOAK_OFFSETS = {
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000, "l_suppkey": 100_000},
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 100_000},
+    "part": {"p_partkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 10_000_000},
+}
+
+
+def _soak_replicate(spark, table: str, mult: int):
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(f"/root/testdata/sf0.1/{table}.parquet")
+    if table in ("region", "nation") or mult == 1:
+        return df
+    rep = df.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+    for col, off in _SOAK_OFFSETS.get(table, {}).items():
+        rep = rep.withColumn(col, F.col(col) + F.col("__k") * F.lit(off))
+    return rep.drop("__k")
+
+
+def _soak_build(spark, out_dir: str, mult: int) -> None:
+    for table in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events"]:
+        _soak_replicate(spark, table, mult).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet"))
+    _soak_docs(spark, 5000 * mult).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+    _soak_embeddings(spark, 2000 * mult).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet"))
+
+
+def run_soak_sf1() -> None:
+    """Build m1/m10 inputs, run the r3 headline set plus the two most
+    expensive r4 ops at both scales, write BENCH/soak_sf1.json (embedded
+    into the headline JSON line by run_headline)."""
+    import tempfile
+
+    from nde_crawlers_spark.queries import QUERIES
+
+    spark = _spark(CPUS)
+    base = tempfile.mkdtemp(prefix="soak_sf1_")
+    dirs = {}
+    for mult in (1, 10):
+        d = os.path.join(base, f"m{mult}")
+        _soak_build(spark, d, mult)
+        dirs[mult] = d
+
+    qset = HEADLINE + ["dedup_exact_substring", "dedup_semantic_keepone"]
+    for name in qset:  # warm codegen at the smallest shipped SF
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    def _run(sf_dir: str, passes: int) -> dict:
+        times: dict[str, float] = {}
+        for _ in range(passes):
+            for name in qset:
+                t0 = time.monotonic()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.monotonic() - t0, 3)
+                times[name] = min(times.get(name, dt), dt)
+        return times
+
+    t1 = _run(dirs[1], passes=2)     # best-of-2 baseline
+    t10 = _run(dirs[10], passes=1)   # single pass at 10x (cost)
+
+    # segmented bloom build+probe at 10x the r4 bench point
+    _seen_filter_segmented_bench(spark, 100_000, 100_000)  # warm
+    t0 = time.monotonic()
+    _seen_filter_segmented_bench(spark, 2_000_000, 1_000_000)
+    seg1 = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    _seen_filter_segmented_bench(spark, 20_000_000, 10_000_000)
+    seg10 = round(time.monotonic() - t0, 3)
+    t1["seen_filter_segmented"] = seg1
+    t10["seen_filter_segmented"] = seg10
+
+    queries = {
+        name: {
+            "t_m1": t1[name], "t_m10": t10[name],
+            "scale": round(t10[name] / max(t1[name], 1e-9), 2),
+        }
+        for name in t1
+    }
+    out = {
+        "cores": CPUS,
+        "rows_mult": 10,
+        "timing": "m1 best-of-2, m10 single-pass",
+        "inputs": "tpch/events: sf0.1 replicated 10x with key offsets; "
+                  "documents/embeddings: hash-generated at n and 10n with "
+                  "constant-rate planted near-dup families (m1 re-measured "
+                  "on generated data, so scales are like-for-like)",
+        "total_m1": round(sum(t1.values()), 3),
+        "total_m10": round(sum(t10.values()), 3),
+        "queries": queries,
+        "worst_scale": max(q["scale"] for q in queries.values()),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/soak_sf1.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
 
 
 # ---------------------------- scaling protocol ----------------------------
@@ -442,6 +615,8 @@ binding.
 if __name__ == "__main__":
     if len(sys.argv) == 1:
         run_headline()
+    elif sys.argv[1] == "--soak-sf1":
+        run_soak_sf1()
     elif sys.argv[1] == "--scaling":
         run_scaling()
     elif sys.argv[1] == "--fetch-bench":
