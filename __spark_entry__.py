@@ -277,6 +277,7 @@ _ROTATED_OUT = [
     "pack_greedy_bins",
     "text_pii_scrub",
     "merge_key_dedup_1x1",
+    "merge_version_groups",
     "merge_identifier_dedup",
     "enrich_cache_miss",
     "enrich_theta_contains",

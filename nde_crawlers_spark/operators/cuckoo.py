@@ -164,3 +164,208 @@ class CuckooFilter:
         cf.stash = [(int(tail[i]), int(tail[i + 1])) for i in range(0, len(tail), 2)]
         cf.count = int((cf.table != _EMPTY).sum()) + len(cf.stash)
         return cf
+
+
+# --------------------- segmented (partitioned) cuckoo ---------------------
+#
+# The north rule names a "partitioned cuckoo/bloom URL-seen filter". The
+# bloom side lives as per-bucket segments (operators/seen.py); this is
+# the same partitioned layout for the cuckoo filter — one serialized
+# filter per url_hash segment, built/maintained/probled executor-side
+# with applyInPandas/cogroup, never a driver-resident table — plus the
+# capability blooms lack: DELETE. When a URL's cache TTL expires
+# (EXPIRE, figshare_oai-pmh/files/sql_database.py:75) its fingerprint is
+# evicted from ITS OWN segment only and the URL becomes fetchable again;
+# the bloom path would rebuild the full filter. Geometry (nseg,
+# nbuckets, slots) is persisted per row exactly like the bloom segments
+# (probes route by the TABLE's recorded nseg — same false-negative
+# hazard, same fix).
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+CUCKOO_SEGMENT_SCHEMA = T.StructType([
+    T.StructField("seg", T.IntegerType()),
+    T.StructField("nseg", T.IntegerType()),
+    T.StructField("nbuckets", T.LongType()),
+    T.StructField("slots", T.IntegerType()),
+    T.StructField("blob", T.BinaryType()),
+])
+
+
+def _seg_of(col, nseg: int):
+    from .seen import segment_of
+    return segment_of(col, nseg)
+
+
+def _key_hash(col):
+    """JVM-side 64-bit key hash (xxhash64), independent of the segment
+    hash (different salt) and of the filter's internal mixes."""
+    return F.xxhash64(col, F.lit("#cuckoo"))
+
+
+def _u64(series) -> "np.ndarray":
+    return series.values.astype("int64").view("uint64")
+
+
+def build_cuckoo_segments(
+    seen: DataFrame, key: str = "url_hash", nseg: int = 64,
+    capacity: int = 1_000_000, slots: int = 4,
+) -> DataFrame:
+    """Per-segment cuckoo filters over the seen keys: one shuffle on the
+    segment key, one serialized filter per group, zero driver state.
+    ``capacity`` is the TOTAL design point (per-segment = capacity/nseg,
+    floored at 64)."""
+    per_seg = max(capacity // max(nseg, 1), 64)
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["seg", "nseg", "nbuckets", "slots", "blob"])
+        cf = CuckooFilter(per_seg, slots_per_bucket=slots)
+        cf.insert_hashes(_u64(pdf["__h"]))
+        return pd.DataFrame({
+            "seg": [int(pdf["__seg"].iloc[0])], "nseg": [nseg],
+            "nbuckets": [cf.nbuckets], "slots": [cf.slots],
+            "blob": [cf.to_bytes()],
+        })
+
+    hashed = seen.select(
+        _seg_of(F.col(key), nseg).alias("__seg"), _key_hash(F.col(key)).alias("__h")
+    )
+    return hashed.groupBy("__seg").applyInPandas(_build, schema=CUCKOO_SEGMENT_SCHEMA)
+
+
+def cuckoo_segments_sizing(segments: DataFrame) -> tuple[int, int, int] | None:
+    """(nseg, nbuckets, slots) recorded in the persisted table, None if
+    empty — the self-describing-geometry reader (bloom-segment twin)."""
+    if "nseg" not in segments.columns:
+        return None
+    row = segments.select("nseg", "nbuckets", "slots").first()
+    if row is None:
+        return None
+    return int(row["nseg"]), int(row["nbuckets"]), int(row["slots"])
+
+
+def _apply_keys_to_segments(
+    segments: DataFrame, keys: DataFrame, key: str, op: str,
+    per_seg_capacity: int, slots: int,
+) -> DataFrame:
+    """Cogroup each segment with its own keys and insert/delete them —
+    the incremental-maintenance step. A key group with no segment row
+    creates a fresh filter on insert (and is a no-op on delete)."""
+    sizing = cuckoo_segments_sizing(segments)
+    nseg = sizing[0] if sizing is not None else 64
+
+    def _merge(kdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if len(sdf) == 0 and (op == "delete" or len(kdf) == 0):
+            return pd.DataFrame(columns=["seg", "nseg", "nbuckets", "slots", "blob"])
+        if len(sdf) == 0:
+            cf = CuckooFilter(per_seg_capacity, slots_per_bucket=slots)
+            seg = int(kdf["__seg"].iloc[0])
+            ns = nseg
+        else:
+            cf = CuckooFilter.from_bytes(
+                sdf["blob"].iloc[0], int(sdf["nbuckets"].iloc[0]), int(sdf["slots"].iloc[0])
+            )
+            seg = int(sdf["seg"].iloc[0])
+            ns = int(sdf["nseg"].iloc[0])
+        if len(kdf):
+            if op == "insert":
+                cf.insert_hashes(_u64(kdf["__h"]))
+            else:
+                cf.delete_hashes(_u64(kdf["__h"]))
+        return pd.DataFrame({
+            "seg": [seg], "nseg": [ns], "nbuckets": [cf.nbuckets],
+            "slots": [cf.slots], "blob": [cf.to_bytes()],
+        })
+
+    hashed = keys.select(
+        _seg_of(F.col(key), nseg).alias("__seg"), _key_hash(F.col(key)).alias("__h")
+    )
+    return (
+        hashed.groupBy("__seg")
+        .cogroup(segments.groupBy("seg"))
+        .applyInPandas(_merge, schema=CUCKOO_SEGMENT_SCHEMA)
+    )
+
+
+def insert_into_cuckoo_segments(
+    segments: DataFrame, delta: DataFrame, key: str = "url_hash",
+    per_seg_capacity: int = 15_625, slots: int = 4,
+) -> DataFrame:
+    return _apply_keys_to_segments(segments, delta, key, "insert", per_seg_capacity, slots)
+
+
+def delete_from_cuckoo_segments(
+    segments: DataFrame, expired: DataFrame, key: str = "url_hash",
+) -> DataFrame:
+    """TTL recrawl: evict the expired keys' fingerprints from their own
+    segments — those URLs read as definitely-unseen again, no rebuild."""
+    return _apply_keys_to_segments(segments, expired, key, "delete", 64, 4)
+
+
+def probe_cuckoo_segmented(
+    candidates: DataFrame, segments: DataFrame, key: str = "url_hash",
+    nseg: int | None = None,
+) -> DataFrame:
+    """Add ``__maybe_seen`` by probing each candidate against ITS OWN
+    segment (cogroup). Routing uses the TABLE's recorded nseg unless the
+    caller just built an un-persisted table and passes it explicitly."""
+    if nseg is None:
+        sizing = cuckoo_segments_sizing(segments)
+        nseg = sizing[0] if sizing is not None else 64
+    keep = [f.name for f in candidates.schema.fields]
+    out_schema = T.StructType(
+        candidates.schema.fields + [T.StructField("__maybe_seen", T.BooleanType())]
+    )
+
+    def _probe(cand: pd.DataFrame, seg: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return pd.DataFrame(columns=keep + ["__maybe_seen"])
+        out = cand[keep].copy()
+        if len(seg) == 0:
+            out["__maybe_seen"] = False
+            return out
+        cf = CuckooFilter.from_bytes(
+            seg["blob"].iloc[0], int(seg["nbuckets"].iloc[0]), int(seg["slots"].iloc[0])
+        )
+        out["__maybe_seen"] = cf.contains_hashes(_u64(cand["__h"]))
+        return out
+
+    withh = candidates.withColumns({
+        "__seg": _seg_of(F.col(key), nseg),
+        "__h": _key_hash(F.col(key)),
+    })
+    return (
+        withh.groupBy("__seg")
+        .cogroup(segments.groupBy("seg"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
+
+
+def filter_unseen_cuckoo_segmented(
+    candidates: DataFrame,
+    active_seen: DataFrame,
+    segments: DataFrame | None = None,
+    key: str = "url_hash",
+    nseg: int = 64,
+    capacity: int = 1_000_000,
+) -> DataFrame:
+    """Cuckoo-prefiltered unseen filter, exact semantics (bloom twin):
+    definite-new skip the anti-join, might-contain rows are confirmed
+    against ``active_seen`` (the seen set MINUS expired keys — with TTL
+    recrawl the filter may legitimately contain nothing for an expired
+    key, and a stale might-contain is caught by the exact join)."""
+    if segments is None:
+        segments = build_cuckoo_segments(active_seen, key=key, nseg=nseg, capacity=capacity)
+        probe_nseg: int | None = nseg
+    else:
+        probe_nseg = None
+    probed = probe_cuckoo_segmented(candidates, segments, key=key, nseg=probe_nseg)
+    definite_new = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    from .seen import filter_unseen_exact
+    confirmed_new = filter_unseen_exact(maybe, active_seen, key)
+    return definite_new.unionByName(confirmed_new)

@@ -293,6 +293,15 @@ SELECT doc_id, url_hash, host FROM frontier
 WHERE url_hash NOT IN (SELECT url_hash FROM frontier WHERE doc_id % 2 = 0)
 """
 
+ORACLES["crawl_recrawl_ttl"] = f"""
+WITH {FRONTIER_CTE}
+SELECT doc_id, url_hash, host FROM frontier
+WHERE url_hash NOT IN (
+  SELECT url_hash FROM frontier
+  WHERE doc_id % 2 = 0 AND doc_id % 8 >= 5  -- ACTIVE seen: TTL not expired
+)
+"""
+
 ORACLES["crawl_robots_filter"] = f"""
 WITH {FRONTIER_CTE}, {ROBOTS_CTE}, {ALLOWED_CTE}
 SELECT doc_id, url_hash, host, path FROM allowed

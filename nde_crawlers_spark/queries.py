@@ -256,6 +256,36 @@ def crawl_seen_filter(spark, sf_dir):
     return SN.filter_unseen_exact(fr, seen).select("doc_id", "url_hash", "host")
 
 
+def crawl_recrawl_ttl(spark, sf_dir):
+    """TTL recrawl through the SEGMENTED CUCKOO seen-filter — the
+    deletable half of the north rule's "partitioned cuckoo/bloom
+    URL-seen filter" (cache EXPIRE semantics, figshare_oai-pmh/files/
+    sql_database.py:75): seen entries carry first_seen_round; at
+    current_round=8 with a 3-round TTL, entries first seen before round
+    5 have EXPIRED — their fingerprints are DELETED from their own
+    cuckoo segment (no rebuild, executor-side cogroup) and those URLs
+    become fetchable again. Output = candidates passing the TTL-aware
+    filter; exactness: might-contain rows are confirmed against the
+    ACTIVE seen set by the anti-join (a stale positive costs a lookup,
+    never a wrong row). Deletion can introduce false NEGATIVES only if
+    two seen keys collide on (16-bit fingerprint, bucket pair) —
+    ~n^2/2^16/nbuckets, collision-free on the deterministic fixture and
+    caught by the oracle if the fixture ever changes."""
+    from .operators import cuckoo as CK
+
+    fr = _frontier(spark, sf_dir)
+    seen = fr.filter(F.col("doc_id") % 2 == 0).select(
+        "url_hash", (F.col("doc_id") % 8).alias("first_seen_round")
+    )
+    expired = seen.filter(F.col("first_seen_round") < 5).select("url_hash")
+    active = seen.filter(F.col("first_seen_round") >= 5).select("url_hash")
+    segs = CK.build_cuckoo_segments(seen.select("url_hash"), nseg=16, capacity=4096)
+    segs = CK.delete_from_cuckoo_segments(segs, expired)
+    return CK.filter_unseen_cuckoo_segmented(fr, active, segments=segs).select(
+        "doc_id", "url_hash", "host"
+    )
+
+
 def crawl_robots_filter(spark, sf_dir):
     fr = _frontier(spark, sf_dir)
     robots = _derived_robots(fr)
@@ -1882,6 +1912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_sitemap_seed": crawl_sitemap_seed,
     "crawl_autothrottle_budget": crawl_autothrottle_budget,
     "crawl_seen_filter": crawl_seen_filter,
+    "crawl_recrawl_ttl": crawl_recrawl_ttl,
     "crawl_robots_filter": crawl_robots_filter,
     "crawl_frontier_topk": crawl_frontier_topk,
     "crawl_politeness_budget": crawl_politeness_budget,
