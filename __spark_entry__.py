@@ -2,8 +2,9 @@
 
 ``entry(spark)`` runs the flagship crawl-scheduling query on sf0.001;
 ``queries()``/``oracle_sql()`` expose the full catalog from
-``nde_crawlers_spark`` (67 oracle-checked queries + 3 non-SQL-expressible
-extras checked rows-only). The driver oracle-checks the first 50 catalog
+``nde_crawlers_spark`` (67 oracle-checked catalog queries, plus the
+oracle-checked e2e signature row and 3 non-SQL-expressible extras
+checked rows-only). The driver oracle-checks the first 50 catalog
 entries; the rotation rule (at ``_WINDOW_PRIORITY`` below) guarantees the
 union of two consecutive rounds' driver windows covers the complete
 catalog, and every query stays covered by the full-catalog parity mirror

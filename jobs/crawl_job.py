@@ -30,7 +30,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--round-seconds", type=int, default=30, help="politeness budget window")
     p.add_argument("--cores", type=int, default=None, help="local[] cores; omit on a cluster")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--bloom", action="store_true", help="bloom prefilter for the seen join")
+    # segmented bloom prefilter and AutoThrottle are the SHIPPED
+    # defaults (CrawlConfig); the flags below turn them off
+    p.add_argument("--no-bloom", action="store_true",
+                   help="disable the segmented bloom prefilter (exact anti-join only)")
+    p.add_argument("--no-autothrottle", action="store_true",
+                   help="disable per-host AutoThrottle delay adaptation")
     args = p.parse_args(argv)
 
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
@@ -43,7 +48,8 @@ def main(argv: list[str] | None = None) -> int:
         num_hosts=args.hosts,
         round_seconds=args.round_seconds,
         max_rounds=args.rounds,
-        use_bloom=args.bloom,
+        use_bloom=not args.no_bloom,
+        autothrottle=not args.no_autothrottle,
     )
     run = CrawlRun(spark, args.run_dir, cfg)
     if args.resume:
