@@ -41,6 +41,10 @@ from ..operators.fetch import fetch_parse
 from .politeness import schedule_with_state
 
 CAND_SCHEMA = "url string, priority int, asof_s double"
+# feedback rows re-enqueued by the batch processor: same URL key shape
+# plus the observed (signed) latency the scheduler's AutoThrottle fold
+# consumes; kept in a separate directory so candidate files stay 3-col
+FEEDBACK_SCHEMA = "url string, priority int, asof_s double, latency_ms double"
 
 
 class StreamingCrawl:
@@ -60,14 +64,24 @@ class StreamingCrawl:
 
     def __init__(self, spark: SparkSession, root: str, num_hosts: int,
                  crawl_delay_ms: int = 500, compact_every: int = 8,
-                 compact_partitions: int = 16):
+                 compact_partitions: int = 16, autothrottle: bool = False):
         self.spark = spark
         self.root = root
         self.num_hosts = num_hosts
         self.crawl_delay_ms = crawl_delay_ms
         self.compact_every = compact_every
         self.compact_partitions = compact_partitions
-        for d in ("candidates", "documents", "seen", "seen_compacted", "deferred"):
+        # streaming AutoThrottle: each batch re-emits its fetch
+        # latencies as FEEDBACK rows (feedback/ dir); the next batch's
+        # scheduler folds them into the per-host adapted delay
+        # (politeness.py::at_fold). Feedback is at-least-once (a crash
+        # replay can re-append a batch's feedback): it can only nudge
+        # PACING, never the seen/docs invariants, which stay exactly-
+        # once via the strictly-earlier-batch discipline. Default OFF
+        # so the non-adaptive schedule tests stay bit-stable.
+        self.autothrottle = autothrottle
+        for d in ("candidates", "feedback", "documents", "seen",
+                  "seen_compacted", "deferred"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
 
     def _dir(self, name: str) -> str:
@@ -173,12 +187,19 @@ class StreamingCrawl:
         scheduler into the batch processor, then stop. Re-runnable: the
         streaming checkpoint skips already-processed candidate files and
         the politeness state resumes where it left off."""
-        stream = self.spark.readStream.schema(CAND_SCHEMA).parquet(self._dir("candidates"))
+        stream = (
+            self.spark.readStream.schema(CAND_SCHEMA)
+            .parquet(self._dir("candidates"))
+            .withColumn("latency_ms", F.lit(None).cast("double"))
+        )
+        if self.autothrottle:
+            fb = self.spark.readStream.schema(FEEDBACK_SCHEMA).parquet(self._dir("feedback"))
+            stream = stream.unionByName(fb)
         keyed = (
             U.with_url_columns(stream)
             .withColumn("seq", U.hash_seq(F.col("canonical_url")))
             .select("host", "url_hash", "priority", "seq", "asof_s",
-                    "url", "canonical_url", "host_bucket")
+                    "url", "canonical_url", "host_bucket", "latency_ms")
         )
         scheduled = schedule_with_state(keyed, crawl_delay_ms=self.crawl_delay_ms)
         q = (
@@ -223,6 +244,19 @@ class StreamingCrawl:
         decisions.filter(F.col("decision") == "defer").select(
             "url", "priority", (F.col("asof_s") + F.lit(1.0)).alias("asof_s")
         ).write.mode("overwrite").parquet(self._dir(f"deferred/batch={batch_id:06d}"))
+        if self.autothrottle:
+            # re-emit this batch's observed latencies as feedback rows;
+            # consumed by the NEXT batch's scheduler fold (negative =
+            # failed fetch, which may only raise the delay)
+            signed = F.when(
+                F.col("status") == 200, F.col("latency_ms").cast("double")
+            ).otherwise(-F.col("latency_ms").cast("double"))
+            fetched.select(
+                F.col("canonical_url").alias("url"),
+                F.lit(0).alias("priority"),
+                F.lit(0.0).alias("asof_s"),
+                signed.alias("latency_ms"),
+            ).coalesce(1).write.mode("append").parquet(self._dir("feedback"))
         unseen.unpersist()
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self._compact(batch_id)

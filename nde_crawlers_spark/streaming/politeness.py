@@ -34,6 +34,9 @@ STATE_SCHEMA = T.StructType(
         T.StructField("tokens", T.DoubleType()),
         T.StructField("last_refill_s", T.DoubleType()),
         T.StructField("emitted_total", T.LongType()),
+        # AutoThrottle-adapted per-host delay (ms); refill rate derives
+        # from greatest(crawl_delay, at_delay) once feedback arrives
+        T.StructField("at_delay_ms", T.DoubleType()),
     ]
 )
 
@@ -101,9 +104,23 @@ def bucket_schedule(
     return decisions, toks, float(tokens), float(last_refill), int(emitted)
 
 
+def at_fold(xs: list[float], acc: float, base: float, maxd: float, conc: float) -> float:
+    """The Scrapy AutoThrottle recurrence over signed latencies (the
+    same fold the batch plan runs in plans/crawl.py host_state):
+    next = clamp((delay + |latency|/C)/2, base, max); a negative value
+    marks a failed fetch, which may only RAISE the delay."""
+    for x in xs:
+        nd = min(max((acc + abs(x) / conc) / 2, base), maxd)
+        acc = nd if x >= 0 else max(acc, nd)
+    return acc
+
+
 def schedule_with_state(
     candidates: DataFrame,
     crawl_delay_ms: int = 500,
+    at_base_delay_ms: float = 500.0,
+    at_max_delay_ms: float = 60_000.0,
+    at_concurrency: float = 1.0,
 ) -> DataFrame:
     """Token-bucket scheduling over a (streaming) candidates frame that
     has at least (host, url_hash, priority, seq, asof_s).
@@ -117,8 +134,20 @@ def schedule_with_state(
 
     rate = 1000/crawl_delay_ms tokens/sec (the DOWNLOAD_DELAY analog);
     each emitted fetch costs one token. Rows within a batch are processed
-    in frontier order (priority, seq, url_hash)."""
-    rate = 1000.0 / crawl_delay_ms if crawl_delay_ms > 0 else float("inf")
+    in frontier order (priority, seq, url_hash).
+
+    AUTOTHROTTLE (streaming form of plans/crawl.py's live fold): when
+    the input carries a non-null ``latency_ms`` column, those rows are
+    FEEDBACK — fetch outcomes the batch processor re-emitted into the
+    candidate stream (negative latency marks a failure). Feedback rows
+    update the host's adapted delay (at_fold) and are consumed (not
+    re-emitted); the batch's candidate rows are then scheduled at
+    rate = 1000 / greatest(crawl_delay_ms, at_delay) — the adapted
+    delay can only raise the politeness floor, exactly like the batch
+    scheduler. Feedback is applied at batch START, so a replayed batch
+    reschedules identically (state + batch composition are both
+    checkpointed)."""
+    rate0 = 1000.0 / crawl_delay_ms if crawl_delay_ms > 0 else float("inf")
     in_cols = [f.name for f in candidates.schema.fields]
     out_schema = T.StructType(
         list(candidates.schema.fields)
@@ -133,10 +162,23 @@ def schedule_with_state(
     ) -> Iterator[pd.DataFrame]:
         del key  # host is already a pass-through column
         if state.exists:
-            tokens, last_refill, emitted = state.get
+            st = state.get
+            tokens, last_refill, emitted = st[0], st[1], st[2]
+            at_delay = st[3] if len(st) > 3 and st[3] is not None else 0.0
         else:
-            tokens, last_refill, emitted = BURST_TOKENS, 0.0, 0
+            tokens, last_refill, emitted, at_delay = BURST_TOKENS, 0.0, 0, 0.0
         rows = pd.concat(list(pdfs), ignore_index=True)
+        if "latency_ms" in rows.columns:
+            fb = rows[rows["latency_ms"].notna()]
+            rows = rows[rows["latency_ms"].isna()]
+            if len(fb):
+                xs = fb.sort_values(["asof_s", "url_hash"])["latency_ms"].astype(float)
+                at_delay = at_fold(
+                    xs.tolist(), at_delay if at_delay > 0 else at_base_delay_ms,
+                    at_base_delay_ms, at_max_delay_ms, at_concurrency,
+                )
+        eff_delay = max(float(crawl_delay_ms), at_delay)
+        rate = (1000.0 / eff_delay) if eff_delay > 0 else rate0
         rows = rows.sort_values(["priority", "seq", "url_hash"]).drop_duplicates(
             subset=["url_hash"], keep="first"
         )
@@ -146,7 +188,7 @@ def schedule_with_state(
         out = rows.copy()
         out["decision"] = ["fetch" if d else "defer" for d in decisions]
         out["tokens_left"] = toks
-        state.update((tokens, last_refill, emitted))
+        state.update((tokens, last_refill, emitted, at_delay))
         yield out[in_cols + ["decision", "tokens_left"]]
 
     return candidates.groupBy("host").applyInPandasWithState(

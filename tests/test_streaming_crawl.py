@@ -363,3 +363,67 @@ def test_streaming_crawl_dedup_composed_equals_batch(spark):
     after = {s: _snap(s) for s in ("documents", "dedup_pairs", "dedup_store", "seen")}
     assert after == before
     assert len(before["seen"]) > 0
+
+
+def test_streaming_autothrottle_throttles_slow_hosts(spark):
+    """Streaming AutoThrottle (politeness.py::at_fold + the feedback/
+    directory): drain 1 fetches and re-emits its observed latencies as
+    feedback rows; drain 2's scheduler folds them into per-host adapted
+    delays, so a systematically SLOW host (synth_latency_ms host bias)
+    fetches FEWER of its wave-2 candidates than a fast host with the
+    same crawl delay, while the non-adaptive control run treats them
+    identically. Seen-exactness is unaffected (pacing only)."""
+    from nde_crawlers_spark.sources.synthetic import _frac
+    from nde_crawlers_spark.streaming.crawl_stream import StreamingCrawl
+
+    n_hosts = 12
+
+    def _drive(root: str, autothrottle: bool) -> dict:
+        sc = StreamingCrawl(spark, root, num_hosts=n_hosts, crawl_delay_ms=500,
+                            autothrottle=autothrottle)
+        w1 = make_seeds(4 * n_hosts, n_hosts)
+        _write_candidates(spark, root, "w1", [(s["url"], s["priority"], 0.0) for s in w1])
+        sc.run_available_now()
+        # wave 2 arrives spread over ~5s of event time: refill = dt*rate
+        # now matters (a single far-future tick would clamp every host
+        # to the burst cap and hide rate differences entirely)
+        w2 = make_seeds(16 * n_hosts, n_hosts)[4 * n_hosts:]
+        _write_candidates(
+            spark, root, "w2",
+            [(s["url"], s["priority"], 100.0 + (i % 12) * 0.45) for i, s in enumerate(w2)],
+        )
+        sc.run_available_now()
+        # wave-2 fetches per host: the last drain's seen delta joined to
+        # the wave-2 url_hash -> host mapping
+        import glob as _g
+
+        from pyspark.sql import functions as FF
+
+        from nde_crawlers_spark.functions import urls as U2
+
+        seen_dirs = sorted(_g.glob(os.path.join(root, "seen", "batch=*")))
+        last = spark.read.parquet(seen_dirs[-1])
+        w2df = spark.createDataFrame(
+            [(s["url"], s["priority"], 100.0) for s in w2],
+            "url string, priority int, asof_s double",
+        )
+        hosts = U2.with_url_columns(w2df).select("url_hash", "host")
+        got = (
+            last.join(hosts, "url_hash")
+            .groupBy("host").agg(FF.count("*").alias("fetched"))
+        )
+        return {r["host"]: r["fetched"] for r in got.collect()}
+
+    at = _drive(tempfile.mkdtemp(prefix="sat_on_"), autothrottle=True)
+    ctl = _drive(tempfile.mkdtemp(prefix="sat_off_"), autothrottle=False)
+
+    slow = {h for h in ctl if _frac("lat-host:" + h) < 0.25}
+    fast = set(ctl) - slow
+    assert slow and fast, "fixture must produce both host classes"
+    # control: throttling off -> both classes behave the same; with AT
+    # on, slow hosts fetch strictly less of wave 2 than in the control,
+    # fast hosts are untouched (their adapted delay clamps to base=500
+    # = crawl delay)
+    for h in fast:
+        assert at.get(h, 0) == ctl.get(h, 0), (h, at.get(h), ctl.get(h))
+    assert any(at.get(h, 0) < ctl.get(h, 0) for h in slow), (at, ctl)
