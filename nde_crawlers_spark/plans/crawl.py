@@ -95,9 +95,14 @@ class CrawlConfig:
     # bit-identical at any parallelism (north-rule N-vs-4N invariant);
     # in production the same fold consumes measured latencies.
     autothrottle: bool = True
-    at_base_delay_ms: float = 500.0
+    at_base_delay_ms: float = 500.0        # clamp FLOOR (DOWNLOAD_DELAY analog)
     at_max_delay_ms: float = 60_000.0
     at_concurrency: float = 1.0
+    # Scrapy separates AUTOTHROTTLE_START_DELAY (5s) from the floor: a
+    # new host starts throttled and earns its budget back as it proves
+    # fast (delay adapts DOWN toward the floor), while slow hosts stay
+    # throttled. None = start at the floor (bit-stable default).
+    at_start_delay_ms: float | None = None
     # frontier persistence: False = full snapshot per round (simple,
     # sandbox default); True = O(delta) writes per round (frontier_add +
     # frontier_remove) with a full compaction snapshot every
@@ -396,7 +401,11 @@ class CrawlRun:
         # crawl order; hosts not fetched this round keep their delay.
         base_d = F.lit(float(cfg.at_base_delay_ms))
         max_d = F.lit(float(cfg.at_max_delay_ms))
-        prev_at = F.coalesce(F.col("at_delay_ms"), base_d)
+        start_d = F.lit(float(
+            cfg.at_start_delay_ms if cfg.at_start_delay_ms is not None
+            else cfg.at_base_delay_ms
+        ))
+        prev_at = F.coalesce(F.col("at_delay_ms"), start_d)
 
         def _at_fold(acc, x):
             nd = F.least(

@@ -90,6 +90,7 @@ def crawl_oracle(
     at_base_delay_ms: float = 500.0,
     at_max_delay_ms: float = 60_000.0,
     at_concurrency: float = 1.0,
+    at_start_delay_ms: float | None = None,
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, tuple] = {}  # url_hash -> (priority, seq, canon, host)
@@ -179,8 +180,9 @@ def crawl_oracle(
         # its previous adapted delay (base for new hosts); failures may
         # only raise the delay
         if autothrottle:
+            start = at_start_delay_ms if at_start_delay_ms is not None else at_base_delay_ms
             for host, xs in lat_hist.items():
-                acc = at_delay.get(host, at_base_delay_ms)
+                acc = at_delay.get(host, start)
                 for x in xs:
                     nd = min(
                         max((acc + abs(x) / at_concurrency) / 2, at_base_delay_ms),

@@ -121,6 +121,7 @@ def schedule_with_state(
     at_base_delay_ms: float = 500.0,
     at_max_delay_ms: float = 60_000.0,
     at_concurrency: float = 1.0,
+    at_start_delay_ms: float | None = None,
 ) -> DataFrame:
     """Token-bucket scheduling over a (streaming) candidates frame that
     has at least (host, url_hash, priority, seq, asof_s).
@@ -173,8 +174,12 @@ def schedule_with_state(
             rows = rows[rows["latency_ms"].isna()]
             if len(fb):
                 xs = fb.sort_values(["asof_s", "url_hash"])["latency_ms"].astype(float)
+                start = (
+                    at_start_delay_ms if at_start_delay_ms is not None
+                    else at_base_delay_ms
+                )
                 at_delay = at_fold(
-                    xs.tolist(), at_delay if at_delay > 0 else at_base_delay_ms,
+                    xs.tolist(), at_delay if at_delay > 0 else start,
                     at_base_delay_ms, at_max_delay_ms, at_concurrency,
                 )
         eff_delay = max(float(crawl_delay_ms), at_delay)

@@ -355,3 +355,64 @@ def test_crawl_bloom_nseg_change_on_resume_rebuilds(spark, oracle):
     last = run2.committed_rounds()[-1]
     segs = spark.read.parquet(os.path.join(d, f"round={last:04d}", "bloom_segments"))
     assert SN.segments_sizing(segs)[0] == 4
+
+
+def test_autothrottle_fast_host_budget_grows_from_start_delay(spark):
+    """Scrapy's AUTOTHROTTLE_START_DELAY separated from the floor: with
+    a high start delay (5s), every host begins throttled; across
+    observations a FAST host's adapted delay shrinks toward the floor —
+    its with_host_budget output GROWS back to the politeness budget —
+    while a slow host stays pinned near 1. The crawl remains
+    oracle-exact with the same start parameter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nde_crawlers_spark.operators import frontier as FR
+    from nde_crawlers_spark.sources.synthetic import robots_rules
+
+    n_hosts, n_seeds = 20, 240
+    seeds = make_seeds(n_seeds, n_hosts)
+    orc = crawl_oracle(seeds, n_hosts, round_seconds=2, max_rounds=2,
+                       at_start_delay_ms=5000.0)
+    d = tempfile.mkdtemp(prefix="crawl_sd_")
+    cfg = CrawlConfig(num_hosts=n_hosts, round_seconds=2, max_rounds=2,
+                      at_start_delay_ms=5000.0)
+    run = CrawlRun(spark, d, cfg)
+    run.run(seeds=spark.createDataFrame(
+        [(s["url"], s["priority"]) for s in seeds], ["url", "priority"]))
+    order = [
+        (r["round"], r["priority"], r["seq"], r["url_hash"])
+        for r in run.crawl_order().select("round", "priority", "seq", "url_hash").collect()
+    ]
+    assert order == sorted(orc.order)
+    assert {r["url_hash"] for r in run.seen().collect()} == orc.seen
+
+    last = run.committed_rounds()[-1]
+    robots = spark.read.parquet(os.path.join(d, f"round={last:04d}", "robots_cache"))
+    state = spark.read.parquet(os.path.join(d, f"round={last:04d}", "host_state"))
+    hosts = state.select("host")
+    # budget at the START delay (pre-observation) vs after adaptation
+    seeded = state.withColumn("at_delay_ms", F.lit(5000.0))
+
+    def budgets(st):
+        return {
+            r["host"]: r["host_budget"]
+            for r in FR.with_host_budget(
+                hosts, robots, 2, host_state=st, current_round=last + 1
+            ).collect()
+        }
+
+    b_start, b_adapted = budgets(seeded), budgets(state)
+    at = {r["host"]: r["at_delay_ms"] for r in state.collect()}
+    crawl_delay = {h: robots_rules(h)["crawl_delay_ms"] for h in at}
+    from nde_crawlers_spark.sources.synthetic import _frac as fr_
+    fast = [h for h in at if fr_("lat-host:" + h) >= 0.25 and crawl_delay[h] <= 500]
+    slow = [h for h in at if fr_("lat-host:" + h) < 0.25 and crawl_delay[h] <= 500]
+    assert fast and slow
+    # a fast host that got observations has adapted DOWN -> budget GREW
+    grew = [h for h in fast if b_adapted[h] > b_start[h]]
+    assert grew, (at, b_start, b_adapted)
+    # slow hosts stay near the start-delay budget (delay >= ~1300ms)
+    for h in slow:
+        assert at[h] > 1000.0, (h, at[h])
