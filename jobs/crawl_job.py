@@ -36,6 +36,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="disable the segmented bloom prefilter (exact anti-join only)")
     p.add_argument("--no-autothrottle", action="store_true",
                    help="disable per-host AutoThrottle delay adaptation")
+    p.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
+                   help="partitioned membership prefilter flavor")
     args = p.parse_args(argv)
 
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
@@ -49,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
         round_seconds=args.round_seconds,
         max_rounds=args.rounds,
         use_bloom=not args.no_bloom,
+        seen_filter=args.seen_filter,
         autothrottle=not args.no_autothrottle,
     )
     run = CrawlRun(spark, args.run_dir, cfg)

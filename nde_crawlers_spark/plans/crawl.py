@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import urls as U
+from ..operators import cuckoo as CK
 from ..operators import frontier as FR
 from ..operators import seen as SN
 from ..operators.fetch import fetch_parse
@@ -79,6 +80,12 @@ class CrawlConfig:
     # the north rule's partitioned URL-seen filter; no driver-side
     # combine anywhere (operators/seen.py)
     use_bloom: bool = True
+    # which partitioned membership filter fronts the seen anti-join:
+    # "bloom" (append-only, OR-maintained) or "cuckoo" (deletable —
+    # the TTL-recrawl path, operators/cuckoo.py). Both share the
+    # segment-count / design-capacity knobs below; use_bloom=False
+    # disables the prefilter entirely (exact anti-join only).
+    seen_filter: str = "bloom"
     bloom_segments: int = 64         # segment count (10^10 design point: 4096)
     bloom_expected: int = 1_000_000  # TOTAL expected keys across segments
     bloom_fpp: float = 0.01
@@ -295,24 +302,31 @@ class CrawlRun:
         # segment only); definite-new rows skip the anti-join entirely,
         # might-contain rows are confirmed exactly — identical output
         # set either way, at any parallelism.
+        mode = cfg.seen_filter if cfg.use_bloom else "exact"
+        seg_table = {"bloom": "bloom_segments", "cuckoo": "cuckoo_segments"}.get(mode)
         prev_segments = None
-        if cfg.use_bloom and r > 0 and os.path.isdir(
-            os.path.join(self._rdir(r - 1), "bloom_segments")
+        if seg_table and r > 0 and os.path.isdir(
+            os.path.join(self._rdir(r - 1), seg_table)
         ):
-            prev_segments = self._read(r - 1, "bloom_segments")
+            prev_segments = self._read(r - 1, seg_table)
             # a table from before the self-describing schema (no nseg
             # column) cannot be probed safely — its routing geometry is
             # unknown; drop it and probe/rebuild from the full seen set
             if "nseg" not in prev_segments.columns:
                 prev_segments = None
-        unseen = (
-            SN.filter_unseen_bloom_segmented(
+        if mode == "bloom":
+            unseen = SN.filter_unseen_bloom_segmented(
                 cand, seen, segments=prev_segments, nseg=cfg.bloom_segments,
                 expected=cfg.bloom_expected, fpp=cfg.bloom_fpp,
             )
-            if cfg.use_bloom
-            else SN.filter_unseen_exact(cand, seen)
-        ).cache()
+        elif mode == "cuckoo":
+            unseen = CK.filter_unseen_cuckoo_segmented(
+                cand, seen, segments=prev_segments, nseg=cfg.bloom_segments,
+                capacity=cfg.bloom_expected,
+            )
+        else:
+            unseen = SN.filter_unseen_exact(cand, seen)
+        unseen = unseen.cache()
         new_seen = unseen.select("url_hash").withColumn("first_seen_round", F.lit(r))
 
         allowed = FR.robots_filter(unseen, robots)
@@ -493,7 +507,35 @@ class CrawlRun:
             (host_state.coalesce(8), "host_state"),
             (lineage.coalesce(8), "lineage"),
         ]
-        if cfg.use_bloom:
+        if mode == "cuckoo":
+            # incremental maintenance, cuckoo form: insert the round's
+            # delta fingerprints into their own segments (cogroup); a
+            # geometry change or load-factor breach (committed keys past
+            # ~80% of table capacity — eviction walks degrade and spill
+            # to the stash) rebuilds at 2x headroom like the bloom path.
+            seen_total = self._seen_total + n_unseen
+            sizing = (
+                CK.cuckoo_segments_sizing(prev_segments)
+                if prev_segments is not None else None
+            )
+            if sizing is not None:
+                cap_total = int(sizing[1] * sizing[2] * sizing[0] / 1.25)
+                if sizing[0] != cfg.bloom_segments or seen_total > 0.8 * cap_total:
+                    prev_segments, sizing = None, None
+            if prev_segments is not None and sizing is not None:
+                new_segments = CK.insert_into_cuckoo_segments(
+                    prev_segments, new_seen.select("url_hash"),
+                    per_seg_capacity=max(int(sizing[1] * sizing[2] / 1.25), 64),
+                    slots=sizing[2],
+                )
+            else:
+                new_segments = CK.build_cuckoo_segments(
+                    seen.select("url_hash").unionByName(new_seen.select("url_hash")),
+                    nseg=cfg.bloom_segments,
+                    capacity=max(cfg.bloom_expected, 2 * seen_total),
+                )
+            writes.append((new_segments.coalesce(8), "cuckoo_segments"))
+        elif cfg.use_bloom:
             # incremental maintenance: this round's segment table =
             # previous table OR the delta's segments — committed with the
             # round, so a resumed run picks up exactly the filter state

@@ -416,3 +416,32 @@ def test_autothrottle_fast_host_budget_grows_from_start_delay(spark):
     # slow hosts stay near the start-delay budget (delay >= ~1300ms)
     for h in slow:
         assert at[h] > 1000.0, (h, at[h])
+
+
+def test_crawl_cuckoo_seen_filter_matches_oracle(spark, oracle):
+    """The crawl's membership prefilter is pluggable (north rule:
+    'partitioned cuckoo/bloom URL-seen filter'): with
+    seen_filter='cuckoo' the rounds maintain per-segment cuckoo tables
+    (insert-per-round, capacity-checked) instead of bloom segments, and
+    the crawl stays byte-identical to the oracle. The committed table
+    has NO false negatives for the full seen set (incremental inserts
+    preserve membership even when eviction walks spill to the stash)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nde_crawlers_spark.operators import cuckoo as CK
+
+    d = tempfile.mkdtemp(prefix="crawl_ck_")
+    cfg = CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=ROUNDS,
+                      seen_filter="cuckoo", bloom_segments=8, bloom_expected=4096)
+    run = CrawlRun(spark, d, cfg)
+    run.run(seeds=_seed_df(spark))
+    _check_against_oracle(run, oracle)
+    last = run.committed_rounds()[-1]
+    segs = spark.read.parquet(os.path.join(d, f"round={last:04d}", "cuckoo_segments"))
+    assert CK.cuckoo_segments_sizing(segs)[0] == 8
+    probed = CK.probe_cuckoo_segmented(run.seen().select("url_hash"), segs)
+    assert probed.filter(~F.col("__maybe_seen")).count() == 0
+    # and no bloom table was written in cuckoo mode
+    assert not os.path.isdir(os.path.join(d, f"round={last:04d}", "bloom_segments"))
