@@ -120,16 +120,19 @@ def fetch_normalize_bench(spark, n_urls: int, cores: int | None = None, runs: in
     fetch_parse(cands.limit(20_000), NUM_BENCH_HOSTS, colocate=False,
                 partitions=cores * 4).count()  # warm the worker pool
 
-    best, n_docs = None, 0
+    raw, n_docs = [], 0
     for _ in range(runs):
         t0 = time.monotonic()
         fetched = fetch_parse(cands, NUM_BENCH_HOSTS, colocate=False, partitions=None)
         n_docs = fetched.filter(F.col("status") == 200).count()
-        secs = time.monotonic() - t0
-        best = secs if best is None else min(best, secs)
+        raw.append(round(time.monotonic() - t0, 3))
     cands.unpersist()
-    return {"urls": n_urls, "docs": n_docs, "secs": round(best, 3),
-            "urls_per_sec": round(n_urls / best, 1)}
+    best = min(raw)
+    # raw_secs disclosed so a host-load swing between rounds can't
+    # masquerade as (or hide) a regression — r5 saw an 11% single-shot
+    # wobble on this exact metric
+    return {"urls": n_urls, "docs": n_docs, "secs": best,
+            "raw_secs": raw, "urls_per_sec": round(n_urls / best, 1)}
 
 
 def _seen_filter_segmented_bench(spark, n_seen: int, n_cand: int):
@@ -179,7 +182,7 @@ def run_headline() -> None:
     # best-of-2: single-sample wall times on a shared VM swing ~2x with
     # ambient load; the scaling protocol (--scaling) is the rigorous
     # best-of-3 pinned measurement
-    fb = fetch_normalize_bench(spark, 1_000_000, runs=2)
+    fb = fetch_normalize_bench(spark, 1_000_000, runs=3)
     times["fetch_normalize_1m"] = fb["secs"]
     total = round(sum(times.values()), 3)
 
@@ -206,23 +209,31 @@ def run_headline() -> None:
     new_times["seen_filter_segmented_2m"] = round(time.monotonic() - t0, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    # Auxiliary blobs (sf1 soak, delta-mode crawl soak) print on their
+    # OWN earlier lines: the driver keeps only a ~2,000-char tail of
+    # stdout, so the FINAL line must be the compact headline JSON alone
+    # (r5's embedded-soak line overflowed the tail and the round's
+    # official bench artifact parsed as null).
+    for aux_name, aux_path in (("soak_sf1", "BENCH/soak_sf1.json"),
+                               ("soak_crawl_delta", "BENCH/soak_crawl_delta.json")):
+        if os.path.exists(aux_path):
+            print(json.dumps({"aux": aux_name, "path": aux_path,
+                              **json.load(open(aux_path))}))
+    headline = json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "new_queries": new_times,
         "new_total": round(sum(new_times.values()), 3),
-        "timing": "per-query best-of-2 (r4+; r1-r3 single-shot)",
+        "timing": "per-query best-of-2 (r4+; r1-r3 single-shot); fetch best-of-3",
         "sf": float(sf),
         "fetch_normalize_urls_per_sec": fb["urls_per_sec"],
+        "fetch_normalize_raw_secs": fb["raw_secs"],
         "cores": CPUS,
-        # sf1 soak (10x rows): pre-run via `python bench.py --soak-sf1`
-        # (minutes-long; not re-run per driver bench), embedded verbatim
-        # with its own cores/timing disclosures
-        **({"soak_sf1": json.load(open("BENCH/soak_sf1.json"))}
-           if os.path.exists("BENCH/soak_sf1.json") else {}),
-    }))
+    })
+    assert len(headline) < 2000, f"headline line {len(headline)}B >= driver tail window"
+    print(headline)
 
 
 
