@@ -205,7 +205,7 @@ SELECT doc_id, canonical_url, url_hash, host, host_bucket, path, seq, priority F
 # mirror of queries.crawl_autothrottle_budget: the Scrapy AutoThrottle
 # recurrence folded over each host's round-ordered latencies via
 # list_reduce (init prepended; non-200 encoded as negative latency)
-_AT_ND = "least(greatest((a + abs(b) / 1.0) / 2, 500.0), 60000.0)"
+_AT_ND = "least(greatest(abs(b) / 1.0, (a + abs(b) / 1.0) / 2, 500.0), 60000.0)"
 ORACLES["crawl_autothrottle_budget"] = f"""
 WITH hosts AS (SELECT DISTINCT source, CAST(replace(source, 'src', '') AS INTEGER) AS h FROM documents),
 g AS (
@@ -1459,7 +1459,10 @@ SELECT p.doc_id, p.source,
             ELSE '' END AS technique_std,
        CASE WHEN p.source IN ({_IN("topic_category")})
             THEN 'topic-' || CAST((p.doc_id % 12) % 5 AS VARCHAR)
-            ELSE '' END AS topic
+            ELSE '' END AS topic,
+       CASE WHEN p.source IN ({_IN("disambiguate")}) AND p.doc_id % 4 = 0 AND p.doc_id < 20000
+            THEN 'disamb-' || CAST(p.doc_id % 13 AS VARCHAR)
+            ELSE '' END AS disamb
 FROM p
 LEFT JOIN spg ON p.doc_id = spg.doc_id
 LEFT JOIN agg_ ON p.doc_id = agg_.doc_id

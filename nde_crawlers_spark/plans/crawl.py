@@ -38,7 +38,7 @@ import json
 import os
 import shutil
 import time
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -94,8 +94,11 @@ class CrawlConfig:
     # True, TARGET_CONCURRENCY=1.0 over DOWNLOAD_DELAY=0.5s — e.g.
     # bei_crawler/files/settings.py:2-5): each host's delay adapts to
     # its observed fetch latencies by the Scrapy recurrence
-    #   next = clamp((delay + latency/C) / 2, base, max)
-    #   (non-200 responses may only RAISE the delay, never lower it)
+    #   target = latency/C
+    #   next = clamp(max(target, (delay + target)/2), base, max)
+    #   (non-200 responses may only RAISE the delay, never lower it;
+    #   the max(target, mean) step is Scrapy's: one very slow response
+    #   jumps the delay to its full target, not halfway)
     # folded per host over the round's fetches in crawl order. The
     # latencies are deterministic corpus DATA (sources/synthetic.py::
     # synth_latency_ms), not wall-clock, so scheduling stays
@@ -108,8 +111,11 @@ class CrawlConfig:
     # Scrapy separates AUTOTHROTTLE_START_DELAY (5s) from the floor: a
     # new host starts throttled and earns its budget back as it proves
     # fast (delay adapts DOWN toward the floor), while slow hosts stay
-    # throttled. None = start at the floor (bit-stable default).
-    at_start_delay_ms: float | None = None
+    # throttled. 5000.0 is the Scrapy default no reference crawler
+    # overrides (r5 shipped None = start-at-floor for signature
+    # stability; r6 re-derived the oracle signatures instead).
+    # None = start at the floor.
+    at_start_delay_ms: float | None = 5000.0
     # frontier persistence: False = full snapshot per round (simple,
     # sandbox default); True = O(delta) writes per round (frontier_add +
     # frontier_remove) with a full compaction snapshot every
@@ -117,6 +123,12 @@ class CrawlConfig:
     # (PLANS.md shuffle inventory).
     frontier_deltas: bool = False
     compact_every: int = 4
+    # injectable fetch body (operators/fetch.py contract): None = the
+    # deterministic synthetic corpus; operators/http_fetch.HttpFetcher
+    # (or a proxy wrapper) puts real sockets behind the SAME plan. If
+    # the callable also exposes ``robots_txt(host) -> str``, robots
+    # bodies come from it too (_update_robots).
+    fetcher: Callable[[str], dict] | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -269,12 +281,13 @@ class CrawlRun:
         new_hosts = (
             candidates.select("host").distinct().join(robots, "host", "left_anti")
         )
+        robots_body = getattr(self.cfg.fetcher, "robots_txt", None) or render_robots_txt
 
         def _fetch_robots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
                 for h in pdf["host"]:
-                    r = parse_robots_txt(render_robots_txt(h))
+                    r = parse_robots_txt(robots_body(h))
                     rows.append((h, r["disallow_prefixes"], r["crawl_delay_ms"]))
                 yield pd.DataFrame(rows, columns=["host", "disallow_prefixes", "crawl_delay_ms"])
 
@@ -354,7 +367,8 @@ class CrawlRun:
         selected = FR.topk_per_host(budgeted, salt_factor=cfg.salt_factor).drop("host_budget").cache()
 
         # fused fetch+parse: bodies never cross the JVM<->Python boundary
-        fetched = fetch_parse(selected, cfg.num_hosts, cfg.max_attempts).cache()
+        fetched = fetch_parse(selected, cfg.num_hosts, cfg.max_attempts,
+                              fetcher=cfg.fetcher).cache()
 
         # 1->N fan-out: the dataset doc (doc_id = url_hash) plus one doc
         # per embedded sample (doc_id = url_hash#role) — the SRA
@@ -422,10 +436,8 @@ class CrawlRun:
         prev_at = F.coalesce(F.col("at_delay_ms"), start_d)
 
         def _at_fold(acc, x):
-            nd = F.least(
-                F.greatest((acc + F.abs(x) / F.lit(float(cfg.at_concurrency))) / 2, base_d),
-                max_d,
-            )
+            tgt = F.abs(x) / F.lit(float(cfg.at_concurrency))
+            nd = F.least(F.greatest(tgt, (acc + tgt) / 2, base_d), max_d)
             return F.when(x >= 0, nd).otherwise(F.greatest(acc, nd))
 
         new_at = (

@@ -90,7 +90,7 @@ def crawl_oracle(
     at_base_delay_ms: float = 500.0,
     at_max_delay_ms: float = 60_000.0,
     at_concurrency: float = 1.0,
-    at_start_delay_ms: float | None = None,
+    at_start_delay_ms: float | None = 5000.0,
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[str, tuple] = {}  # url_hash -> (priority, seq, canon, host)
@@ -184,10 +184,8 @@ def crawl_oracle(
             for host, xs in lat_hist.items():
                 acc = at_delay.get(host, start)
                 for x in xs:
-                    nd = min(
-                        max((acc + abs(x) / at_concurrency) / 2, at_base_delay_ms),
-                        at_max_delay_ms,
-                    )
+                    tgt = abs(x) / at_concurrency
+                    nd = min(max(tgt, (acc + tgt) / 2, at_base_delay_ms), at_max_delay_ms)
                     acc = nd if x >= 0 else max(acc, nd)
                 at_delay[host] = acc
 

@@ -107,10 +107,13 @@ def bucket_schedule(
 def at_fold(xs: list[float], acc: float, base: float, maxd: float, conc: float) -> float:
     """The Scrapy AutoThrottle recurrence over signed latencies (the
     same fold the batch plan runs in plans/crawl.py host_state):
-    next = clamp((delay + |latency|/C)/2, base, max); a negative value
+    target = |latency|/C; next = clamp(max(target, (delay + target)/2),
+    base, max) — including Scrapy's max(target, mean) step, so one very
+    slow response raises the delay to its full target. A negative value
     marks a failed fetch, which may only RAISE the delay."""
     for x in xs:
-        nd = min(max((acc + abs(x) / conc) / 2, base), maxd)
+        tgt = abs(x) / conc
+        nd = min(max(tgt, (acc + tgt) / 2, base), maxd)
         acc = nd if x >= 0 else max(acc, nd)
     return acc
 
@@ -121,7 +124,7 @@ def schedule_with_state(
     at_base_delay_ms: float = 500.0,
     at_max_delay_ms: float = 60_000.0,
     at_concurrency: float = 1.0,
-    at_start_delay_ms: float | None = None,
+    at_start_delay_ms: float | None = 5000.0,
 ) -> DataFrame:
     """Token-bucket scheduling over a (streaming) candidates frame that
     has at least (host, url_hash, priority, seq, asof_s).

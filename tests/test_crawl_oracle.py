@@ -227,9 +227,17 @@ def test_autothrottle_adapts_budgets(spark):
 
     n_hosts, n_seeds = 20, 160
     seeds = make_seeds(n_seeds, n_hosts)
-    orc = crawl_oracle(seeds, n_hosts, round_seconds=2, max_rounds=2)
+    # start at the FLOOR (not the shipped 5s START_DELAY default): this
+    # test asserts adaptation DIRECTION from a common floor — a fast
+    # host's budget must stay at politeness while a slow host's
+    # shrinks. With the 5s start both classes begin throttled and the
+    # fast host has not descended to the floor after 2 rounds; the
+    # START_DELAY behavior has its own test below.
+    orc = crawl_oracle(seeds, n_hosts, round_seconds=2, max_rounds=2,
+                       at_start_delay_ms=None)
     d = tempfile.mkdtemp(prefix="crawl_at_")
-    cfg = CrawlConfig(num_hosts=n_hosts, round_seconds=2, max_rounds=2)
+    cfg = CrawlConfig(num_hosts=n_hosts, round_seconds=2, max_rounds=2,
+                      at_start_delay_ms=None)
     assert cfg.autothrottle  # autothrottle is the shipped default
     run = CrawlRun(spark, d, cfg)
     run.run(seeds=spark.createDataFrame(

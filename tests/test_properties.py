@@ -177,9 +177,8 @@ def test_autothrottle_fold_spark_matches_python(spark):
     df = spark.createDataFrame(rows, "i int, xs array<double>, init double")
 
     def _at_fold_col(acc, x):
-        nd = F.least(
-            F.greatest((acc + F.abs(x) / F.lit(conc)) / 2, F.lit(base)), F.lit(maxd)
-        )
+        tgt = F.abs(x) / F.lit(conc)
+        nd = F.least(F.greatest(tgt, (acc + tgt) / 2, F.lit(base)), F.lit(maxd))
         return F.when(x >= 0, nd).otherwise(F.greatest(acc, nd))
 
     got = {
