@@ -26,15 +26,20 @@ balanced. ``colocate=False`` (bulk/backfill mode, politeness enforced
 upstream at selection time) repartitions uniformly on url_hash — maximal
 parallelism, immune to host skew.
 
-In the sandbox the "network" is the deterministic synthetic corpus
-(sources/synthetic.py); on a real cluster the fetch body swaps for an
-HTTP client with the same contract — the Spark plumbing is identical.
+The fetch body is INJECTABLE: both operators take a ``fetcher``
+callable ``(canonical_url) -> record dict`` with keys status/attempts/
+kind/body/bytes/retry_after_s/latency_ms. The default is the
+deterministic synthetic corpus (sources/synthetic.py::synth_fetch); the
+real-socket implementation is ``http_fetch.HttpFetcher`` (stdlib
+urllib, bounded retries, Retry-After capture) — proven equivalent over
+loopback in tests/test_http_fetch.py. The Spark plumbing is identical
+either way.
 """
 
 from __future__ import annotations
 
 import time
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 import pyarrow as pa
@@ -133,19 +138,27 @@ def _partition(selected: DataFrame, colocate: bool, partitions: int | None) -> D
     return cols.repartition(partitions, F.col("url_hash"))
 
 
+def _default_fetcher(num_hosts: int, max_attempts: int) -> Callable[[str], dict]:
+    def _f(url: str) -> dict:
+        return synth_fetch(url, num_hosts, max_attempts)
+    return _f
+
+
 def fetch_selected(
     selected: DataFrame,
     num_hosts: int,
     max_attempts: int = 3,
     colocate: bool = True,
     partitions: int | None = None,
+    fetcher: Callable[[str], dict] | None = None,
 ) -> DataFrame:
     """Fetch only (bodies emitted) — the staged raw-zone path."""
+    fetcher = fetcher or _default_fetcher(num_hosts, max_attempts)
 
     def _fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             t0 = time.monotonic()
-            recs = [synth_fetch(u, num_hosts, max_attempts) for u in pdf["canonical_url"]]
+            recs = [fetcher(u) for u in pdf["canonical_url"]]
             wall = int((time.monotonic() - t0) * 1000)
             out = pdf.copy()
             out["status"] = [r["status"] for r in recs]
@@ -168,10 +181,12 @@ def fetch_parse(
     max_attempts: int = 3,
     colocate: bool = True,
     partitions: int | None = None,
+    fetcher: Callable[[str], dict] | None = None,
 ) -> DataFrame:
     """FUSED fetch + parse: one Arrow stage, bodies never leave the
     Python worker; span/outlink list columns built from flat arrays.
     Failed fetches (status != 200) carry empty spans/outlinks."""
+    fetcher = fetcher or _default_fetcher(num_hosts, max_attempts)
 
     def _run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -197,7 +212,7 @@ def fetch_parse(
             retry_afters: list[int] = []
             latencies: list[int] = []
             for u in canon:
-                f = synth_fetch(u, num_hosts, max_attempts)
+                f = fetcher(u)
                 statuses.append(f["status"])
                 attempts.append(f["attempts"])
                 nbytes.append(f["bytes"])

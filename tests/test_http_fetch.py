@@ -1,0 +1,153 @@
+"""Real-socket fetch behind the injectable fetch contract.
+
+Proves the claim fetch.py has carried since round 1 — "the fetch body
+swaps for an HTTP client with the same contract" — with actual sockets:
+a loopback ThreadingHTTPServer replays the deterministic synthetic
+corpus (bodies, statuses, per-attempt retry draws, Retry-After headers,
+robots.txt bytes) over HTTP, and
+
+- ``HttpFetcher`` (stdlib urllib, bounded retries) returns records
+  field-identical to ``synth_fetch`` (latency_ms excepted — it is real
+  wall-clock here), and
+- a full 2-round ``CrawlRun`` driven through ``LoopbackProxyFetcher``
+  produces byte-identical crawl order / seen set / span sequences to
+  the same crawl over the in-process corpus (AutoThrottle OFF for the
+  byte-equality claim: with it ON the measured — genuinely
+  nondeterministic — latencies feed the delay fold, which is the
+  intended production behavior but unpinnable in a test).
+
+Reference: the Scrapy downloader stack these rounds replace
+(tycho_crawler/files/settings.py:2-6 — AUTOTHROTTLE over real latency,
+RETRY_TIMES-bounded retries, ROBOTSTXT_OBEY).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import threading
+from collections import defaultdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from nde_crawlers_spark.operators.http_fetch import HttpFetcher, LoopbackProxyFetcher
+from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
+from nde_crawlers_spark.sources.synthetic import (
+    _status_draw,
+    make_seeds,
+    render_body,
+    render_robots_txt,
+    retry_after_s,
+    synth_body,
+    synth_fetch,
+)
+
+N_HOSTS = 10
+
+
+class _CorpusHandler(BaseHTTPRequestHandler):
+    """Replay gateway: GET /{host}{path} serves the synthetic page for
+    the LOGICAL url https://{host}{path}; /{host}/robots.txt serves the
+    host's robots bytes. Per-URL request counters drive the SAME
+    per-attempt status draws synth_fetch folds internally, so a real
+    retry loop observes the same 429/500-then-200 sequences."""
+
+    server_version = "corpus/0.1"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):  # silence per-request stderr
+        pass
+
+    def _reply(self, status: int, body: bytes = b"", headers: dict | None = None):
+        self.send_response(status)
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+
+    def do_GET(self):
+        rest = self.path.lstrip("/")
+        host, _, path = rest.partition("/")
+        if path == "robots.txt":
+            self._reply(200, render_robots_txt(host).encode(),
+                        {"Content-Type": "text/plain"})
+            return
+        logical = f"https://{rest}"
+        with self.server.lock:
+            attempt = self.server.counts[logical]
+            self.server.counts[logical] += 1
+        status = _status_draw(logical, attempt)
+        if status == 200:
+            page = synth_body(logical, self.server.num_hosts)
+            self._reply(200, render_body(page).encode(),
+                        {"Content-Type": "text/plain", "X-NDE-Kind": page["kind"]})
+        elif status == 429:
+            self._reply(429, headers={"Retry-After": str(retry_after_s(logical))})
+        else:
+            self._reply(status)
+
+
+@pytest.fixture(scope="module")
+def corpus_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _CorpusHandler)
+    srv.counts = defaultdict(int)
+    srv.lock = threading.Lock()
+    srv.num_hosts = N_HOSTS
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_fetcher_matches_synth_contract(corpus_server):
+    """Field-identical records over real sockets, including bounded
+    retries (attempts), 404 finality, and Retry-After capture."""
+    from nde_crawlers_spark.plans.oracle import canonical_url_py
+
+    fetcher = LoopbackProxyFetcher(corpus_server, max_attempts=3)
+    urls = sorted({canonical_url_py(s["url"]) for s in make_seeds(120, N_HOSTS)})
+    statuses = set()
+    for u in urls:
+        got = fetcher(u)
+        want = synth_fetch(u, N_HOSTS, 3)
+        got.pop("latency_ms"), want.pop("latency_ms")  # real vs corpus-data
+        assert got == want, u
+        statuses.add(got["status"])
+    assert 200 in statuses and statuses - {200}, "fixture must exercise failures too"
+
+
+def test_http_robots_bytes(corpus_server):
+    fetcher = LoopbackProxyFetcher(corpus_server)
+    for host in ("host0.example.org", "host3.example.org"):
+        assert fetcher.robots_txt(host) == render_robots_txt(host)
+
+
+def test_crawl_run_over_real_sockets(spark, corpus_server):
+    """2 crawl rounds through CrawlRun with the HTTP fetcher: crawl
+    order, seen set, and span sequences byte-identical to the
+    in-process corpus run (AutoThrottle OFF — see module docstring)."""
+    seeds = make_seeds(60, N_HOSTS)
+    seed_df = spark.createDataFrame(
+        [(s["url"], s["priority"]) for s in seeds], ["url", "priority"])
+
+    def _drive(fetcher):
+        cfg = CrawlConfig(num_hosts=N_HOSTS, round_seconds=2, max_rounds=2,
+                          autothrottle=False, fetcher=fetcher)
+        run = CrawlRun(spark, tempfile.mkdtemp(prefix="crawl_http_"), cfg)
+        run.run(seeds=seed_df)
+        order = [(r["round"], r["priority"], r["seq"], r["url_hash"])
+                 for r in run.crawl_order()
+                 .select("round", "priority", "seq", "url_hash").collect()]
+        seen = {r["url_hash"] for r in run.seen().collect()}
+        docs = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                for r in run.documents().collect()}
+        return order, seen, docs
+
+    http = _drive(LoopbackProxyFetcher(corpus_server, max_attempts=3))
+    synth = _drive(None)
+    assert http[0] == synth[0], "crawl order diverged over real sockets"
+    assert http[1] == synth[1], "seen set diverged"
+    assert http[2] == synth[2], "span sequences diverged"
+    assert len(http[2]) > 20
