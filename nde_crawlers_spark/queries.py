@@ -112,8 +112,12 @@ def crawl_autothrottle_budget(spark, sf_dir):
     DOWNLOAD_DELAY=0.5s (e.g. bei_crawler/files/settings.py:2-5): the
     per-host delay adapts to observed latency by the recurrence
 
-        next = clamp((delay + latency/C) / 2, base_delay, max_delay)
+        target = latency / C
+        next = clamp(max(target, (delay + target) / 2), base_delay, max_delay)
         (non-200 responses may only RAISE the delay, never lower it)
+
+    — including Scrapy's max(target, mean) step, so a single very slow
+    response raises the delay all the way to its target, not halfway.
 
     folded over each host's round-ordered latency history as ONE
     row-local higher-order aggregate (no shuffle beyond the per-host
@@ -140,9 +144,8 @@ def crawl_autothrottle_budget(spark, sf_dir):
     )
 
     def _fold(acc, x):
-        nd = F.least(
-            F.greatest((acc + F.abs(x) / F.lit(conc)) / 2, F.lit(base)), F.lit(maxd)
-        )
+        tgt = F.abs(x) / F.lit(conc)
+        nd = F.least(F.greatest(tgt, (acc + tgt) / 2, F.lit(base)), F.lit(maxd))
         return F.when(x >= 0, nd).otherwise(F.greatest(acc, nd))
 
     delay = F.aggregate("xs", F.lit(base), _fold)
@@ -1636,7 +1639,7 @@ def _uploader_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UPLOADER_LOOKUP_CACHE: dict[int, dict] = {}
+_UPLOADER_LOOKUP_CACHE: dict[str, tuple] = {}
 
 
 def _uploader_lookups(spark: SparkSession):
@@ -1646,10 +1649,19 @@ def _uploader_lookups(spark: SparkSession):
     the lookups are input-independent, the taxonomy closure is an
     iterative (driver-chatty) build, and re-creating it per query call
     both costs ~1s of plan-build time AND leaks a fresh .cache() entry
-    each time."""
-    key = id(spark)
-    if key in _UPLOADER_LOOKUP_CACHE:
-        return _UPLOADER_LOOKUP_CACHE[key]
+    each time. Keyed by applicationId (stable per live session, never
+    recycled the way id(spark) is after GC) and guarded by a weakref to
+    the session object itself: a hit whose session died returns cached
+    DataFrames bound to a dead JVM, so such entries are evicted."""
+    import weakref
+
+    key = spark.sparkContext.applicationId
+    hit = _UPLOADER_LOOKUP_CACHE.get(key)
+    if hit is not None:
+        ref, lookups = hit
+        if ref() is spark:
+            return lookups
+        del _UPLOADER_LOOKUP_CACHE[key]
     from .operators import lineage as LN
 
     species_lookup = spark.range(0, 24).select(
@@ -1694,7 +1706,25 @@ def _uploader_lookups(spark: SparkSession):
         F.col("id").cast("int").alias("topic_key"),
         F.concat(F.lit("topic-"), (F.col("id") % 5).cast("string")).alias("topic"),
     )
-    _UPLOADER_LOOKUP_CACHE[key] = {
+    # add_disambiguating_description CSV analog (utils/
+    # disambiguating_description.py:14-39): per-source rows keyed by
+    # LOWERCASE _id. Every 4th record of each disamb-family source has
+    # a curated summary; ids cover doc_id < 20000 (any sandbox SF).
+    from .uploaders import fixture_family
+
+    disamb_lookup = (
+        spark.range(0, 20000, 4)
+        .crossJoin(
+            spark.createDataFrame([(n,) for n in fixture_family("disambiguate")],
+                                  ["source"])
+        )
+        .select(
+            "source",
+            F.concat(F.col("source"), F.lit(":rec:"), F.col("id").cast("string")).alias("_id_lc"),
+            F.concat(F.lit("disamb-"), (F.col("id") % 13).cast("string")).alias("disambiguatingDescription"),
+        )
+    )
+    lookups = {
         "species_lookup": species_lookup,
         "closure": closure,
         "ner_rules": ner_rules,
@@ -1702,8 +1732,10 @@ def _uploader_lookups(spark: SparkSession):
         "pmid_lookup": pmid_lookup,
         "mt_lookup": mt_lookup,
         "topic_lookup": topic_lookup,
+        "disamb_lookup": disamb_lookup,
     }
-    return _UPLOADER_LOOKUP_CACHE[key]
+    _UPLOADER_LOOKUP_CACHE[key] = (weakref.ref(spark), lookups)
+    return lookups
 
 
 def uploader_registry(spark, sf_dir):
@@ -1757,6 +1789,7 @@ def uploader_registry(spark, sf_dir):
         F.array_join("citations", ",").alias("citations_csv"),
         F.coalesce(F.col("technique_std"), F.lit("")).alias("technique_std"),
         F.coalesce(F.col("topic"), F.lit("")).alias("topic"),
+        F.coalesce(F.col("disambiguatingDescription"), F.lit("")).alias("disamb"),
     )
 
 

@@ -74,6 +74,7 @@ class UploaderSpec:
     pmid: bool = False                   # load_pmid_ctfd citation enrichment
     measurement_technique: bool = False  # process_measurement_technique
     topic_category: bool = False         # add_topic_category
+    disambiguate: bool = False           # add_disambiguating_description
     casefold_id: bool = True             # utils.py:394 — every WRAPPED uploader
     stages: tuple[str, ...] = ()         # reference load_data call order
 
@@ -97,14 +98,15 @@ class UploaderSpec:
 #                extraction incl. ADVANCED_DROP_RULES.
 #   mt        -> process_measurement_technique (utils/mt_standardizer).
 #   topic     -> add_topic_category (utils/topic_category_helper).
+#   disamb    -> add_disambiguating_description (utils/
+#                disambiguating_description.py:14-39): a per-source
+#                CSV keyed by LOWERCASE _id adds a
+#                disambiguatingDescription field to matching docs —
+#                a broadcast lookup join. Called by immport (between
+#                ner and mt, uploader.py:27) and clinepidb (last,
+#                uploader.py:35) only.
 #   (load_documents — the corrections ndjson LOADER, utils/
-#   corrections.py:428-449 — is a scan, not a transform: no flag.
-#   add_disambiguating_description — called by immport/uploader.py and
-#   clinepidb/uploader.py between ner and mt — is a description-TEXT
-#   rewrite (utils/disambiguating_description.py) with no structured
-#   column in this engine's document model; it is deliberately OUTSIDE
-#   the stage vocabulary and the chain strings below, so those two
-#   chains are the pre-wrapper sequence MINUS that one call.)
+#   corrections.py:428-449 — is a scan, not a transform: no flag.)
 #
 # Six sources (bioconductor, dockstore, gxa, sb_apps,
 # veupath_collections, workflowhub) define NO load_data of their own:
@@ -127,7 +129,7 @@ _CHAINS: dict[str, tuple[bool, str]] = {
     "biotools": (True, "fund ner"),
     "bv_brc": (True, "recl fund"),
     "ceirr": (True, "fund recl ner"),
-    "clinepidb": (True, "pmid fund recl ner mt topic"),
+    "clinepidb": (True, "pmid fund recl ner mt topic disamb"),
     "clingen": (True, "recl fund"),
     "covid_radx": (True, "pmid fund recl ner mt topic"),
     "dash": (True, "pmid fund recl topic"),
@@ -144,7 +146,7 @@ _CHAINS: dict[str, tuple[bool, str]] = {
     "gxa": (True, ""),
     "hca": (True, "recl ner"),
     "hubmap": (True, "ner mt topic"),
-    "immport": (True, "recl fund ner mt topic"),
+    "immport": (True, "recl fund ner disamb mt topic"),
     "immunespace": (True, "recl"),
     "lincs": (True, "fund ner mt topic"),
     "malariagen": (True, "ner"),
@@ -199,6 +201,7 @@ def _spec(name: str, wrapped: bool, chain: str) -> UploaderSpec:
         pmid="pmid" in s,
         measurement_technique="mt" in s,
         topic_category="topic" in s,
+        disambiguate="disamb" in s,
         casefold_id=wrapped,
         stages=stages,
     )
@@ -259,6 +262,7 @@ def run_uploader(
     pmid_lookup: DataFrame | None = None,
     mt_lookup: DataFrame | None = None,
     topic_lookup: DataFrame | None = None,
+    disamb_lookup: DataFrame | None = None,
     source_col: str = "source",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -342,6 +346,37 @@ def run_uploader(
                 ),
             )
             .drop("__ner")
+        )
+
+    xs = _family(reg, lambda sp: sp.disambiguate)
+    if xs and disamb_lookup is not None:
+        # add_disambiguating_description (utils/disambiguating_
+        # description.py:14-39): per-source CSV keyed by LOWERCASE _id
+        # -> a broadcast lookup join on (source, lower(_id)) adding the
+        # disambiguatingDescription field; docs without a CSV row (or
+        # outside the family) keep NULL. Joined before the wrapper
+        # casefold, exactly where the reference chains call it — the
+        # reference lowercases both sides of the key, so ordering vs
+        # casefold cannot change the match set.
+        dl = F.broadcast(disamb_lookup.select(
+            F.col("source").alias("__d_src"),
+            F.col("_id_lc").alias("__d_id"),
+            F.col("disambiguatingDescription").alias("__d_desc"),
+        ))
+        out = (
+            out.join(
+                dl,
+                (F.lower(F.col("_id")) == F.col("__d_id"))
+                & (F.col(source_col) == F.col("__d_src")),
+                "left",
+            )
+            .withColumn(
+                "disambiguatingDescription",
+                F.when(_in_family(source_col, xs), F.col("__d_desc")).otherwise(
+                    F.lit(None).cast("string")
+                ),
+            )
+            .drop("__d_src", "__d_id", "__d_desc")
         )
 
     ps = _family(reg, lambda sp: sp.pmid)

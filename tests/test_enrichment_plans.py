@@ -314,9 +314,8 @@ def _parse_reference_chains():
     - the chain is the source-order sequence of stage-helper calls in
       the ``load_data`` body (load_pmid_ctfd / standardize_funding /
       standardize_data / process_descriptions /
-      process_measurement_technique / add_topic_category;
-      add_disambiguating_description is outside the stage vocabulary
-      by design — see the ``uploaders._CHAINS`` header)."""
+      process_measurement_technique / add_topic_category /
+      add_disambiguating_description)."""
     import ast
     from pathlib import Path
 
@@ -328,6 +327,7 @@ def _parse_reference_chains():
         "process_descriptions": "ner",
         "process_measurement_technique": "mt",
         "add_topic_category": "topic",
+        "add_disambiguating_description": "disamb",
     }
     wrapped_bases = {"NDESourceUploader", "NDESourceSampleUploader", "NDECombinedUploader"}
 
@@ -379,8 +379,8 @@ def test_registry_matches_reference_chains():
     table is DERIVED by parsing the reference uploader sources
     (``_parse_reference_chains``), so any registry drift — wrong stage
     order, a missed wrapper decoration, a phantom source — fails here.
-    Spot anchors: immport/uploader.py:23-31 (recl fund ner mt topic,
-    wrapped), zenodo/uploader.py:27-111 (sqlite version merge + DOI
+    Spot anchors: immport/uploader.py:23-31 (recl fund ner disamb mt
+    topic, wrapped), zenodo/uploader.py:27-111 (sqlite version merge + DOI
     promotion, wrapped, no pre-wrapper stages), workflowhub/uploader.py
     (no load_data of its own -> inherits the WRAPPED base load_data,
     nde.py:119-127), node/uploader.py:15-21
@@ -404,6 +404,10 @@ def test_registry_matches_reference_chains():
         assert sp.drop_rules == ("ner" in s), name
         assert sp.measurement_technique == ("mt" in s), name
         assert sp.topic_category == ("topic" in s), name
+        assert sp.disambiguate == ("disamb" in s), name
+        # add_disambiguating_description ships in exactly two chains
+        # (immport/uploader.py:27, clinepidb/uploader.py:33)
+        assert sp.disambiguate == (name in ("immport", "clinepidb")), name
         assert sp.stages == tuple(chain.split()), name
         # wrapper tail (utils/utils.py:352-403) is all-or-nothing
         assert sp.lineage == wrapped, name
