@@ -300,10 +300,73 @@ def insert_into_cuckoo_segments(
 
 def delete_from_cuckoo_segments(
     segments: DataFrame, expired: DataFrame, key: str = "url_hash",
+    live: DataFrame | None = None,
 ) -> DataFrame:
     """TTL recrawl: evict the expired keys' fingerprints from their own
-    segments — those URLs read as definitely-unseen again, no rebuild."""
-    return _apply_keys_to_segments(segments, expired, key, "delete", 64, 4)
+    segments — those URLs read as definitely-unseen again, no rebuild.
+
+    Deletion hazard and its GUARD: cuckoo deletion removes the first
+    slot matching (fingerprint, bucket-pair), and two keys colliding on
+    the 16-bit fingerprint with a shared bucket are indistinguishable —
+    deleting an expired key can evict a LIVE key's copy instead (its
+    own copy sits in the partner bucket outside the live key's pair),
+    turning that URL into a silent false negative (re-fetched as
+    definite-new). With ``live`` (the segment's surviving seen keys —
+    the round has them as seen MINUS expired), each segment VERIFIES
+    after deletion that every live key still probes present and
+    REBUILDS itself from its live set when a collision evicted one;
+    rebuilt segments keep their recorded geometry. ``live`` must be the
+    COMPLETE post-delete membership, since a rebuilt segment contains
+    exactly those keys. Without ``live`` the unguarded single-copy
+    delete runs (callers that tolerate ~n²/2¹⁶/nbuckets re-fetches)."""
+    if live is None:
+        return _apply_keys_to_segments(segments, expired, key, "delete", 64, 4)
+    sizing = cuckoo_segments_sizing(segments)
+    nseg = sizing[0] if sizing is not None else 64
+
+    def _tag(df: DataFrame, is_live: int) -> DataFrame:
+        return df.select(
+            _seg_of(F.col(key), nseg).alias("__seg"),
+            _key_hash(F.col(key)).alias("__h"),
+            F.lit(is_live).alias("__live"),
+        )
+
+    keys = _tag(expired, 0).unionByName(_tag(live, 1))
+
+    def _merge(kdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if len(sdf) == 0:
+            # no filter for this segment: delete is a no-op, and there
+            # is no membership state for live keys to lose
+            return pd.DataFrame(columns=["seg", "nseg", "nbuckets", "slots", "blob"])
+        cf = CuckooFilter.from_bytes(
+            sdf["blob"].iloc[0], int(sdf["nbuckets"].iloc[0]), int(sdf["slots"].iloc[0])
+        )
+        exp = kdf[kdf["__live"] == 0]
+        liv = kdf[kdf["__live"] == 1]
+        if len(exp):
+            cf.delete_hashes(_u64(exp["__h"]))
+        if len(liv):
+            lh = _u64(liv["__h"])
+            if not cf.contains_hashes(lh).all():
+                # a (fingerprint, bucket) collision evicted a live key:
+                # rebuild this segment from its live set, preserving the
+                # recorded geometry (per-row geometry keeps probes exact)
+                fresh = CuckooFilter.__new__(CuckooFilter)
+                fresh.nbuckets, fresh.slots = cf.nbuckets, cf.slots
+                fresh.table = np.zeros((cf.nbuckets, cf.slots), dtype=np.uint16)
+                fresh.count, fresh.max_kicks, fresh.stash = 0, 500, []
+                fresh.insert_hashes(lh)
+                cf = fresh
+        return pd.DataFrame({
+            "seg": [int(sdf["seg"].iloc[0])], "nseg": [int(sdf["nseg"].iloc[0])],
+            "nbuckets": [cf.nbuckets], "slots": [cf.slots], "blob": [cf.to_bytes()],
+        })
+
+    return (
+        keys.groupBy("__seg")
+        .cogroup(segments.groupBy("seg"))
+        .applyInPandas(_merge, schema=CUCKOO_SEGMENT_SCHEMA)
+    )
 
 
 def probe_cuckoo_segmented(

@@ -270,10 +270,12 @@ def crawl_recrawl_ttl(spark, sf_dir):
     become fetchable again. Output = candidates passing the TTL-aware
     filter; exactness: might-contain rows are confirmed against the
     ACTIVE seen set by the anti-join (a stale positive costs a lookup,
-    never a wrong row). Deletion can introduce false NEGATIVES only if
-    two seen keys collide on (16-bit fingerprint, bucket pair) —
-    ~n^2/2^16/nbuckets, collision-free on the deterministic fixture and
-    caught by the oracle if the fixture ever changes."""
+    never a wrong row). Deletion false negatives — an expired key
+    colliding with a live key on (16-bit fingerprint, bucket) can evict
+    the live copy — are GUARDED: the delete verifies every surviving
+    live key still probes present per segment and rebuilds that segment
+    from its live set on a collision (delete_from_cuckoo_segments,
+    forced-collision property test in tests/test_cuckoo.py)."""
     from .operators import cuckoo as CK
 
     fr = _frontier(spark, sf_dir)
@@ -283,7 +285,7 @@ def crawl_recrawl_ttl(spark, sf_dir):
     expired = seen.filter(F.col("first_seen_round") < 5).select("url_hash")
     active = seen.filter(F.col("first_seen_round") >= 5).select("url_hash")
     segs = CK.build_cuckoo_segments(seen.select("url_hash"), nseg=16, capacity=4096)
-    segs = CK.delete_from_cuckoo_segments(segs, expired)
+    segs = CK.delete_from_cuckoo_segments(segs, expired, live=active)
     return CK.filter_unseen_cuckoo_segmented(fr, active, segments=segs).select(
         "doc_id", "url_hash", "host"
     )

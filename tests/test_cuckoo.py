@@ -135,3 +135,69 @@ def test_segmented_cuckoo_incremental_insert_and_persistence(spark, tmp_path):
     )
     fp = CK.probe_cuckoo_segmented(fresh, back).filter(F.col("__maybe_seen")).count()
     assert fp < 20  # ~2^-16 per slot probed, generous bound
+
+
+def test_guarded_delete_repairs_forced_fp_bucket_collision(spark):
+    """FORCE the deletion false-negative and observe the repair.
+
+    With equal 16-bit fingerprints the bucket PAIR is fully determined
+    (partner = b1 XOR H(fp)), so deleting an expired key whose copy is
+    still present always leaves the live collider a copy — the silent
+    false negative needs a delete for a fingerprint whose own copy is
+    ALREADY ABSENT: a TTL sweep replayed after a crash, a duplicate row
+    in the expired frame, or an expired key dropped earlier by an
+    adaptive segment rebuild from the active set. Then the delete
+    evicts the LIVE collider's copy and that URL silently re-fetches.
+    This test builds a segment holding live key L, deletes a
+    never-inserted key N that collides with L on (fingerprint, bucket):
+    the unguarded delete makes L read unseen; the guarded delete
+    (live= passed) detects the miss and rebuilds the segment from its
+    live set, restoring L while N stays recrawl-eligible."""
+    from nde_crawlers_spark.operators import cuckoo as CK
+
+    # model the exact geometry build_cuckoo_segments(capacity=64,
+    # nseg=1) creates, and search key space for a colliding pair using
+    # the REAL jvm-side key hashes
+    n = 60_000
+    hs = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url_hash"),
+            F.xxhash64(F.concat(F.lit("u"), F.col("id").cast("string")), F.lit("#cuckoo")).alias("h"),
+        )
+        .toPandas()
+    )
+    h = hs["h"].values.astype("int64").view("uint64")
+    model = CuckooFilter(64)  # nbuckets matches the built segment
+    fps = model._fingerprint(h)
+    b1 = model._bucket1(h)
+    import collections
+    by_fp_b1 = collections.defaultdict(list)
+    for i in range(n):
+        by_fp_b1[(int(fps[i]), int(b1[i]))].append(i)
+    pair = next(v for v in by_fp_b1.values() if len(v) >= 2)
+    iL, iN = pair[0], pair[1]
+    u = lambda i: hs["url_hash"].iloc[i]  # noqa: E731
+    one = lambda *ids: spark.createDataFrame([(u(i),) for i in ids], ["url_hash"])  # noqa: E731
+
+    segs = CK.build_cuckoo_segments(one(iL), nseg=1, capacity=64).cache()
+    segs.count()
+    live = one(iL)
+
+    def probe_hits(segs_df, keys):
+        p = CK.probe_cuckoo_segmented(keys, segs_df, nseg=1)
+        return {r["url_hash"] for r in p.filter(F.col("__maybe_seen")).collect()}
+
+    assert probe_hits(segs, one(iL)) == {u(iL)}
+    # unguarded: deleting N (same fp, same bucket, own copy absent)
+    # evicts L's copy -> L falsely unseen
+    bad = CK.delete_from_cuckoo_segments(segs, one(iN)).cache()
+    assert u(iL) not in probe_hits(bad, one(iL)), (
+        "fixture no longer forces the collision — re-derive iL/iN")
+    # guarded: the segment verifies its live keys and rebuilds
+    good = CK.delete_from_cuckoo_segments(segs, one(iN), live=live).cache()
+    assert probe_hits(good, live) == {u(iL)}, "live key lost after guarded delete"
+    # the expired key stays recrawl-eligible (it can only false-positive
+    # into the exact confirm, never block)
+    exact_new = CK.filter_unseen_cuckoo_segmented(one(iN, iL), live, segments=good)
+    assert {r["url_hash"] for r in exact_new.collect()} == {u(iN)}
