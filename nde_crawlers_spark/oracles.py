@@ -1586,3 +1586,35 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        min(o_orderstatus || '-' || upper(o_orderpriority)) AS tag
 FROM orders GROUP BY 1, 2, 3
 """
+
+
+# mirror of queries.embed_memo_cache: sha256 memo keys, hash-level cache
+# membership (doc_id % 3 != 0 slice), sentinel byte_i/255 for hits, the
+# stub's normalized-digest arithmetic for misses, micro-unit rendering
+ORACLES["embed_memo_cache"] = """
+WITH k AS (
+  SELECT doc_id, sha256(lower(text)) AS text_hash FROM documents
+),
+ch AS (SELECT DISTINCT text_hash FROM k WHERE doc_id % 3 != 0),
+b AS (
+  SELECT doc_id, text_hash,
+         EXISTS (SELECT 1 FROM ch WHERE ch.text_hash = k.text_hash) AS hit,
+         list_transform(range(16),
+           i -> CAST('0x' || substr(text_hash, CAST(2*i+1 AS INTEGER), 2) AS INTEGER)) AS bytes
+  FROM k
+),
+r AS (
+  SELECT *, list_transform(bytes, x -> (x - 127.5) / 127.5) AS raw FROM b
+),
+n AS (
+  SELECT *, sqrt(list_reduce(list_transform(raw, x -> x * x), (a, x) -> a + x)) AS nrm FROM r
+)
+SELECT doc_id, text_hash, hit,
+       CASE WHEN hit
+            THEN array_to_string(list_transform(bytes,
+                   x -> CAST(CAST(round(round(x / 255.0, 6) * 1e6) AS BIGINT) AS VARCHAR)), ',')
+            ELSE array_to_string(list_transform(raw,
+                   x -> CAST(CAST(round(round(x / nrm, 6) * 1e6) AS BIGINT) AS VARCHAR)), ',')
+       END AS emb_csv
+FROM n
+"""

@@ -1941,6 +1941,56 @@ def setops_union_by_name(spark, sf_dir):
     )
 
 
+
+
+def embed_memo_cache(spark, sf_dir):
+    """The sha256-memo batched-inference pass (hub/dataindex/embed.py:
+    39-42,63-71,168-177) as an oracle-checkable catalog row: texts are
+    keyed by sha256(lower(text)); a fixture cache already holds every
+    doc whose doc_id % 3 != 0 (keys held back = every third id — BUT
+    membership is at the HASH level, so a held-back doc whose text
+    duplicates a cached doc's is still a HIT, exactly the memo
+    economics the reference's cache gives duplicate texts); only misses
+    run the batched stub inference. Cache-hit rows carry a per-key
+    SENTINEL embedding (byte_i/255) distinguishable from the stub's
+    normalized values, so the output proves which path produced each
+    row. Embeddings are rendered as micro-unit ints (round(x*1e6)) —
+    exact across float32/double engines at 6-decimal rounding."""
+    from .operators import embed as EM
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fixture cache: the ALREADY-EMBEDDED corpus slice, sentinel values
+    # derived from the same digest bytes the stub uses (byte_i/255)
+    cached_keys = EM.text_keys(docs.filter(F.col("doc_id") % 3 != 0)).select(
+        "text_hash"
+    ).distinct()
+    sentinel = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.round(
+            F.conv(F.substring(F.col("text_hash"), i * 2 + 1, 2), 16, 10).cast("double")
+            / F.lit(255.0),
+            6,
+        ).cast("float"),
+    )
+    cache = cached_keys.select("text_hash", sentinel.alias("embedding"))
+    enriched, _cache2 = EM.embed_with_cache(docs, cache)
+    cached_flag = enriched.join(
+        cache.select("text_hash", F.lit(True).alias("hit")), "text_hash", "left"
+    )
+    return cached_flag.select(
+        "doc_id",
+        "text_hash",
+        F.coalesce(F.col("hit"), F.lit(False)).alias("hit"),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1e6).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("emb_csv"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_url_canonicalize": crawl_url_canonicalize,
     "crawl_url_filter": crawl_url_filter,
@@ -1948,6 +1998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_autothrottle_budget": crawl_autothrottle_budget,
     "crawl_seen_filter": crawl_seen_filter,
     "crawl_recrawl_ttl": crawl_recrawl_ttl,
+    "embed_memo_cache": embed_memo_cache,
     "crawl_robots_filter": crawl_robots_filter,
     "crawl_frontier_topk": crawl_frontier_topk,
     "crawl_politeness_budget": crawl_politeness_budget,
