@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..functions import urls as U
 from ..operators import seen as SN
 from ..operators.fetch import fetch_parse
-from .politeness import schedule_with_state
+from .politeness import STATE_VERSION, schedule_with_state
 
 CAND_SCHEMA = "url string, priority int, asof_s double"
 # feedback rows re-enqueued by the batch processor: same URL key shape
@@ -175,6 +175,25 @@ class StreamingCrawl:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(outdir, "_COMMIT"))
+        self._gc_feedback(upto)
+
+    def _gc_feedback(self, upto: int) -> None:
+        """Remove feedback batches consumed before the PREVIOUS
+        compaction boundary (same crash-window conservatism as
+        gc_seen_deltas). Feedback is pacing-only — the scheduler folds
+        it into per-host delay state as batches arrive, and replay
+        after a crash re-reads only batches newer than the checkpoint —
+        so GC here bounds feedback/ growth without touching output
+        exactness."""
+        import shutil
+
+        base = self._dir("feedback")
+        if not os.path.isdir(base):
+            return
+        keep_from = upto - self.compact_every + 1
+        for d in sorted(os.listdir(base)):
+            if d.startswith("batch=") and int(d.split("=")[1]) < keep_from:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     def documents(self) -> DataFrame:
         return self.spark.read.parquet(self._dir("documents") + "/*")
@@ -193,7 +212,15 @@ class StreamingCrawl:
             .withColumn("latency_ms", F.lit(None).cast("double"))
         )
         if self.autothrottle:
-            fb = self.spark.readStream.schema(FEEDBACK_SCHEMA).parquet(self._dir("feedback"))
+            # recursiveFileLookup: feedback is laid out per batch id
+            # (feedback/batch=NNNNNN, overwritten idempotently like
+            # documents/deferred) — recursive listing reads the files
+            # without treating batch= as an inferred partition column
+            fb = (
+                self.spark.readStream.schema(FEEDBACK_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(self._dir("feedback"))
+            )
             stream = stream.unionByName(fb)
         keyed = (
             U.with_url_columns(stream)
@@ -204,7 +231,13 @@ class StreamingCrawl:
         scheduled = schedule_with_state(keyed, crawl_delay_ms=self.crawl_delay_ms)
         q = (
             scheduled.writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", self._dir("checkpoint"))
+            # checkpoint dir keyed on the politeness STATE_VERSION:
+            # a checkpoint written under an older state layout would
+            # fail Spark's state-store schema check at query start, so
+            # a version bump retires it (full idempotent reprocess)
+            # instead of erroring — see politeness.STATE_VERSION
+            .option("checkpointLocation",
+                    self._dir(f"checkpoint/v{STATE_VERSION}"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -251,12 +284,20 @@ class StreamingCrawl:
             signed = F.when(
                 F.col("status") == 200, F.col("latency_ms").cast("double")
             ).otherwise(-F.col("latency_ms").cast("double"))
+            # idempotent per batch id (overwrite, like documents/
+            # deferred): a crash-replayed batch rewrites the SAME rows
+            # instead of appending duplicates the scheduler would fold
+            # twice, and the directory stops growing without bound —
+            # compaction GCs consumed batches (pacing-only data, so
+            # aggressive GC can never affect output exactness)
             fetched.select(
                 F.col("canonical_url").alias("url"),
                 F.lit(0).alias("priority"),
                 F.lit(0.0).alias("asof_s"),
                 signed.alias("latency_ms"),
-            ).coalesce(1).write.mode("append").parquet(self._dir("feedback"))
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._dir(f"feedback/batch={batch_id:06d}")
+            )
         unseen.unpersist()
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self._compact(batch_id)

@@ -29,13 +29,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# Version of the per-host state row layout. Spark's state store REJECTS
+# a resumed query whose state schema differs from the checkpoint's
+# (at_delay_ms was added in v2 — a v1 checkpoint fails the
+# compatibility check at query START, before any state is read), so
+# schema changes must bump this version and consumers key their
+# checkpoint DIRECTORY on it (streaming/crawl_stream.py uses
+# checkpoint/v{STATE_VERSION}): an old checkpoint is retired cleanly —
+# the stream reprocesses from scratch with idempotent per-batch-id
+# writes (identical outputs; only pacing state is lost) — instead of
+# dying on the opaque state-store error.
+STATE_VERSION = 2
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("tokens", T.DoubleType()),
         T.StructField("last_refill_s", T.DoubleType()),
         T.StructField("emitted_total", T.LongType()),
         # AutoThrottle-adapted per-host delay (ms); refill rate derives
-        # from greatest(crawl_delay, at_delay) once feedback arrives
+        # from greatest(crawl_delay, at_delay) once feedback arrives.
+        # NULL until the host's first feedback row (same-version states
+        # read back with st[3] is None — guarded at the fold site).
         T.StructField("at_delay_ms", T.DoubleType()),
     ]
 )
