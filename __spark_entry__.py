@@ -252,37 +252,48 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Queries whose implementation or oracle changed in the current round
 # are PINNED in-window regardless of rotation (head of the list).
 _WINDOW_PRIORITY = [
-    # r5 pinned: registry wrapped-flags + two chain transcriptions fixed
-    # (all 59 uploaders wrapped), multi-'?' URL-param semantics aligned
+    # r6 pinned: implementation or oracle changed this round —
+    # disamb stage (uploader_registry/nde_pipeline_e2e), Scrapy
+    # max(target, mean) fold + 5s START_DELAY (crawl_autothrottle_budget
+    # + the e2e rows), guarded cuckoo delete (crawl_recrawl_ttl), and
+    # the new embed memo row
     "uploader_registry",
     "nde_pipeline_e2e",
-    "crawl_url_filter",
-]
-# settled r4-green rows rotating behind the window for r5 (they rotate
-# back in next round; every name below has a green hash-match row in
-# CORRECTNESS_r04.json and stays covered by the parity mirror)
-_ROTATED_OUT = [
-    "crawl_url_canonicalize",
-    "crawl_sitemap_seed",
     "crawl_autothrottle_budget",
-    "crawl_seen_filter",
-    "crawl_robots_filter",
-    "crawl_politeness_budget",
-    "crawl_retry_after_budget",
-    "crawl_host_lineage",
-    "dedup_exact_prefix",
-    "dedup_simhash",
-    "text_gopher_quality",
-    "text_repetition",
-    "sample_stratified",
-    "pack_greedy_bins",
-    "text_pii_scrub",
-    "merge_key_dedup_1x1",
-    "merge_version_groups",
-    "merge_identifier_dedup",
-    "enrich_cache_miss",
-    "enrich_theta_contains",
-    "nde_doi_promote",
+    "crawl_recrawl_ttl",
+    "embed_memo_cache",
+]
+# settled r5-green rows rotating behind the window for r6 (every name
+# below has a green hash-match row in CORRECTNESS_r05.json and stays
+# covered by the full-catalog parity mirror); the 21 r4-settled queries
+# rotated out last round return to the window per the rule
+_ROTATED_OUT = [
+    "dedup_minhash_lsh",
+    "dedup_simhash64_hamming",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    "dedup_semantic_keepone",
+    "dedup_incremental_minhash",
+    "dedup_exact_substring",
+    "text_decontaminate",
+    "text_importance_weights",
+    "text_analyze",
+    "text_lang_agreement",
+    "text_quality_filter",
+    "text_bpe_tokens",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "merge_priority_lastwriter",
+    "merge_apply_1x1",
+    "enrich_broadcast_lookup",
+    "enrich_explode_collect",
+    "enrich_lineage_expand",
+    "enrich_reclassify",
+    "enrich_drop_rules",
+    "tpch_q1",
+    "tpch_q3_top10",
 ]
 
 

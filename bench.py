@@ -404,6 +404,102 @@ def run_soak_sf1() -> None:
     print(json.dumps(out))
 
 
+
+
+# ----------------------- delta-mode crawl soak ---------------------------
+
+SOAK_DELTA_SEEDS, SOAK_DELTA_HOSTS, SOAK_DELTA_ROUNDS = 2_000_000, 500, 6
+
+
+def run_soak_crawl_delta() -> None:
+    """Soak the crawl loop's O(delta) frontier path (plans/crawl.py
+    frontier_deltas=True) at the 2M-URL scaling-corpus size: the SAME
+    crawl runs in snapshot mode (full frontier rewrite per round) and
+    delta mode (frontier_add/remove + compaction every 4 rounds) for 6
+    rounds at local[32]; order/seen/docs signatures must be identical,
+    and the per-round wall times + frontier bytes written are reported
+    so flat (non-growing) delta-mode round cost is evidenced. Budgets
+    keep per-round selection ~10/host, so the frontier stays ~2M rows
+    throughout — the regime where snapshot rewrites dominate.
+    Pre-run artifact (minutes-long): the per-driver bench embeds
+    BENCH/soak_crawl_delta.json on its own stdout line."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
+
+    spark = _spark(CPUS)
+    seeds = spark.range(0, SOAK_DELTA_SEEDS, 1, 64).select(
+        F.concat(
+            F.lit("https://host"),
+            F.pmod(F.xxhash64("id", F.lit("zh")), F.lit(SOAK_DELTA_HOSTS)).cast("string"),
+            F.lit(".example.org/records/"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.pmod(F.xxhash64("id", F.lit("pr")), F.lit(5)).cast("int").alias("priority"),
+    )
+
+    def _frontier_bytes(d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            if os.path.basename(root).startswith(("frontier_",)):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def _sigs(run):
+        order = run.crawl_order().select("round", "priority", "seq", "url_hash")
+        order_sig = order.select(
+            F.md5(F.concat_ws("|", "round", "priority", "seq", "url_hash")).alias("h")
+        ).agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("s")).first()["s"]
+        seen_sig = run.seen().select("url_hash").agg(
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("url_hash")))).alias("s")
+        ).first()["s"]
+        docs_sig = run.documents().select(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.to_json(F.col("spans")))).alias("h")
+        ).agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("s")).first()["s"]
+        return order_sig, seen_sig, docs_sig
+
+    modes = {}
+    sigs = {}
+    for mode, extra in (
+        ("snapshot", {}),
+        ("delta", {"frontier_deltas": True, "compact_every": 4}),
+    ):
+        d = tempfile.mkdtemp(prefix=f"soak_delta_{mode}_")
+        run = CrawlRun(spark, d, CrawlConfig(
+            num_hosts=SOAK_DELTA_HOSTS, round_seconds=5,
+            max_rounds=SOAK_DELTA_ROUNDS, **extra))
+        t0 = time.monotonic()
+        run.run(seeds=seeds)
+        total_s = round(time.monotonic() - t0, 3)
+        rounds = [run._meta(r) for r in run.committed_rounds()]
+        sigs[mode] = _sigs(run)
+        modes[mode] = {
+            "total_s": total_s,
+            "per_round_wall_s": [m["wall_s"] for m in rounds],
+            "selected": [m["selected"] for m in rounds],
+            "frontier_rows": [m["frontier_next"] for m in rounds],
+            "frontier_bytes_written": _frontier_bytes(d),
+        }
+        shutil.rmtree(d, ignore_errors=True)
+    assert sigs["snapshot"] == sigs["delta"], (
+        "delta-mode crawl diverged from snapshot mode", sigs)
+    out = {
+        "cores": CPUS,
+        "seeds": SOAK_DELTA_SEEDS,
+        "hosts": SOAK_DELTA_HOSTS,
+        "rounds": SOAK_DELTA_ROUNDS,
+        "signatures_identical": True,
+        "order_sig": sigs["delta"][0],
+        "modes": modes,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/soak_crawl_delta.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 # ---------------------------- scaling protocol ----------------------------
 
 def _fetch_bench_child(cores: int, n_urls: int) -> None:
@@ -626,6 +722,8 @@ binding.
 if __name__ == "__main__":
     if len(sys.argv) == 1:
         run_headline()
+    elif sys.argv[1] == "--soak-crawl-delta":
+        run_soak_crawl_delta()
     elif sys.argv[1] == "--soak-sf1":
         run_soak_sf1()
     elif sys.argv[1] == "--scaling":

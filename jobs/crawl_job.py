@@ -65,12 +65,17 @@ def main(argv: list[str] | None = None) -> int:
         metas = run.run(seeds=sdf)
     for m in metas:
         print(json.dumps(m))
-    lineage = run.lineage()
+    # one summary job, not one action per metric: documents/seen counts
+    # and the byte total come from the per-round _COMMIT metas and one
+    # lineage agg — on a big run dir separate count() actions each
+    # re-scan their table
+    rounds = run.committed_rounds()
+    metas_by_round = [run._meta(r) for r in rounds]
     print(json.dumps({
-        "rounds": len(run.committed_rounds()),
-        "documents": run.documents().count(),
-        "seen": run.seen().count(),
-        "bytes": lineage.agg({"bytes": "sum"}).first()[0],
+        "rounds": len(rounds),
+        "documents": sum(m["documents"] for m in metas_by_round),
+        "seen": sum(m["new_seen"] for m in metas_by_round),
+        "bytes": run.lineage().agg({"bytes": "sum"}).first()[0],
     }))
     return 0
 
