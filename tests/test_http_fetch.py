@@ -89,7 +89,10 @@ class _CorpusHandler(BaseHTTPRequestHandler):
             self._reply(status)
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()  # function-scoped: per-URL attempt counters must
+# start fresh per test — the corpus replays per-attempt status draws,
+# so a counter advanced by another test's fetch of the same URL would
+# shift this test's retry sequences
 def corpus_server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _CorpusHandler)
     srv.counts = defaultdict(int)
