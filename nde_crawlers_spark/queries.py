@@ -1716,9 +1716,9 @@ def _uploader_lookups(spark: SparkSession):
 
     disamb_lookup = (
         spark.range(0, 20000, 4)
-        .crossJoin(
-            spark.createDataFrame([(n,) for n in fixture_family("disambiguate")],
-                                  ["source"])
+        .select(
+            F.explode(F.array(*[F.lit(n) for n in fixture_family("disambiguate")])).alias("source"),
+            F.col("id"),
         )
         .select(
             "source",
