@@ -262,6 +262,7 @@ _WINDOW_PRIORITY = [
     "crawl_autothrottle_budget",
     "crawl_recrawl_ttl",
     "embed_memo_cache",
+    "ann_pq_adc_topk",
 ]
 # settled r5-green rows rotating behind the window for r6 (every name
 # below has a green hash-match row in CORRECTNESS_r05.json and stays

@@ -214,3 +214,105 @@ def lsh_topk(
         .select("query_id", "neighbor_id", "cosine")
     )
     return _topk_per_query(scored, k)
+
+
+# ------------------------- product quantization ---------------------------
+
+def _fmt(x: float) -> str:
+    """Double literal that parses identically in Spark SQL and DuckDB."""
+    return format(float(x), ".17e")
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the memory-bounded ANN scale
+    path (IVF-PQ's compression half): each vector is encoded as ``m``
+    subspace codes (argmin L2 to ``ksub`` centroids per subspace, so a
+    64-dim float corpus compresses to ``m`` small ints per row ≈ 64x),
+    and a query scores candidates via asymmetric distance — one
+    ``m x ksub`` lookup table per query, score = sum of ``m`` table
+    lookups per candidate, never touching the original vectors.
+
+    At 10^9 vectors the encoded corpus fits where floats cannot
+    (m bytes/vector), encode is one codegen'd projection, and scoring
+    is a broadcast of Q luts against the code table — a map-only stage
+    plus the per-query top-k. The default codebook mirrors ``ivf_topk``:
+    the first ``ksub`` corpus vectors per subspace (a pure function of
+    the data, so the DuckDB oracle reproduces it relationally); pass a
+    trained one (``kmeans_codebook`` per subspace slice) for real
+    centroids — identical plan shape.
+
+    Cross-engine exactness discipline: distances are SEQUENTIAL
+    left-folds over the subspace elements (Spark ``aggregate`` with 0.0
+    init == DuckDB ``list_reduce``: the 0-init term is an exact IEEE
+    no-op), centroid values are double literals of the same float32
+    corpus values, and ranking keys on (round(adc, 6), neighbor_id) —
+    so Spark and the SQL oracle rank identically bit-for-bit.
+
+    Reference analog: the dense-vector index the reference delegates to
+    ES int8_hnsw (hub/dataindex/embed.py:51-59) — int8 scalar
+    quantization there, product quantization here; both trade recall
+    for a memory-bounded index."""
+    dsub = dim // m
+    rows = codebook if codebook is not None else sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col(id_col) < ksub).select(id_col, vec_col).collect()
+    )  # ksub rows — bounded driver-side codebook, exactly like ivf_topk
+
+    def carr(j: int, c: int) -> str:
+        return "array(" + ",".join(
+            _fmt(rows[c][1][j * dsub + i]) for i in range(dsub)
+        ) + ")"
+
+    def dist(j: int, c: int, vec: str) -> str:
+        # ((0 + t1) + t2) + ... : same association as list_reduce
+        return (
+            f"aggregate(sequence(1,{dsub}), cast(0 as double), (acc, i) -> "
+            f"acc + (element_at({vec}, i + {j * dsub}) - element_at({carr(j, c)}, i))"
+            f" * (element_at({vec}, i + {j * dsub}) - element_at({carr(j, c)}, i)))"
+        )
+
+    def darr(j: int, vec: str) -> str:
+        return "array(" + ",".join(dist(j, c, vec) for c in range(ksub)) + ")"
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), dbl.alias("v"))
+    for j in range(m):
+        corpus = corpus.withColumn(
+            f"code{j}",
+            F.expr(
+                f"cast(array_position({darr(j, 'v')},"
+                f" array_min({darr(j, 'v')})) as int)"
+            ),
+        )
+    corpus = corpus.drop("v")  # the encoded table: id + m codes, no floats
+
+    qf = queries.select(F.col(id_col).alias("query_id"), dbl.alias("qv"))
+    for j in range(m):
+        qf = qf.withColumn(f"lut{j}", F.expr(darr(j, "qv")))
+    qf = F.broadcast(qf.drop("qv"))
+
+    score = F.expr(" + ".join(f"element_at(lut{j}, code{j})" for j in range(m)))
+    scored = (
+        corpus.crossJoin(qf)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", F.round(score, 6))
+        .select("query_id", "neighbor_id", "adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -1618,3 +1618,58 @@ SELECT doc_id, text_hash, hit,
        END AS emb_csv
 FROM n
 """
+
+
+# mirror of queries.ann_pq_adc_topk: PQ encode (argmin L2 per subspace
+# vs the first-8-corpus-rows codebook, computed RELATIONALLY from the
+# same table Spark collects its codebook literals from) + ADC scoring.
+# Distances are sequential left-folds (list_reduce == Spark aggregate
+# with exact-no-op 0-init), so ranks match bit-for-bit. Formulated as
+# CROSS JOIN + GROUP BY (DuckDB lambdas cannot capture correlated
+# subquery outer refs).
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 4, 8, 16
+
+
+def _pq_dist(j: int) -> str:
+    off = j * _PQ_DSUB
+    return (f"list_reduce(list_transform(range(1, {_PQ_DSUB + 1}), i -> "
+            f"(x.v[CAST(i + {off} AS INTEGER)] - c.v[CAST(i + {off} AS INTEGER)])"
+            f" * (x.v[CAST(i + {off} AS INTEGER)] - c.v[CAST(i + {off} AS INTEGER)])),"
+            f" (a, b) -> a + b)")
+
+
+ORACLES["ann_pq_adc_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id, v FROM e WHERE vec_id < {_PQ_KSUB}),
+cdists AS (
+  SELECT x.vec_id, c.vec_id AS cid,
+         {", ".join(f"{_pq_dist(j)} AS d{j}" for j in range(_PQ_M))}
+  FROM e x CROSS JOIN cent c
+),
+cagg AS (
+  SELECT vec_id,
+         {", ".join(f"list(d{j} ORDER BY cid) AS darr{j}" for j in range(_PQ_M))}
+  FROM cdists GROUP BY vec_id
+),
+codes AS (
+  SELECT vec_id AS neighbor_id,
+         {", ".join(f"CAST(list_position(darr{j}, list_min(darr{j})) AS INTEGER) AS code{j}" for j in range(_PQ_M))}
+  FROM cagg
+),
+luts AS (
+  SELECT vec_id AS query_id,
+         {", ".join(f"darr{j} AS lut{j}" for j in range(_PQ_M))}
+  FROM cagg WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round({" + ".join(f"q.lut{j}[c.code{j}]" for j in range(_PQ_M))}, 6) AS adc
+  FROM codes c CROSS JOIN luts q
+  WHERE c.neighbor_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""

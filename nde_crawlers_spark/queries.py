@@ -423,6 +423,17 @@ def ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, q, k=10, nlist=8, nprobe=2)
 
 
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ compression + asymmetric-distance top-k (similarity.py::
+    pq_adc_topk): 64-dim float vectors -> 4 subspace codes; queries
+    score candidates via m table lookups over the encoded table only —
+    the memory-bounded ANN path (~64x corpus compression) next to the
+    ivf/lsh recall paths."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.pq_adc_topk(emb, q, k=10, m=4, ksub=8)
+
+
 # ------------------------------------------------------------------ text --
 def text_analyze(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -2024,6 +2035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "text_analyze": text_analyze,
     "text_lang_agreement": text_lang_agreement,
     "text_quality_filter": text_quality_filter,

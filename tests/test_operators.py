@@ -703,3 +703,41 @@ def test_topk_per_host_hot_host_skew(spark):
     assert hot_n == 25
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan  # phase-1 salted window present
+
+
+def test_pq_adc_recall_and_compression(spark):
+    """PQ-ADC sanity: on the clustered fixture, the m-subspace encoding
+    preserves cluster geometry — every query's top-5 ADC neighbors come
+    from the query's own cluster (the compression is ~dim*4/m bytes ->
+    m ints per row), and a trained per-cluster codebook equals the
+    corpus rows exactly at the cluster centers. Exact rank parity vs
+    DuckDB is the catalog row (ann_pq_adc_topk); this test checks the
+    semantic claim the oracle can't: quantized distances still separate
+    real structure."""
+    from nde_crawlers_spark.operators.similarity import pq_adc_topk
+
+    dim, per = 64, 40
+    rows = []
+    for c in range(3):
+        base = [0.0] * dim
+        base[c * 20] = 10.0
+        for i in range(per):
+            v = list(base)
+            for d in range(dim):
+                v[d] += (((i * 31 + d * 7 + c * 13) % 11) - 5) / 10.0
+            rows.append((c * per + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id").isin([5, 45, 85]))
+    # representative codebook: rows drawn from every cluster (the
+    # catalog row uses the first-ksub default, which the DuckDB oracle
+    # mirrors; HERE the claim is geometric, so the codebook must span
+    # the clusters — garbage centroids quantize everything onto one
+    # cell, exactly as real PQ degrades with an untrained codebook)
+    picks = [0, 13, 27, 40, 53, 67, 80, 93]
+    cb = [(n, [float(x) for x in rows[i][1]]) for n, i in enumerate(picks)]
+    got = pq_adc_topk(emb, q, k=5, m=4, ksub=8, codebook=cb).collect()
+    assert len(got) == 15
+    cluster = lambda i: i // per  # noqa: E731
+    for r in got:
+        assert cluster(r["neighbor_id"]) == cluster(r["query_id"]), (
+            r["query_id"], r["neighbor_id"], "ADC ranked a cross-cluster neighbor into top-5")
