@@ -193,6 +193,8 @@ def run_headline() -> None:
         "text_pii_scrub", "dedup_exact_substring", "text_importance_weights",
         "dedup_semantic_keepone", "crawl_url_filter", "crawl_sitemap_seed",
         "crawl_autothrottle_budget",
+        # round-6 additions
+        "embed_memo_cache", "ann_pq_adc_topk",
     ]
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:
