@@ -263,15 +263,23 @@ def pq_adc_topk(
     quantization there, product quantization here; both trade recall
     for a memory-bounded index."""
     dsub = dim // m
-    rows = codebook if codebook is not None else sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.filter(F.col(id_col) < ksub).select(id_col, vec_col).collect()
-    )  # ksub rows — bounded driver-side codebook, exactly like ivf_topk
+    if codebook is None:
+        rows = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in emb.filter(F.col(id_col) < ksub).select(id_col, vec_col).collect()
+        )  # ksub rows — bounded driver-side codebook, exactly like ivf_topk
+        cents = [[rows[c][1][j * dsub:(j + 1) * dsub] for c in range(ksub)]
+                 for j in range(m)]
+    elif isinstance(codebook[0], tuple):
+        # [(cid, full-dim vector)] rows, sliced per subspace
+        cents = [[codebook[c][1][j * dsub:(j + 1) * dsub] for c in range(ksub)]
+                 for j in range(m)]
+    else:
+        # pq_train output: m x ksub x dsub per-subspace centroids
+        cents = codebook
 
     def carr(j: int, c: int) -> str:
-        return "array(" + ",".join(
-            _fmt(rows[c][1][j * dsub + i]) for i in range(dsub)
-        ) + ")"
+        return "array(" + ",".join(_fmt(x) for x in cents[j][c]) + ")"
 
     def dist(j: int, c: int, vec: str) -> str:
         # ((0 + t1) + t2) + ... : same association as list_reduce
@@ -316,3 +324,32 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks: deterministic Lloyd k-means
+    (``kmeans_codebook``'s exact discipline) run independently on each
+    of the ``m`` subspace slices — the standard PQ training loop, fully
+    distributed (the per-subspace corpus is a projected slice column,
+    assignment is the same Arrow batch kernel, centroid means are exact
+    decimals). Returns ``m x ksub x dsub`` centroids for
+    ``pq_adc_topk(codebook=...)``."""
+    dsub = dim // m
+    out = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+        )
+        cb = kmeans_codebook(sliced, k=ksub, iters=iters,
+                             id_col=id_col, vec_col=vec_col, dim=dsub)
+        out.append([vec for _cid, vec in cb])
+    return out

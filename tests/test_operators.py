@@ -741,3 +741,31 @@ def test_pq_adc_recall_and_compression(spark):
     for r in got:
         assert cluster(r["neighbor_id"]) == cluster(r["query_id"]), (
             r["query_id"], r["neighbor_id"], "ADC ranked a cross-cluster neighbor into top-5")
+
+
+def test_pq_train_codebook_separates_clusters(spark):
+    """Trained per-subspace codebooks (pq_train = deterministic Lloyd
+    per slice) give the same in-cluster top-k property as handpicked
+    representatives, and training is deterministic."""
+    from nde_crawlers_spark.operators.similarity import pq_adc_topk, pq_train
+
+    dim, per = 64, 40
+    rows = []
+    for c in range(3):
+        base = [0.0] * dim
+        base[c * 20] = 10.0
+        for i in range(per):
+            v = list(base)
+            for d in range(dim):
+                v[d] += (((i * 31 + d * 7 + c * 13) % 11) - 5) / 10.0
+            rows.append((c * per + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_train(emb, m=4, ksub=8, iters=3)
+    assert len(cb) == 4 and all(len(cj) == 8 and len(cj[0]) == 16 for cj in cb)
+    assert cb == pq_train(emb, m=4, ksub=8, iters=3)  # deterministic
+    q = emb.filter(F.col("vec_id").isin([5, 45, 85]))
+    got = pq_adc_topk(emb, q, k=5, m=4, ksub=8, codebook=cb).collect()
+    assert len(got) == 15
+    for r in got:
+        assert r["neighbor_id"] // per == r["query_id"] // per, (
+            r["query_id"], r["neighbor_id"])
