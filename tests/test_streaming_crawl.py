@@ -427,3 +427,40 @@ def test_streaming_autothrottle_throttles_slow_hosts(spark):
     for h in fast:
         assert at.get(h, 0) == ctl.get(h, 0), (h, at.get(h), ctl.get(h))
     assert any(at.get(h, 0) < ctl.get(h, 0) for h in slow), (at, ctl)
+
+
+def test_feedback_idempotent_layout_and_gc(spark):
+    """Round-6 feedback hygiene: each batch writes its feedback rows to
+    feedback/batch=NNNNNN (overwrite — a replayed batch rewrites the
+    same rows instead of appending duplicates), and compaction GCs
+    batches consumed before the previous boundary so the directory
+    stops growing. Pacing-only data: seen/docs exactness is asserted
+    untouched across the GC."""
+    import glob as _g
+
+    from nde_crawlers_spark.streaming.crawl_stream import StreamingCrawl
+
+    root = tempfile.mkdtemp(prefix="fbgc_")
+    n_hosts = 6
+    sc = StreamingCrawl(spark, root, num_hosts=n_hosts, crawl_delay_ms=500,
+                        autothrottle=True, compact_every=2)
+    seeds = make_seeds(8 * n_hosts, n_hosts)
+    for w, lo in (("w1", 0), ("w2", 16), ("w3", 32)):
+        _write_candidates(
+            spark, root, w,
+            [(s["url"], s["priority"], float(lo)) for s in seeds[lo:lo + 16]])
+        sc.run_available_now()
+    fb_dirs = sorted(_g.glob(os.path.join(root, "feedback", "batch=*")))
+    # per-batch layout, and GC removed batches older than the previous
+    # compaction boundary (compact_every=2 -> only a bounded tail kept)
+    assert fb_dirs, "feedback must be written under batch= dirs"
+    ids = [int(os.path.basename(d).split("=")[1]) for d in fb_dirs]
+    assert len(ids) <= 2 * 2 + 1, f"feedback dirs not GC'd: {ids}"
+    # flat-append legacy files must not exist at the feedback root
+    root_files = [f for f in os.listdir(os.path.join(root, "feedback"))
+                  if not f.startswith("batch=")]
+    assert not [f for f in root_files if f.endswith(".parquet")]
+    # exactness untouched: every candidate URL is seen exactly once
+    seen_dirs = sorted(_g.glob(os.path.join(root, "seen", "batch=*")))
+    seen = spark.read.parquet(*seen_dirs)
+    assert seen.count() == seen.select("url_hash").distinct().count()
