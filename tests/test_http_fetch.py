@@ -154,3 +154,33 @@ def test_crawl_run_over_real_sockets(spark, corpus_server):
     assert http[1] == synth[1], "seen set diverged"
     assert http[2] == synth[2], "span sequences diverged"
     assert len(http[2]) > 20
+
+
+def test_http_fetcher_timeout_and_refused(corpus_server):
+    """Transport-level failure modes: a hanging endpoint times out and
+    a refused connection errors — both retried up to max_attempts and
+    reported as status 0 with empty body (the transport-error contract
+    the crawl plan treats as a failed fetch, like any 5xx)."""
+    import socket
+
+    # refused: bind-then-close guarantees nothing listens on the port
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+    f = HttpFetcher(max_attempts=2, timeout_s=0.5)
+    rec = f(f"http://127.0.0.1:{dead_port}/records/1")
+    assert rec["status"] == 0 and rec["attempts"] == 2 and rec["body"] == ""
+    assert rec["bytes"] == 0 and rec["retry_after_s"] == 0
+
+    # hang: a socket that accepts but never responds -> timeout
+    hang = socket.socket()
+    hang.bind(("127.0.0.1", 0))
+    hang.listen(1)
+    try:
+        f2 = HttpFetcher(max_attempts=2, timeout_s=0.3)
+        rec2 = f2(f"http://127.0.0.1:{hang.getsockname()[1]}/records/2")
+        assert rec2["status"] == 0 and rec2["attempts"] == 2
+        assert rec2["latency_ms"] >= 250  # the timeout was actually waited
+    finally:
+        hang.close()
