@@ -115,6 +115,18 @@ class CrawlConfig:
     # overrides (r5 shipped None = start-at-floor for signature
     # stability; r6 re-derived the oracle signatures instead).
     # None = start at the floor.
+    #
+    # Deliberate model difference, documented: Scrapy applies
+    # START_DELAY from a slot's FIRST request; this round-based model
+    # applies it as the SEED of the first latency fold, so a host's
+    # first-round budget is still set by the robots/default floor and
+    # the start delay binds from round 2. Rationale: Scrapy has no
+    # round budgets to start from — mapping "slot created at 5s" onto
+    # "first-round budget = floor(round/5s) = 1" would conflate the
+    # scheduler models; the fold-seed form preserves Scrapy's observable
+    # property (a new host must PROVE fast before its rate rises above
+    # the start level) one round later. The Python oracle mirrors this
+    # exactly.
     at_start_delay_ms: float | None = 5000.0
     # frontier persistence: False = full snapshot per round (simple,
     # sandbox default); True = O(delta) writes per round (frontier_add +
