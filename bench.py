@@ -358,7 +358,10 @@ def run_soak_sf1() -> None:
         _soak_build(spark, d, mult)
         dirs[mult] = d
 
-    qset = HEADLINE + ["dedup_exact_substring", "dedup_semantic_keepone"]
+    qset = HEADLINE + ["dedup_exact_substring", "dedup_semantic_keepone",
+                       # r6 additions: the memo pass and PQ-ADC scale with
+                       # documents/embeddings rows — include them in the 10x
+                       "embed_memo_cache", "ann_pq_adc_topk"]
     for name in qset:  # warm codegen at the smallest shipped SF
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 
