@@ -263,6 +263,7 @@ _WINDOW_PRIORITY = [
     "crawl_recrawl_ttl",
     "embed_memo_cache",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 ]
 # settled r5-green rows rotating behind the window for r6 (every name
 # below has a green hash-match row in CORRECTNESS_r05.json and stays
@@ -295,6 +296,7 @@ _ROTATED_OUT = [
     "enrich_drop_rules",
     "tpch_q1",
     "tpch_q3_top10",
+    "tpch_q5ish",
 ]
 
 

@@ -223,6 +223,41 @@ def _fmt(x: float) -> str:
     return format(float(x), ".17e")
 
 
+def _pq_cents(emb, codebook, m, ksub, dsub, id_col, vec_col):
+    """Resolve the PQ codebook to m x ksub x dsub centroid values."""
+    if codebook is None:
+        rows = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in emb.filter(F.col(id_col) < ksub).select(id_col, vec_col).collect()
+        )  # ksub rows — bounded driver-side codebook, exactly like ivf_topk
+        return [[rows[c][1][j * dsub:(j + 1) * dsub] for c in range(ksub)]
+                for j in range(m)]
+    if isinstance(codebook[0], tuple):
+        # [(cid, full-dim vector)] rows, sliced per subspace
+        return [[codebook[c][1][j * dsub:(j + 1) * dsub] for c in range(ksub)]
+                for j in range(m)]
+    return codebook  # pq_train output: m x ksub x dsub
+
+
+def _pq_darr_builder(cents, dsub: int):
+    """SQL-string builder for the per-subspace distance array: a
+    SEQUENTIAL left-fold (matches DuckDB list_reduce — the 0-init term
+    is an exact IEEE no-op) over centroid double literals."""
+    def carr(j: int, c: int) -> str:
+        return "array(" + ",".join(_fmt(x) for x in cents[j][c]) + ")"
+
+    def dist(j: int, c: int, vec: str) -> str:
+        return (
+            f"aggregate(sequence(1,{dsub}), cast(0 as double), (acc, i) -> "
+            f"acc + (element_at({vec}, i + {j * dsub}) - element_at({carr(j, c)}, i))"
+            f" * (element_at({vec}, i + {j * dsub}) - element_at({carr(j, c)}, i)))"
+        )
+
+    def darr(j: int, vec: str) -> str:
+        return "array(" + ",".join(dist(j, c, vec) for c in range(len(cents[j]))) + ")"
+    return darr
+
+
 def pq_adc_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -263,34 +298,8 @@ def pq_adc_topk(
     quantization there, product quantization here; both trade recall
     for a memory-bounded index."""
     dsub = dim // m
-    if codebook is None:
-        rows = sorted(
-            (int(r[0]), [float(x) for x in r[1]])
-            for r in emb.filter(F.col(id_col) < ksub).select(id_col, vec_col).collect()
-        )  # ksub rows — bounded driver-side codebook, exactly like ivf_topk
-        cents = [[rows[c][1][j * dsub:(j + 1) * dsub] for c in range(ksub)]
-                 for j in range(m)]
-    elif isinstance(codebook[0], tuple):
-        # [(cid, full-dim vector)] rows, sliced per subspace
-        cents = [[codebook[c][1][j * dsub:(j + 1) * dsub] for c in range(ksub)]
-                 for j in range(m)]
-    else:
-        # pq_train output: m x ksub x dsub per-subspace centroids
-        cents = codebook
-
-    def carr(j: int, c: int) -> str:
-        return "array(" + ",".join(_fmt(x) for x in cents[j][c]) + ")"
-
-    def dist(j: int, c: int, vec: str) -> str:
-        # ((0 + t1) + t2) + ... : same association as list_reduce
-        return (
-            f"aggregate(sequence(1,{dsub}), cast(0 as double), (acc, i) -> "
-            f"acc + (element_at({vec}, i + {j * dsub}) - element_at({carr(j, c)}, i))"
-            f" * (element_at({vec}, i + {j * dsub}) - element_at({carr(j, c)}, i)))"
-        )
-
-    def darr(j: int, vec: str) -> str:
-        return "array(" + ",".join(dist(j, c, vec) for c in range(ksub)) + ")"
+    cents = _pq_cents(emb, codebook, m, ksub, dsub, id_col, vec_col)
+    darr = _pq_darr_builder(cents, dsub)
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corpus = emb.select(F.col(id_col).alias("neighbor_id"), dbl.alias("v"))
@@ -353,3 +362,77 @@ def pq_train(
                              id_col=id_col, vec_col=vec_col, dim=dsub)
         out.append([vec for _cid, vec in cb])
     return out
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    coarse_codebook: list[tuple[int, list[float]]] | None = None,
+    pq_codebook=None,
+) -> DataFrame:
+    """IVF-PQ composed: coarse inverted-list pruning (ivf_topk's
+    cosine assignment) AND PQ compression (pq_adc_topk's subspace
+    codes) — the production big-ANN index shape (FAISS IVFPQ; the
+    reference's ES int8_hnsw trades the same recall for memory,
+    hub/dataindex/embed.py:51-59). A query touches ~nprobe/nlist of the
+    CODES table only: candidate generation is an equi-join on the
+    coarse list id (no crossJoin), scoring is m table lookups per
+    candidate, and the float corpus appears nowhere downstream of
+    encode. Both codebooks default to the first corpus rows (pure
+    function of the data — the DuckDB oracle reproduces them
+    relationally); pass kmeans_codebook / pq_train output for trained
+    variants with the identical plan shape."""
+    dsub = dim // m
+    coarse = coarse_codebook if coarse_codebook is not None else sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col(id_col) < nlist).select(id_col, vec_col).collect()
+    )
+    cents = _pq_cents(emb, pq_codebook, m, ksub, dsub, id_col, vec_col)
+    darr = _pq_darr_builder(cents, dsub)
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assign1 = V.nearest_centroids_pd(coarse, 1)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), dbl.alias("v"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cid"),
+    )
+    for j in range(m):
+        corpus = corpus.withColumn(
+            f"code{j}",
+            F.expr(f"cast(array_position({darr(j, 'v')},"
+                   f" array_min({darr(j, 'v')})) as int)"),
+        )
+    corpus = corpus.drop("v")  # id + coarse list + m codes
+
+    assign_np = V.nearest_centroids_pd(coarse, nprobe)
+    qf = queries.select(
+        F.col(id_col).alias("query_id"), dbl.alias("qv"),
+        F.explode(assign_np(F.col(vec_col))).alias("cid"),
+    )
+    for j in range(m):
+        qf = qf.withColumn(f"lut{j}", F.expr(darr(j, "qv")))
+    qf = F.broadcast(qf.drop("qv"))
+
+    score = F.expr(" + ".join(f"element_at(lut{j}, code{j})" for j in range(m)))
+    scored = (
+        corpus.join(qf, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", F.round(score, 6))
+        .select("query_id", "neighbor_id", "adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -1673,3 +1673,53 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
 """
+
+
+# mirror of queries.ann_ivfpq_topk: the ivf oracle's coarse assignment
+# (cosine to the first-8 rows, stable cid tie-break) composed with the
+# PQ oracle's codes/luts; candidates = equi-join on the coarse list id.
+ORACLES["ann_ivfpq_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ccent AS (SELECT vec_id AS ccid, v AS centroid FROM e WHERE vec_id < 8),
+ascore AS (
+  SELECT e.vec_id AS vid, e.v, c.ccid, {COSINE_RAW.format(a='e.v', b='c.centroid')} AS ccos
+  FROM e CROSS JOIN ccent c
+),
+aranked AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, ccid ASC) AS crn FROM ascore),
+coarse AS (SELECT vid, ccid AS cid FROM aranked WHERE crn = 1),
+probes AS (SELECT vid AS query_id, ccid AS cid FROM aranked WHERE crn <= 2 AND vid < 5),
+cent AS (SELECT vec_id, v FROM e WHERE vec_id < {_PQ_KSUB}),
+cdists AS (
+  SELECT x.vec_id, c.vec_id AS ccid2,
+         {", ".join(f"{_pq_dist(j)} AS d{j}" for j in range(_PQ_M))}
+  FROM e x CROSS JOIN cent c
+),
+cagg AS (
+  SELECT vec_id,
+         {", ".join(f"list(d{j} ORDER BY ccid2) AS darr{j}" for j in range(_PQ_M))}
+  FROM cdists GROUP BY vec_id
+),
+codes AS (
+  SELECT g.vec_id AS neighbor_id, co.cid,
+         {", ".join(f"CAST(list_position(darr{j}, list_min(darr{j})) AS INTEGER) AS code{j}" for j in range(_PQ_M))}
+  FROM cagg g JOIN coarse co ON co.vid = g.vec_id
+),
+luts AS (
+  SELECT vec_id AS query_id,
+         {", ".join(f"darr{j} AS lut{j}" for j in range(_PQ_M))}
+  FROM cagg WHERE vec_id < 5
+),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         round({" + ".join(f"q.lut{j}[c.code{j}]" for j in range(_PQ_M))}, 6) AS adc
+  FROM codes c
+  JOIN probes p ON p.cid = c.cid
+  JOIN luts q ON q.query_id = p.query_id
+  WHERE c.neighbor_id != p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""

@@ -423,6 +423,16 @@ def ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, q, k=10, nlist=8, nprobe=2)
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed (similarity.py::ivfpq_topk): coarse inverted
+    lists prune the candidate set to ~nprobe/nlist of the corpus AND
+    PQ codes replace the float vectors in scoring — the FAISS-IVFPQ
+    production shape as one equi-join plan."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivfpq_topk(emb, q, k=10, nlist=8, nprobe=2, m=4, ksub=8)
+
+
 def ann_pq_adc_topk(spark, sf_dir):
     """PQ compression + asymmetric-distance top-k (similarity.py::
     pq_adc_topk): 64-dim float vectors -> 4 subspace codes; queries
@@ -2036,6 +2046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "text_analyze": text_analyze,
     "text_lang_agreement": text_lang_agreement,
     "text_quality_filter": text_quality_filter,

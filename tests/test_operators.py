@@ -769,3 +769,35 @@ def test_pq_train_codebook_separates_clusters(spark):
     for r in got:
         assert r["neighbor_id"] // per == r["query_id"] // per, (
             r["query_id"], r["neighbor_id"])
+
+
+def test_ivfpq_composed_recall(spark):
+    """IVF-PQ composition: trained coarse codebook (one list per
+    cluster) + trained PQ codebooks — nprobe=1 candidates come only
+    from the query's own list, and the ADC top-5 stays in-cluster;
+    with garbage-free pruning the candidate count per query is bounded
+    by the list size, the 10^9-scale property."""
+    from nde_crawlers_spark.operators.similarity import (
+        ivfpq_topk, kmeans_codebook, pq_train,
+    )
+
+    dim, per = 64, 40
+    rows = []
+    for c in range(3):
+        base = [0.0] * dim
+        base[c * 20] = 10.0
+        for i in range(per):
+            v = list(base)
+            for d in range(dim):
+                v[d] += (((i * 31 + d * 7 + c * 13) % 11) - 5) / 10.0
+            rows.append((c * per + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    coarse = kmeans_codebook(emb, k=3, iters=3)
+    pq = pq_train(emb, m=4, ksub=8, iters=3)
+    q = emb.filter(F.col("vec_id").isin([5, 45, 85]))
+    got = ivfpq_topk(emb, q, k=5, nlist=3, nprobe=1, m=4, ksub=8,
+                     coarse_codebook=coarse, pq_codebook=pq).collect()
+    assert len(got) == 15
+    for r in got:
+        assert r["neighbor_id"] // per == r["query_id"] // per, (
+            r["query_id"], r["neighbor_id"])
