@@ -200,7 +200,7 @@ def run_headline() -> None:
         "dedup_semantic_keepone", "crawl_url_filter", "crawl_sitemap_seed",
         "crawl_autothrottle_budget",
         # round-6 additions
-        "embed_memo_cache", "ann_pq_adc_topk",
+        "embed_memo_cache", "ann_pq_adc_topk", "ann_ivfpq_topk",
     ]
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:
@@ -361,7 +361,8 @@ def run_soak_sf1() -> None:
     qset = HEADLINE + ["dedup_exact_substring", "dedup_semantic_keepone",
                        # r6 additions: the memo pass and PQ-ADC scale with
                        # documents/embeddings rows — include them in the 10x
-                       "embed_memo_cache", "ann_pq_adc_topk"]
+                       "embed_memo_cache", "ann_pq_adc_topk",
+                       "ann_ivfpq_topk"]
     for name in qset:  # warm codegen at the smallest shipped SF
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 
