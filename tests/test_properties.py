@@ -190,3 +190,22 @@ def test_autothrottle_fold_spark_matches_python(spark):
     for i, xs, init in rows:
         expect = at_fold(xs, init, base, maxd, conc)
         assert got[i] == expect, (i, xs, init, got[i], expect)  # bit-equal
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(40.0, 60_000.0, allow_nan=False), st.floats(500.0, 10_000.0, allow_nan=False))
+def test_autothrottle_single_slow_response_reaches_target(lat, init):
+    """Scrapy's max(target_delay, mean) step (r6): ONE successful slow
+    response must raise the delay all the way to its target latency/C,
+    never just halfway — the upstream behavior the r5 fold missed. And
+    a single response can never push the delay ABOVE clamp(max(target,
+    mean))."""
+    from nde_crawlers_spark.streaming.politeness import at_fold
+
+    base, maxd, conc = 500.0, 60_000.0, 1.0
+    out = at_fold([lat], init, base, maxd, conc)
+    target = lat / conc
+    expect = min(max(target, (init + target) / 2, base), maxd)
+    assert out == expect
+    if target > init:
+        assert out >= min(target, maxd)  # reaches the full target
