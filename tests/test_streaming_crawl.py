@@ -464,3 +464,38 @@ def test_feedback_idempotent_layout_and_gc(spark):
     seen_dirs = sorted(_g.glob(os.path.join(root, "seen", "batch=*")))
     seen = spark.read.parquet(*seen_dirs)
     assert seen.count() == seen.select("url_hash").distinct().count()
+
+
+def test_stale_v1_checkpoint_dir_is_retired_not_fatal(spark):
+    """STATE_VERSION migration (r6): a run directory carrying a
+    pre-versioning checkpoint at checkpoint/ root (whose state layout
+    would fail Spark's state-store compatibility check) must not break
+    a new run — the versioned query checkpoints under checkpoint/v{N}
+    and simply never opens the stale files."""
+    from nde_crawlers_spark.streaming.crawl_stream import StreamingCrawl
+    from nde_crawlers_spark.streaming.politeness import STATE_VERSION
+
+    root = tempfile.mkdtemp(prefix="ckv_")
+    n_hosts = 4
+    # plant a fake v1-era checkpoint: offsets/state files at the root
+    legacy = os.path.join(root, "checkpoint")
+    os.makedirs(os.path.join(legacy, "state", "0", "0"), exist_ok=True)
+    os.makedirs(os.path.join(legacy, "offsets"), exist_ok=True)
+    with open(os.path.join(legacy, "offsets", "0"), "w") as f:
+        f.write("v1\n{}\n{}")
+    with open(os.path.join(legacy, "metadata"), "w") as f:
+        f.write('{"id":"00000000-dead-beef-0000-000000000000"}')
+
+    sc = StreamingCrawl(spark, root, num_hosts=n_hosts, crawl_delay_ms=500)
+    seeds = make_seeds(2 * n_hosts, n_hosts)
+    _write_candidates(spark, root, "w1",
+                      [(s["url"], s["priority"], 0.0) for s in seeds])
+    sc.run_available_now()  # must not touch the legacy dir
+
+    import glob as _g
+    assert _g.glob(os.path.join(root, "seen", "batch=*")), "run produced no output"
+    vdir = os.path.join(root, "checkpoint", f"v{STATE_VERSION}")
+    assert os.path.isdir(os.path.join(vdir, "offsets")), "versioned checkpoint missing"
+    # legacy files untouched
+    with open(os.path.join(legacy, "offsets", "0")) as f:
+        assert f.read().startswith("v1")
