@@ -302,16 +302,9 @@ def pq_adc_topk(
     darr = _pq_darr_builder(cents, dsub)
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), dbl.alias("v"))
-    for j in range(m):
-        corpus = corpus.withColumn(
-            f"code{j}",
-            F.expr(
-                f"cast(array_position({darr(j, 'v')},"
-                f" array_min({darr(j, 'v')})) as int)"
-            ),
-        )
-    corpus = corpus.drop("v")  # the encoded table: id + m codes, no floats
+    corpus = pq_encode(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+                       dim=dim, codebook=cents).withColumnRenamed(
+                           id_col, "neighbor_id")
 
     qf = queries.select(F.col(id_col).alias("query_id"), dbl.alias("qv"))
     for j in range(m):
@@ -436,3 +429,34 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    codebook=None,
+) -> DataFrame:
+    """Materialize the PQ code table: (id, code0..code{m-1}) — the
+    encode-once half of the PQ lifecycle. In production this frame is
+    WRITTEN (bucketed by id) and every subsequent ADC query scans codes
+    instead of floats (~dim*4/m compression); ``pq_adc_topk``/
+    ``ivfpq_topk`` build exactly this projection inline when not given
+    one. Encode is a pure codegen'd projection — sequential-fold
+    subspace distances against centroid literals, no Python, no
+    shuffle."""
+    dsub = dim // m
+    cents = _pq_cents(emb, codebook, m, ksub, dsub, id_col, vec_col)
+    darr = _pq_darr_builder(cents, dsub)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = emb.select(F.col(id_col), dbl.alias("v"))
+    for j in range(m):
+        out = out.withColumn(
+            f"code{j}",
+            F.expr(f"cast(array_position({darr(j, 'v')},"
+                   f" array_min({darr(j, 'v')})) as int)"),
+        )
+    return out.drop("v")
