@@ -227,7 +227,7 @@ def run_headline() -> None:
         if os.path.exists(aux_path):
             print(json.dumps({"aux": aux_name, "path": aux_path,
                               **json.load(open(aux_path))}))
-    headline = json.dumps({
+    payload = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -238,9 +238,26 @@ def run_headline() -> None:
         "sf": float(sf),
         "fetch_normalize_urls_per_sec": fb["urls_per_sec"],
         "fetch_normalize_raw_secs": fb["raw_secs"],
+        # measurement context: this number comes from a fresh child JVM
+        # inside the (loaded) bench session; BENCH/BASELINE.md's
+        # --scaling protocol number is a dedicated CPU-pinned run. Gaps
+        # between the two are measurement context, not regressions.
+        "fetch_context": "fresh-child-jvm",
+        "fetch_protocol_ref": "BENCH/BASELINE.md#--scaling",
         "cores": CPUS,
-    })
-    assert len(headline) < 2000, f"headline line {len(headline)}B >= driver tail window"
+    }
+    headline = json.dumps(payload)
+    if len(headline) >= 2000:
+        # never crash the run on growth (and asserts vanish under -O):
+        # externalize detail keys until the final line fits the
+        # driver's ~2000-char stdout tail window
+        os.makedirs("BENCH", exist_ok=True)
+        detail = {k: payload.pop(k) for k in
+                  ("new_queries", "fetch_normalize_raw_secs") if k in payload}
+        with open("BENCH/headline_detail.json", "w") as f:
+            json.dump(detail, f)
+        payload["detail_path"] = "BENCH/headline_detail.json"
+        headline = json.dumps(payload)
     print(headline)
 
 

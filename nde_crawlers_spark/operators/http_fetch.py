@@ -39,6 +39,8 @@ ThreadingHTTPServer serving the synthetic corpus + robots.txt
 
 from __future__ import annotations
 
+import datetime
+import email.utils
 import time
 import urllib.error
 import urllib.request
@@ -54,7 +56,7 @@ _CT_KINDS = (
 )
 
 
-def _kind_of(headers, body_hint: str = "") -> str:
+def _kind_of(headers) -> str:
     k = headers.get("X-NDE-Kind") if headers is not None else None
     if k:
         return k
@@ -66,8 +68,19 @@ def _kind_of(headers, body_hint: str = "") -> str:
 
 
 def _retry_after_s(headers) -> int:
+    """Retry-After in seconds: RFC 9110 allows both delta-seconds and an
+    HTTP-date; real servers emit both forms, so parse both."""
+    raw = headers.get("Retry-After", "0") if headers is not None else "0"
     try:
-        return max(0, int(headers.get("Retry-After", "0")))
+        return max(0, int(raw))
+    except (TypeError, ValueError):
+        pass
+    try:
+        when = email.utils.parsedate_to_datetime(raw)
+        if when.tzinfo is None:
+            when = when.replace(tzinfo=datetime.timezone.utc)
+        now = datetime.datetime.now(datetime.timezone.utc)
+        return max(0, int((when - now).total_seconds()))
     except (TypeError, ValueError):
         return 0
 
@@ -95,16 +108,20 @@ class HttpFetcher:
             # transport failure (refused, reset, DNS, timeout)
             return 0, None, b""
 
-    def __call__(self, url: str) -> dict:
-        status, headers, raw = 0, None, b""
-        attempts = 0
-        t0 = time.monotonic()
+    def _retrying(self, url: str):
+        """Bounded-retry fetch -> (status, headers, raw, attempts, latency_ms).
+        Transient statuses (429/5xx) and transport errors (status 0) retry
+        up to max_attempts; latency is the FINAL attempt's wall clock."""
         for attempts in range(1, self.max_attempts + 1):
             t0 = time.monotonic()
             status, headers, raw = self._once(url)
             if status == 200 or (status not in _TRANSIENT and status != 0):
                 break
         latency_ms = int((time.monotonic() - t0) * 1000)
+        return status, headers, raw, attempts, latency_ms
+
+    def __call__(self, url: str) -> dict:
+        status, headers, raw, attempts, latency_ms = self._retrying(url)
         if status != 200:
             return {
                 "status": status, "attempts": attempts, "kind": "", "body": "",
@@ -121,8 +138,12 @@ class HttpFetcher:
 
     def robots_txt(self, host: str) -> str:
         """Fetch a host's /robots.txt (missing file -> '' = allow-all).
-        The crawl plan's robots contract (plans/crawl.py::_update_robots)."""
-        status, _, raw = self._once(f"{self.scheme}://{host}/robots.txt")
+        The crawl plan's robots contract (plans/crawl.py::_update_robots).
+        Routed through the same bounded-retry loop as bodies — Scrapy's
+        robots middleware downloads robots.txt through the retrying
+        downloader too; a single-shot transient 503 must NOT read as
+        allow-all for the whole round."""
+        status, _, raw, _, _ = self._retrying(f"{self.scheme}://{host}/robots.txt")
         return raw.decode("utf-8", "replace") if status == 200 else ""
 
 
@@ -144,5 +165,5 @@ class LoopbackProxyFetcher:
         return self.http(f"{self.base}/{rest}")
 
     def robots_txt(self, host: str) -> str:
-        status, _, raw = self.http._once(f"{self.base}/{host}/robots.txt")
+        status, _, raw, _, _ = self.http._retrying(f"{self.base}/{host}/robots.txt")
         return raw.decode("utf-8", "replace") if status == 200 else ""

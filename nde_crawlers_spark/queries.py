@@ -1678,6 +1678,11 @@ def _uploader_lookups(spark: SparkSession):
     DataFrames bound to a dead JVM, so such entries are evicted."""
     import weakref
 
+    # sweep dead-session entries first: applicationIds are unique per
+    # app, so a stopped session's key is never looked up again and a
+    # hit-only eviction would leak its entry for the process lifetime
+    for k in [k for k, (r, _) in _UPLOADER_LOOKUP_CACHE.items() if r() is None]:
+        del _UPLOADER_LOOKUP_CACHE[k]
     key = spark.sparkContext.applicationId
     hit = _UPLOADER_LOOKUP_CACHE.get(key)
     if hit is not None:

@@ -40,6 +40,16 @@ from ..operators import seen as SN
 from ..operators.fetch import fetch_parse
 from .politeness import STATE_VERSION, schedule_with_state
 
+def _dir_id(d: str, prefix: str) -> int | None:
+    """Parse ``{prefix}NNNNNN`` directory names, returning None for any
+    stray non-numeric entry (``batch=tmp``, ``_temporary`` copies, …) so
+    a foreign directory can never crash the compaction/GC path."""
+    if not d.startswith(prefix):
+        return None
+    suffix = d[len(prefix):]
+    return int(suffix) if suffix.isdigit() else None
+
+
 CAND_SCHEMA = "url string, priority int, asof_s double"
 # feedback rows re-enqueued by the batch processor: same URL key shape
 # plus the observed (signed) latency the scheduler's AutoThrottle fold
@@ -72,13 +82,14 @@ class StreamingCrawl:
         self.compact_every = compact_every
         self.compact_partitions = compact_partitions
         # streaming AutoThrottle: each batch re-emits its fetch
-        # latencies as FEEDBACK rows (feedback/ dir); the next batch's
-        # scheduler folds them into the per-host adapted delay
-        # (politeness.py::at_fold). Feedback is at-least-once (a crash
-        # replay can re-append a batch's feedback): it can only nudge
-        # PACING, never the seen/docs invariants, which stay exactly-
-        # once via the strictly-earlier-batch discipline. Default OFF
-        # so the non-adaptive schedule tests stay bit-stable.
+        # latencies as FEEDBACK rows (feedback/batch=NNNNNN, written
+        # with idempotent per-batch OVERWRITE like documents/deferred —
+        # a crash-replayed batch rewrites the same rows, never appends
+        # duplicates); the next batch's scheduler folds them into the
+        # per-host adapted delay (politeness.py::at_fold). Feedback can
+        # only nudge PACING, never the seen/docs invariants, which stay
+        # exactly-once via the strictly-earlier-batch discipline.
+        # Default OFF so the non-adaptive schedule tests stay bit-stable.
         self.autothrottle = autothrottle
         for d in ("candidates", "feedback", "documents", "seen",
                   "seen_compacted", "deferred"):
@@ -95,8 +106,8 @@ class StreamingCrawl:
         base = self._dir("seen_compacted")
         out = []
         for d in sorted(os.listdir(base)):
-            if d.startswith("upto=") and os.path.exists(os.path.join(base, d, "_COMMIT")):
-                upto = int(d.split("=")[1])
+            upto = _dir_id(d, "upto=")
+            if upto is not None and os.path.exists(os.path.join(base, d, "_COMMIT")):
                 if before_batch is None or upto < before_batch:
                     out.append(upto)
         return out
@@ -114,9 +125,9 @@ class StreamingCrawl:
         base = self._dir("seen")
         tail = []
         for d in sorted(os.listdir(base)):
-            if not d.startswith("batch="):
+            b = _dir_id(d, "batch=")
+            if b is None:
                 continue
-            b = int(d.split("=")[1])
             if b > upto and (before_batch is None or b < before_batch):
                 tail.append(os.path.join(base, d))
         parts = tail
@@ -154,7 +165,8 @@ class StreamingCrawl:
         base = self._dir("seen")
         removed = []
         for d in sorted(os.listdir(base)):
-            if d.startswith("batch=") and int(d.split("=")[1]) <= upto:
+            b = _dir_id(d, "batch=")
+            if b is not None and b <= upto:
                 shutil.rmtree(os.path.join(base, d))
                 removed.append(d)
         return removed
@@ -177,22 +189,70 @@ class StreamingCrawl:
         os.rename(tmp, os.path.join(outdir, "_COMMIT"))
         self._gc_feedback(upto)
 
+    def _ingested_feedback_files(self) -> set[str]:
+        """Feedback data files the streaming FILE SOURCE has committed,
+        read from the checkpoint's per-source file log
+        (``checkpoint/v{N}/sources/<idx>/<batch>[.compact]`` — "v1"
+        header + one JSON entry per file). This is the ground truth for
+        what was actually ingested: with availableNow triggers the
+        source only sees files present at query START, so feedback
+        written DURING a long run is not consumed until a later run —
+        GC must not outrun the log or AutoThrottle silently loses its
+        latency history."""
+        import glob
+        import json
+
+        out: set[str] = set()
+        pattern = os.path.join(
+            self._dir(f"checkpoint/v{STATE_VERSION}"), "sources", "*", "*"
+        )
+        for logf in glob.glob(pattern):
+            if os.path.basename(logf).startswith("."):
+                continue  # .crc / temp artifacts
+            try:
+                with open(logf) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line.startswith("{"):
+                            continue
+                        path = json.loads(line).get("path", "")
+                        if "/feedback/batch=" in path:
+                            tail = path.split("/feedback/", 1)[1]
+                            out.add(tail)  # "batch=NNNNNN/part-....parquet"
+            except (OSError, ValueError):
+                continue
+        return out
+
     def _gc_feedback(self, upto: int) -> None:
-        """Remove feedback batches consumed before the PREVIOUS
-        compaction boundary (same crash-window conservatism as
-        gc_seen_deltas). Feedback is pacing-only — the scheduler folds
-        it into per-host delay state as batches arrive, and replay
-        after a crash re-reads only batches newer than the checkpoint —
-        so GC here bounds feedback/ growth without touching output
-        exactness."""
+        """Remove feedback batches the streaming source has PROVABLY
+        ingested (every data file present in the checkpoint's committed
+        source log) and that are older than the previous compaction
+        boundary. Feedback is pacing-only — dropping a consumed batch
+        can never affect output exactness — but an UNconsumed batch
+        (written mid-run, visible only to the next run's source listing)
+        is retained regardless of age, so long runs no longer lose
+        latency history at compaction."""
         import shutil
 
         base = self._dir("feedback")
         if not os.path.isdir(base):
             return
         keep_from = upto - self.compact_every + 1
+        ingested = None  # lazy: only read the log if a candidate exists
         for d in sorted(os.listdir(base)):
-            if d.startswith("batch=") and int(d.split("=")[1]) < keep_from:
+            b = _dir_id(d, "batch=")
+            if b is None or b >= keep_from:
+                continue
+            if ingested is None:
+                ingested = self._ingested_feedback_files()
+            try:
+                data_files = [
+                    f for f in os.listdir(os.path.join(base, d))
+                    if f.endswith(".parquet")
+                ]
+            except OSError:
+                continue
+            if data_files and all(f"{d}/{f}" in ingested for f in data_files):
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     def documents(self) -> DataFrame:
@@ -347,9 +407,9 @@ class StreamingCrawlDedup(StreamingCrawl):
         base = self._dir("dedup_store")
         parts = []
         for d in sorted(os.listdir(base)):
-            if not d.startswith("batch="):
+            b = _dir_id(d, "batch=")
+            if b is None:
                 continue
-            b = int(d.split("=")[1])
             if before_batch is None or b < before_batch:
                 parts.append(os.path.join(base, d))
         if not parts:

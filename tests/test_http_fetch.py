@@ -186,6 +186,70 @@ def test_http_fetcher_timeout_and_refused(corpus_server):
         hang.close()
 
 
+def test_retry_after_http_date_form():
+    """RFC 9110 allows Retry-After as delta-seconds OR an HTTP-date;
+    real servers emit both. The date form must convert to seconds, not
+    silently read as 0 (which would skip the host's backoff hint)."""
+    import email.utils
+    import time as _time
+
+    from nde_crawlers_spark.operators.http_fetch import _retry_after_s
+
+    assert _retry_after_s({"Retry-After": "17"}) == 17
+    assert _retry_after_s({"Retry-After": "-3"}) == 0
+    assert _retry_after_s({"Retry-After": "soon"}) == 0
+    assert _retry_after_s({}) == 0
+    when = email.utils.formatdate(_time.time() + 30, usegmt=True)
+    assert 25 <= _retry_after_s({"Retry-After": when}) <= 31
+    past = email.utils.formatdate(_time.time() - 60, usegmt=True)
+    assert _retry_after_s({"Retry-After": past}) == 0
+
+
+class _FlakyRobotsHandler(_CorpusHandler):
+    """Corpus gateway whose robots.txt endpoints 503 for the first
+    ``robots_failures`` requests per host, then serve normally — the
+    transient-robots scenario Scrapy's robots middleware survives by
+    downloading robots.txt through the retrying downloader."""
+
+    def do_GET(self):
+        rest = self.path.lstrip("/")
+        host, _, path = rest.partition("/")
+        if path == "robots.txt":
+            with self.server.lock:
+                n = self.server.robots_counts[host]
+                self.server.robots_counts[host] += 1
+            if n < self.server.robots_failures:
+                self._reply(503)
+                return
+        super().do_GET()
+
+
+def test_robots_txt_retries_transient_503():
+    """A robots.txt that 503s twice then serves must still come back
+    with the host's real robots bytes — a single-shot fetch would have
+    read '' = allow-all and turned politeness OFF for the round."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FlakyRobotsHandler)
+    srv.counts = defaultdict(int)
+    srv.robots_counts = defaultdict(int)
+    srv.robots_failures = 2
+    srv.lock = threading.Lock()
+    srv.num_hosts = N_HOSTS
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        fetcher = LoopbackProxyFetcher(base, max_attempts=3)
+        host = "host2.example.org"
+        assert fetcher.robots_txt(host) == render_robots_txt(host)
+        assert srv.robots_counts[host] == 3  # 503, 503, 200
+        # one attempt short -> still the allow-all fallback, not a crash
+        short = LoopbackProxyFetcher(base, max_attempts=2)
+        srv.robots_counts.clear()
+        assert short.robots_txt(host) == ""
+    finally:
+        srv.shutdown()
+
+
 def test_crawl_cuckoo_and_http_compose(spark, corpus_server):
     """Feature composition: the cuckoo seen-filter and the HTTP fetcher
     are orthogonal config axes — a crawl with BOTH (real sockets, TTL-

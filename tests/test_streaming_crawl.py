@@ -464,6 +464,32 @@ def test_feedback_idempotent_layout_and_gc(spark):
     seen_dirs = sorted(_g.glob(os.path.join(root, "seen", "batch=*")))
     seen = spark.read.parquet(*seen_dirs)
     assert seen.count() == seen.select("url_hash").distinct().count()
+    # round-7: GC is bounded by the checkpoint's COMMITTED source log.
+    # A feedback file the source never listed (e.g. written mid-run in
+    # a long availableNow drain — the source only lists files present
+    # at query start) must survive GC regardless of age, or
+    # AutoThrottle silently loses latency history; and a stray
+    # non-numeric dir (batch=tmp) must be skipped, not crash the
+    # compaction path.
+    ingested = sc._ingested_feedback_files()
+    assert ingested, "fixture must have consumed some feedback"
+    unconsumed = os.path.join(root, "feedback", "batch=000099")
+    os.makedirs(unconsumed, exist_ok=True)
+    fake = os.path.join(unconsumed, "part-never-listed.parquet")
+    open(fake, "wb").close()
+    stray = os.path.join(root, "feedback", "batch=tmp")
+    os.makedirs(stray, exist_ok=True)
+    sc._gc_feedback(upto=10_000)  # keep_from far beyond every batch id
+    assert os.path.exists(fake), "unconsumed feedback was GC'd"
+    assert os.path.isdir(stray), "stray dir must be skipped, not removed"
+    # every fully-CONSUMED batch is gone; survivors each carry at least
+    # one file absent from the committed source log (e.g. the final
+    # drain's own feedback — no later run ingested it yet)
+    for d in [d for d in os.listdir(os.path.join(root, "feedback"))
+              if d.startswith("batch=") and d[len("batch="):].isdigit()]:
+        files = [f for f in os.listdir(os.path.join(root, "feedback", d))
+                 if f.endswith(".parquet")]
+        assert not files or any(f"{d}/{f}" not in ingested for f in files), d
 
 
 def test_stale_v1_checkpoint_dir_is_retired_not_fatal(spark):
