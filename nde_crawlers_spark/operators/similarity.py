@@ -81,12 +81,18 @@ def kmeans_codebook(
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd k-means codebook for IVF: init = the first k
     vectors by id, fixed iteration count, cosine assignment with stable
-    cid-ascending tie-break, and EXACT decimal centroid means (a parallel
-    double mean is partition-order nondeterministic — the same discipline
-    as queries.dsum). Everything distributed: assignment is the same
-    map-only Arrow batch ``nearest_centroids_pd`` the serving path uses;
-    the centroid update is one posexplode + groupBy((cid, dim)) — k*dim
-    result rows, trivially collectible.
+    cid-ascending tie-break, and MICRO-UNIT centroid means — each
+    component update is round(x*1e6) -> exact int64 sum -> round(sum/n)
+    -> /1e6. A parallel double mean is partition-order nondeterministic
+    (same discipline as queries.dsum), and a decimal mean, while exact,
+    hits engine-specific decimal-division precision/rounding rules; the
+    micro-unit form is integer arithmetic plus IEEE ops on identical
+    doubles, so ANY engine (Spark, DuckDB, numpy) reproduces the trained
+    centroids bit-for-bit. The 1e-6 component quantization is far below
+    k-means' own convergence noise. Everything distributed: assignment
+    is the same map-only Arrow batch ``nearest_centroids_pd`` the
+    serving path uses; the centroid update is one posexplode +
+    groupBy((cid, dim)) — k*dim result rows, trivially collectible.
 
     Returns the [(cid, centroid)] list ``ivf_topk`` accepts as
     ``codebook``."""
@@ -105,8 +111,10 @@ def kmeans_codebook(
             assigned.select("cid", F.posexplode("v").alias("d", "x"))
             .groupBy("cid", "d")
             .agg(
-                (F.sum(F.col("x").cast("decimal(28,12)")) / F.count(F.lit(1)))
-                .cast("double").alias("m")
+                (F.round(
+                    F.sum(F.round(F.col("x").cast("double") * 1e6).cast("bigint"))
+                    .cast("double") / F.count(F.lit(1))
+                ).cast("bigint").cast("double") / F.lit(1e6)).alias("m")
             )
             .groupBy("cid")
             .agg(

@@ -1723,3 +1723,64 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
 """
+
+
+# mirror of queries.ann_ivf_trained_topk: the Lloyd TRAINING loop itself,
+# unrolled relationally (iters is a fixed hyperparameter), then the ivf
+# serving oracle over the trained centroids. Bit-exactness comes from the
+# micro-unit mean discipline in similarity.kmeans_codebook: component
+# update = round(x*1e6) -> exact int64 sum -> round(sum/n) -> /1e6 —
+# integer arithmetic plus IEEE ops on identical doubles, no
+# engine-specific decimal division anywhere. Assignment parity (cosine
+# left-fold, cosine-desc/cid-asc tie-break) is the same contract the
+# ann_ivf_topk oracle already witnesses.
+def _lloyd_ctes(k: int, iters: int) -> str:
+    """CTE chain cent0..cent{iters}: cent0 = first-k rows by vec_id,
+    cent{i} = one Lloyd step (cosine argmax assignment, micro-unit
+    per-dimension means, empty clusters keep their previous centroid)."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid "
+        f"FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 1):
+        cos = COSINE_RAW.format(a="e.v", b="c.centroid")
+        ctes.append(
+            f"a{i} AS (SELECT e.vec_id, e.v, c.cid, row_number() OVER "
+            f"(PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid ASC) AS rn "
+            f"FROM e CROSS JOIN cent{i - 1} c)"
+        )
+        ctes.append(
+            f"x{i} AS (SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS x "
+            f"FROM a{i} WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cid, d, CAST(round(CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE) "
+            f"/ count(*)) AS BIGINT) / 1000000.0 AS m FROM x{i} GROUP BY cid, d)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT c0.cid, coalesce(n.centroid, c0.centroid) AS centroid "
+            f"FROM cent{i - 1} c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS centroid "
+            f"FROM m{i} GROUP BY cid) n USING (cid))"
+        )
+    return ",\n".join(ctes)
+
+
+_KM_K, _KM_ITERS = 8, 2
+ORACLES["ann_ivf_trained_topk"] = f"""
+WITH {_lloyd_ctes(_KM_K, _KM_ITERS)},
+tascore AS (
+  SELECT e.vec_id AS vid, e.v, c.cid, {COSINE_RAW.format(a='e.v', b='c.centroid')} AS ccos
+  FROM e CROSS JOIN cent{_KM_ITERS} c
+),
+taranked AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crn FROM tascore),
+inv AS (SELECT vid, v, cid FROM taranked WHERE crn = 1),
+probes AS (SELECT vid AS query_id, v AS qv, cid FROM taranked WHERE crn <= 2 AND vid < 5),
+cand AS (
+  SELECT DISTINCT p.query_id, i.vid AS neighbor_id, p.qv, i.v
+  FROM inv i JOIN probes p USING (cid) WHERE i.vid != p.query_id
+),
+scored AS (SELECT query_id, neighbor_id, {COSINE.format(a='qv', b='v')} AS cosine FROM cand),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""

@@ -433,6 +433,19 @@ def ann_ivfpq_topk(spark, sf_dir):
     return SIM.ivfpq_topk(emb, q, k=10, nlist=8, nprobe=2, m=4, ksub=8)
 
 
+def ann_ivf_trained_topk(spark, sf_dir):
+    """IVF serving over a TRAINED codebook (similarity.kmeans_codebook:
+    deterministic Lloyd, micro-unit means) — the approximate family's
+    first row where the TRAINING loop itself is under the oracle: the
+    DuckDB mirror unrolls the same two Lloyd iterations relationally
+    and must land on bit-identical centroids before the serving
+    comparison even starts."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cb = SIM.kmeans_codebook(emb, k=8, iters=2)
+    return SIM.ivf_topk(emb, q, k=10, nlist=8, nprobe=2, codebook=cb)
+
+
 def ann_pq_adc_topk(spark, sf_dir):
     """PQ compression + asymmetric-distance top-k (similarity.py::
     pq_adc_topk): 64-dim float vectors -> 4 subspace codes; queries
@@ -2050,6 +2063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "text_analyze": text_analyze,
