@@ -262,6 +262,91 @@ def run_headline() -> None:
 
 
 
+# ---------------------------- ANN recall ----------------------------------
+
+def run_ann_recall() -> None:
+    """Recall@10 of every approximate ANN variant against brute force on
+    the $SPARK_GRAFT_SF_DIR embedding corpus, with BOTH default
+    (first-corpus-rows) and TRAINED (kmeans_codebook / pq_train)
+    codebooks across nprobe/bits settings. Writes BENCH/ann_recall.json
+    and prints it — retrieval quality is the product metric of the
+    approximate family (the reference buys the same trade from ES
+    int8_hnsw), so it gets measured, not assumed."""
+    from nde_crawlers_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, ivfpq_topk, kmeans_codebook, lsh_topk,
+        pq_adc_topk, pq_train, recall_at_k,
+    )
+
+    spark = _spark(CPUS)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_corpus = emb.count()
+    q = emb.filter("vec_id < 50")
+    k = 10
+
+    truth = brute_force_topk(emb, q, k=k).localCheckpoint(eager=True)
+    t0 = time.monotonic()
+    coarse = kmeans_codebook(emb, k=8, iters=3)
+    pq = pq_train(emb, m=4, ksub=8, iters=3)
+    pq8 = pq_train(emb, m=8, ksub=8, iters=3)
+    pq16 = pq_train(emb, m=16, ksub=8, iters=3)
+    train_secs = round(time.monotonic() - t0, 3)
+
+    variants = [
+        ("lsh", {"bucket_bits": 4}, lambda: lsh_topk(emb, q, k=k, bucket_bits=4)),
+        ("lsh", {"bucket_bits": 8}, lambda: lsh_topk(emb, q, k=k, bucket_bits=8)),
+        ("ivf", {"nprobe": 1, "codebook": "default"},
+         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=1)),
+        ("ivf", {"nprobe": 2, "codebook": "default"},
+         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=2)),
+        ("ivf", {"nprobe": 1, "codebook": "trained"},
+         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=1, codebook=coarse)),
+        ("ivf", {"nprobe": 2, "codebook": "trained"},
+         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=2, codebook=coarse)),
+        ("ivf", {"nprobe": 4, "codebook": "trained"},
+         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=4, codebook=coarse)),
+        ("pq_adc", {"m": 4, "codebook": "default"},
+         lambda: pq_adc_topk(emb, q, k=k, m=4, ksub=8)),
+        ("pq_adc", {"m": 4, "codebook": "trained"},
+         lambda: pq_adc_topk(emb, q, k=k, m=4, ksub=8, codebook=pq)),
+        ("pq_adc", {"m": 8, "codebook": "trained"},
+         lambda: pq_adc_topk(emb, q, k=k, m=8, ksub=8, codebook=pq8)),
+        ("pq_adc", {"m": 16, "codebook": "trained"},
+         lambda: pq_adc_topk(emb, q, k=k, m=16, ksub=8, codebook=pq16)),
+        ("ivfpq", {"nprobe": 2, "codebook": "default"},
+         lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=2, m=4, ksub=8)),
+        ("ivfpq", {"nprobe": 2, "codebook": "trained"},
+         lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=2, m=4, ksub=8,
+                            coarse_codebook=coarse, pq_codebook=pq)),
+        ("ivfpq", {"nprobe": 4, "codebook": "trained"},
+         lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=4, m=4, ksub=8,
+                            coarse_codebook=coarse, pq_codebook=pq)),
+    ]
+    table = []
+    for name, params, thunk in variants:
+        t0 = time.monotonic()
+        r = recall_at_k(truth, thunk(), k=k)
+        table.append({"variant": name, **params,
+                      "recall_at_10": round(r, 4),
+                      "secs": round(time.monotonic() - t0, 3)})
+    out = {"metric": "ann_recall_at_10", "sf": SF_DIR, "n_corpus": n_corpus,
+           "n_queries": 50, "k": k, "train_secs": train_secs, "nlist": 8,
+           # corpus geometry caveat, measured: the synthetic embeddings
+           # are ISOTROPIC (flat 64-dim eigenspectrum, mean pairwise
+           # cosine ~0) — the worst case for ANN, where recall ~= the
+           # scanned fraction is the theoretical floor for any pruning
+           # index and training finds no structure to exploit. IVF
+           # nprobe/nlist=1/4 beating 0.25 by ~2x and recall rising
+           # monotonically with nprobe/m is the correct behavior here;
+           # the >=0.8 regimes live on CLUSTERED data
+           # (tests/test_operators.py::test_ann_recall_floors_clustered).
+           "corpus_geometry": "isotropic (recall floor ~= scan fraction)",
+           "table": table}
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/ann_recall.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 # ------------------------------ sf1 soak ----------------------------------
 #
 # 10x the bench scale, same local[32]: catches driver-side or memory
@@ -753,6 +838,8 @@ if __name__ == "__main__":
         run_headline()
     elif sys.argv[1] == "--soak-crawl-delta":
         run_soak_crawl_delta()
+    elif sys.argv[1] == "--ann-recall":
+        run_ann_recall()
     elif sys.argv[1] == "--soak-sf1":
         run_soak_sf1()
     elif sys.argv[1] == "--scaling":

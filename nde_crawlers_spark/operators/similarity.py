@@ -439,6 +439,32 @@ def ivfpq_topk(
     )
 
 
+def recall_at_k(truth: DataFrame, approx: DataFrame, k: int = 10) -> float:
+    """recall@k of an approximate top-k result against the exact one:
+    mean over queries of |approx ∩ truth| / k. Both frames carry
+    (query_id, neighbor_id); queries with no approximate hits count 0
+    (an empty LSH bucket is a recall failure, not a skipped query).
+    Distributed: one equi-join + one tiny aggregate — usable at full
+    corpus scale, the collect is a single scalar.
+
+    This is the number a user of the index actually buys: the
+    reference's ES int8_hnsw delegates the same recall-for-memory trade
+    to Elasticsearch (hub/dataindex/embed.py:51-59); here the trade is
+    measured per variant in BENCH/ann_recall.json and floor-asserted in
+    tests."""
+    hits = (
+        truth.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("h"))
+    )
+    per_q = (
+        truth.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("h"), F.lit(0)).alias("h"))
+    )
+    return float(per_q.agg(F.avg(F.col("h") / F.lit(float(k)))).collect()[0][0])
+
+
 def pq_encode(
     emb: DataFrame,
     m: int = 4,
