@@ -274,3 +274,101 @@ def test_crawl_cuckoo_and_http_compose(spark, corpus_server):
                    fetcher=LoopbackProxyFetcher(corpus_server, max_attempts=3))
     plain = _drive()
     assert combo == plain
+
+
+class _SlowHostHandler(_CorpusHandler):
+    """Corpus gateway that sleeps ``slow_s`` before serving any document
+    of ``slow_host`` — a genuinely slow origin for the AutoThrottle-ON
+    invariant test (robots.txt stays fast: the latency fold only ever
+    sees document fetches)."""
+
+    def do_GET(self):
+        rest = self.path.lstrip("/")
+        host, _, path = rest.partition("/")
+        if path != "robots.txt" and host == self.server.slow_host:
+            import time as _t
+            _t.sleep(self.server.slow_s)
+        super().do_GET()
+
+
+def test_crawl_autothrottle_on_real_sockets(spark):
+    """The shipped production configuration — AutoThrottle ON over real
+    sockets — integration-tested via the invariants that survive real
+    (nondeterministic) latency. The synthetic link space is ~10^7 ids,
+    so the frontier never drains and whole-run set equality is
+    latency-dependent by design; what is NOT:
+
+    1. ROUND-0 crawl order is bit-identical to the in-process corpus
+       run — first-round budgets come from robots/default floors, not
+       latency (the fold's start-delay seed binds from round 2);
+    2. for every doc id BOTH runs harvested, the span sequences are
+       identical (the north rule's per-row invariant, now under real
+       adapted scheduling);
+    3. politeness ceiling: no host exceeds floor(round_ms/at_base)
+       fetches in any round — the hard upper bound no adapted delay
+       can relax;
+    4. every fetched host's adapted delay lands in [at_base, at_max];
+    5. a deliberately slowed origin (0.6 s handler sleep > the 500 ms
+       floor target) ends STRICTLY above the floor and above every
+       fast host (Scrapy AUTOTHROTTLE's observable contract)."""
+    slow_host = "host-0001.example.org"
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _SlowHostHandler)
+    srv.counts = defaultdict(int)
+    srv.lock = threading.Lock()
+    srv.num_hosts = N_HOSTS
+    srv.slow_host = slow_host
+    srv.slow_s = 0.6
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        seeds = make_seeds(40, N_HOSTS)
+        seed_df = spark.createDataFrame(
+            [(s["url"], s["priority"]) for s in seeds], ["url", "priority"])
+        round_seconds = 10
+
+        def _drive(fetcher):
+            cfg = CrawlConfig(num_hosts=N_HOSTS, round_seconds=round_seconds,
+                              max_rounds=3, autothrottle=True,
+                              fetcher=fetcher)
+            run = CrawlRun(spark, tempfile.mkdtemp(prefix="crawl_at_"), cfg)
+            run.run(seeds=seed_df)
+            return run
+
+        real = _drive(LoopbackProxyFetcher(base, max_attempts=3))
+        corp = _drive(None)
+
+        def _order0(run):
+            return [(r["priority"], r["seq"], r["url_hash"])
+                    for r in run.crawl_order().filter("round = 0")
+                    .select("priority", "seq", "url_hash").collect()]
+
+        assert _order0(real) == _order0(corp), "round-0 order is latency-free"
+
+        docs_r = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                  for r in real.documents().collect()}
+        docs_c = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                  for r in corp.documents().collect()}
+        both = set(docs_r) & set(docs_c)
+        assert len(both) > 20
+        diverged = [d for d in both if docs_r[d] != docs_c[d]]
+        assert not diverged, f"span sequences diverged for {diverged[:3]}"
+
+        cfg = CrawlConfig()
+        ceiling = round_seconds * 1000 // int(cfg.at_base_delay_ms)
+        per_round = (
+            real.crawl_order().groupBy("round", "host").count().collect())
+        for r in per_round:
+            assert r["count"] <= ceiling, (r["round"], r["host"], r["count"])
+
+        hs = real.host_state().collect()
+        delays = {r["host"]: r["at_delay_ms"] for r in hs if r["fetched_total"] > 0}
+        assert slow_host in delays and len(delays) >= 5
+        fast = {h: d for h, d in delays.items() if h != slow_host}
+        for h, d in delays.items():
+            assert cfg.at_base_delay_ms <= d <= cfg.at_max_delay_ms, (h, d)
+        # 0.6 s sleep -> observed latency/target >= ~600 ms > the 500 ms
+        # floor; fast loopback hosts converge onto the floor
+        assert delays[slow_host] >= 550, delays[slow_host]
+        assert delays[slow_host] > max(fast.values()), (delays[slow_host], fast)
+    finally:
+        srv.shutdown()
