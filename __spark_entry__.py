@@ -181,10 +181,14 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents, on the WIDE nested NDE record (operators/nde_schema.py):
     crawl -> spans -> NDE record -> uploader-REGISTRY dispatch (per-host
     source families: placeholder scrub + casefold) -> schema gate ->
-    add_date -> completeness score -> dedup keep-one. Rows-only check;
-    each stage is oracle-checked individually elsewhere
-    (nde_record_normalize for the record pass, uploader_registry /
-    nde_pipeline_e2e for the registry + merge composition)."""
+    add_date -> completeness score -> dedup keep-one. Oracle-checked
+    (r6 verdict task 3): the DuckDB mirror (_py_uploader_pipeline_sql)
+    starts from the independent Python crawl oracle's harvested
+    documents and composes the SAME spans->NDE->registry->gate->score->
+    dedup path relationally; each stage is additionally oracle-checked
+    in isolation elsewhere (nde_record_normalize for the record pass,
+    uploader_registry / nde_pipeline_e2e for the registry + merge
+    composition)."""
     from nde_crawlers_spark.operators import wrapper as W
     from nde_crawlers_spark.operators.dedup import drop_exact_duplicates
     from nde_crawlers_spark.operators.nde_schema import schema_violation_nde, spans_to_nde
@@ -229,7 +233,7 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_id"),
         F.col("name"),
         F.try_element_at(F.col("author"), F.lit(1)).getField("name").alias("author"),
-        W.add_date(F.col("datePublished")).alias("date"),
+        W.add_date(F.col("datePublished")).cast("string").alias("date"),
         F.size("keywords").alias("n_keywords"),
         F.size("distribution").alias("n_media"),
         W.completeness_score(
@@ -239,6 +243,109 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("description").alias("text"),
     )
     return drop_exact_duplicates(scored, id_col="_id").drop("text")
+
+
+@functools.lru_cache(maxsize=1)
+def _py_uploader_pipeline_sql() -> str:
+    """DuckDB mirror of _uploader_pipeline. The input table is the
+    INDEPENDENT Python crawl oracle's harvested documents for the same
+    deterministic scenario (80 seeds / 10 hosts / 1 round), embedded as
+    a VALUES literal of (doc_id, canonical_url, spans); every pipeline
+    stage is then mirrored relationally in SQL:
+
+    - spans -> NDE record (operators/nde_schema.py::spans_to_nde):
+      first-span-per-kind projections, always-array author/keyword/
+      media collection, _id = lower('nde-spark:'||doc_id);
+    - uploader-registry dispatch (uploaders.py::run_uploader): every
+      host maps onto a WRAPPED real uploader spec, so the row-local
+      wrapper tail — placeholder author scrub (utils/utils.py:34-66)
+      + _id casefold (utils/utils.py:394) — applies to every row;
+      operator stages (reclassify/lineage/ner/funding/...) skip because
+      their lookups are not provided, and zenodo's doi promotion skips
+      because the record carries no doi column — exactly the registry
+      contract run_uploader implements;
+    - check_schema gate (utils/utils.py:103-137): type/url present +
+      includedInDataCatalog.archivedAt present (archivedAt mirrors the
+      canonical url, so the predicate is written over that column);
+      the access/creativeWorkStatus enum arms cannot fire on this
+      input (access is NULL; Sample status is picked FROM the enum)
+      and the gate's first two rules subsume them here;
+    - add_date + completeness score (0.6*required + 0.4*recommended,
+      rounded to 2) + keep-one-per-content-key dedup (min _id over
+      md5(lower(description)) groups, NULLs grouped together — the
+      drop_exact_duplicates window semantics)."""
+    from nde_crawlers_spark.operators.wrapper import PLACEHOLDER_TERMS
+    from nde_crawlers_spark.plans.oracle import crawl_oracle
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    orc = crawl_oracle(make_seeds(80, 10), 10, round_seconds=2, max_rounds=1)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = []
+    for did in sorted(orc.documents):
+        lit = "[" + ", ".join(
+            "{" + f"'kind': {q(kd)}, 'text': {q(tx)}, 'media_ref': {q(mr)}, 'off': {off}" + "}"
+            for kd, tx, mr, off in orc.documents[did]
+        ) + "]"
+        rows.append(f"({q(did)}, {q(orc.doc_urls[did])}, {lit})")
+    values = ",\n".join(rows)
+    terms = ", ".join("'" + t + "'" for t in PLACEHOLDER_TERMS)
+    return f"""
+WITH crawl_docs(doc_id, canonical_url, spans) AS (VALUES
+{values}
+),
+rec AS (
+  SELECT
+    lower('nde-spark:' || doc_id) AS _id,
+    CASE WHEN contains(doc_id, '#s') THEN 'Sample' ELSE 'Dataset' END AS type,
+    canonical_url AS url,
+    list_filter(spans, s -> s.kind = 'title')[1].text AS name,
+    list_filter(spans, s -> s.kind = 'description')[1].text AS description,
+    TRY_CAST(list_filter(spans, s -> s.kind = 'date')[1].text AS DATE) AS date_published,
+    list_transform(list_filter(spans, s -> s.kind = 'author'), s -> s.text) AS authors,
+    len(list_filter(spans, s -> s.kind = 'keyword')) AS n_kw,
+    len(list_filter(spans, s -> s.kind = 'media')) AS n_md,
+    canonical_url AS archived_at
+  FROM crawl_docs
+),
+dispatched AS (
+  SELECT *,
+    list_filter(authors, a -> trim(lower(a)) NOT IN ({terms})) AS authors_scrubbed,
+    lower(_id) AS id_folded
+  FROM rec
+),
+gated AS (
+  SELECT * FROM dispatched
+  WHERE type IS NOT NULL AND type <> ''
+    AND url IS NOT NULL AND url <> ''
+    AND archived_at IS NOT NULL AND archived_at <> ''
+),
+scored AS (
+  SELECT
+    id_folded AS _id,
+    name,
+    authors_scrubbed[1] AS author,
+    CAST(date_published AS VARCHAR) AS "date",
+    CAST(n_kw AS INT) AS n_keywords,
+    CAST(n_md AS INT) AS n_media,
+    round(
+      0.6 * ((CASE WHEN name IS NOT NULL AND name <> '' THEN 1 ELSE 0 END
+            + CASE WHEN date_published IS NOT NULL THEN 1 ELSE 0 END) / 2.0)
+    + 0.4 * ((CASE WHEN description IS NOT NULL AND description <> '' THEN 1 ELSE 0 END
+            + CASE WHEN authors_scrubbed[1] IS NOT NULL AND authors_scrubbed[1] <> '' THEN 1 ELSE 0 END) / 2.0),
+      2) AS score,
+    description AS text
+  FROM gated
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY _id) AS rn
+  FROM scored
+)
+SELECT _id, name, author, "date", n_keywords, n_media, score
+FROM deduped WHERE rn = 1
+"""
 
 
 # ROTATION RULE (instituted r5, per the r4 verdict): the driver
@@ -252,11 +359,17 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Queries whose implementation or oracle changed in the current round
 # are PINNED in-window regardless of rotation (head of the list).
 _WINDOW_PRIORITY = [
-    # r6 pinned: implementation or oracle changed this round —
-    # disamb stage (uploader_registry/nde_pipeline_e2e), Scrapy
-    # max(target, mean) fold + 5s START_DELAY (crawl_autothrottle_budget
-    # + the e2e rows), guarded cuckoo delete (crawl_recrawl_ttl), and
-    # the new embed memo row
+    # r7 pinned: implementation or oracle changed this round — the
+    # kmeans_codebook micro-unit Lloyd means + its new trained-IVF
+    # serving row (uploader_pipeline is pinned separately below, with
+    # its NEW DuckDB mirror built from the Python crawl oracle)
+    "ann_ivf_trained_topk",
+]
+# settled r6-green rows rotating behind the window for r7 (every name
+# below has a green hash-match row in CORRECTNESS_r06.json and stays
+# covered by the full-catalog parity mirror); the 27 r5-settled queries
+# rotated out last round return to the window per the rule
+_ROTATED_OUT = [
     "uploader_registry",
     "nde_pipeline_e2e",
     "crawl_autothrottle_budget",
@@ -264,39 +377,45 @@ _WINDOW_PRIORITY = [
     "embed_memo_cache",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
-]
-# settled r5-green rows rotating behind the window for r6 (every name
-# below has a green hash-match row in CORRECTNESS_r05.json and stays
-# covered by the full-catalog parity mirror); the 21 r4-settled queries
-# rotated out last round return to the window per the rule
-_ROTATED_OUT = [
+    "crawl_url_canonicalize",
+    "crawl_url_filter",
+    "crawl_sitemap_seed",
+    "crawl_seen_filter",
+    "crawl_robots_filter",
+    "crawl_frontier_topk",
+    "crawl_politeness_budget",
+    "crawl_retry_after_budget",
+    "crawl_host_lineage",
+    "dedup_exact_prefix",
+    "dedup_simhash",
+    "text_gopher_quality",
+    "text_repetition",
+    "sample_stratified",
+    "pack_greedy_bins",
+    "text_pii_scrub",
+    "merge_version_groups",
+    "merge_key_dedup_1x1",
+    "merge_identifier_dedup",
+    "enrich_cache_miss",
+    "enrich_theta_contains",
+    "tpch_rollup",
+    "semi_anti_parts",
+    "events_running_total",
+    "window_topk_orders",
+    "events_sessionize",
+    "events_hourly",
+    "events_props_extract",
+    "events_pivot",
+    "scalar_showcase",
+    "scalar_ref_kernels",
+    "nde_wrapper_pass",
+    "nde_quarantine_counts",
+    "nde_record_normalize",
+    "nde_doi_promote",
+    "setops_union_by_name",
     "dedup_minhash_lsh",
     "dedup_simhash64_hamming",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_components",
-    "dedup_semantic_keepone",
-    "dedup_incremental_minhash",
-    "dedup_exact_substring",
-    "text_decontaminate",
-    "text_importance_weights",
-    "text_analyze",
-    "text_lang_agreement",
-    "text_quality_filter",
-    "text_bpe_tokens",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "merge_priority_lastwriter",
-    "merge_apply_1x1",
-    "enrich_broadcast_lookup",
-    "enrich_explode_collect",
-    "enrich_lineage_expand",
-    "enrich_reclassify",
-    "enrich_drop_rules",
-    "tpch_q1",
-    "tpch_q3_top10",
-    "tpch_q5ish",
 ]
 
 
@@ -307,10 +426,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # north-rule order/seen/span signatures, oracle-checked against the
     # Python oracle's literal signatures (driver-visible e2e evidence)
     out["crawl_e2e_signatures"] = _crawl_e2e_signatures
-    # rows-only extras rotate IN this round (rotation rule above):
-    # flagship e2e crawl + media plumbing + wide-record uploader chain
+    # rows-only extras stay in-window (they never earn a green driver
+    # row, so the rotation rule never retires them): flagship e2e crawl
+    # + media plumbing
     out["crawl_e2e_documents"] = _crawl_e2e_documents
     out["multimodal_features"] = _multimodal_features
+    # PINNED: oracle changed this round — new DuckDB mirror composed
+    # from the Python crawl oracle's harvested documents (was rows-only)
     out["uploader_pipeline"] = _uploader_pipeline
     for k, v in QUERIES.items():
         if k not in out and k not in _ROTATED_OUT:
@@ -330,4 +452,7 @@ def oracle_sql() -> dict[str, str]:
         f"'{sig['seen_sig']}' AS seen_sig, {sig['n_seen']} AS n_seen, "
         f"'{sig['docs_sig']}' AS docs_sig, {sig['n_docs']} AS n_docs"
     )
+    # composed uploader pipeline over crawled docs: mirror built from the
+    # independent Python crawl oracle's harvested documents (r6 task 3)
+    out["uploader_pipeline"] = _py_uploader_pipeline_sql()
     return out

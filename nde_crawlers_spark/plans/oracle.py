@@ -75,6 +75,7 @@ class OracleResult:
     order: list = field(default_factory=list)       # [(round, priority, seq, url_hash)]
     seen: set = field(default_factory=set)          # {url_hash}
     documents: dict = field(default_factory=dict)   # url_hash -> [span tuples]
+    doc_urls: dict = field(default_factory=dict)    # doc_id -> canonical url
     failures: list = field(default_factory=list)    # [(round, url_hash, status)]
     rounds: list = field(default_factory=list)      # per-round counters
 
@@ -165,6 +166,7 @@ def crawl_oracle(
             for role, spans in docs:
                 key = h if role == "" else f"{h}#{role}"
                 res.documents[key] = spans
+                res.doc_urls[key] = canon
             n_docs += 1
             next_candidates.extend((u, discovered_priority) for u in links)
 
