@@ -155,7 +155,9 @@ def _py_oracle_signatures() -> dict:
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media plumbing: spans -> binary payload table -> Arrow-batched
-    feature extraction (deterministic stub decode)."""
+    feature extraction. PNG rows decode FOR REAL (stdlib codec,
+    functions/png.py — true geometry + pooled-luma feature); other
+    formats take the deterministic stub (decoder libs env-blocked)."""
     from nde_crawlers_spark.operators.multimodal import decode_media, media_table_from_spans
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
     from nde_crawlers_spark.sources.synthetic import make_seeds

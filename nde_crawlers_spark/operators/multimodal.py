@@ -7,12 +7,16 @@ Spark-side plumbing — schema, partitioning, Arrow batch shape — for
 image/audio/video columns treated as opaque ``binary`` with a typed
 metadata struct.
 
-The actual decode (PIL/ffmpeg/librosa) is STUBBED: those libraries are
-not in this container, so ``decode_media`` raises NotImplementedError
-unless ``fake=True``, in which case it produces a deterministic fake
-feature vector from the bytes — keeping the whole distributed path
-(mapInPandas signature, batch sizing, schema) real and testable. On a
-cluster the stub body swaps for the real decoder; nothing else changes.
+PNG decode is REAL: ``functions/png.py`` is a pure-stdlib codec (zlib
+inflate + per-scanline unfilter), so PNG payloads yield their actual
+width/height and a pooled-luma feature with no external libraries.
+JPEG/audio/video decode (PIL/ffmpeg/librosa) stays STUBBED — those
+libraries are not in this container — so for non-PNG rows
+``decode_media`` raises NotImplementedError unless ``fake=True``, in
+which case it produces a deterministic fake feature vector from the
+bytes, keeping the whole distributed path (mapInPandas signature,
+batch sizing, schema) real and testable. On a cluster the stub body
+swaps for the real decoder; nothing else changes.
 """
 
 from __future__ import annotations
@@ -54,10 +58,35 @@ _EXT_KIND = {
 }
 
 
+_PNG_W = _PNG_H = 16
+
+
+@F.pandas_udf(T.BinaryType())
+def _synth_png(refs: pd.Series) -> pd.Series:
+    """Deterministic 16x16 RGB PNG whose pixels are the sha256 stream of
+    the ref — the sandbox stand-in for fetching a real image, except the
+    bytes ARE a valid PNG so the real decoder downstream exercises the
+    full inflate+unfilter path (Paeth filter on every scanline)."""
+    from nde_crawlers_spark.functions.png import encode_png
+
+    def one(ref: str) -> bytes:
+        need = _PNG_W * _PNG_H * 3
+        seed = hashlib.sha256(ref.encode()).digest()
+        buf = bytearray()
+        while len(buf) < need:
+            seed = hashlib.sha256(seed).digest()
+            buf += seed
+        return encode_png(_PNG_W, _PNG_H, bytes(buf[:need]), color_type=2, filter_type=4)
+
+    return refs.map(one)
+
+
 def media_table_from_spans(docs: DataFrame) -> DataFrame:
     """Extract media spans from the documents table into the media schema,
-    synthesizing a deterministic payload (sha-stream of the ref) — the
-    sandbox stand-in for the media fetch stage."""
+    synthesizing a deterministic payload — the sandbox stand-in for the
+    media fetch stage. ``.png`` refs get a REAL (valid, decodable) PNG
+    payload via the stdlib encoder; other kinds get the sha-stream bytes
+    of the ref (opaque, as before)."""
     media = (
         docs.select(F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "media")
@@ -72,7 +101,9 @@ def media_table_from_spans(docs: DataFrame) -> DataFrame:
         *[F.when(ext == e, F.lit(c)) for e, (_, c) in _EXT_KIND.items()],
         F.lit("application/octet-stream"),
     )
-    payload = F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex"))
+    payload = F.when(ext == "png", _synth_png(F.col("media_ref"))).otherwise(
+        F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex"))
+    )
     return media.select(
         "media_ref",
         kind.alias("media_kind"),
@@ -84,21 +115,31 @@ def media_table_from_spans(docs: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
 
-    ``fake=False`` raises NotImplementedError inside the UDF (decoder libs
-    absent in this container); ``fake=True`` emits a deterministic feature
-    vector derived from the payload bytes, so partitioning/batching/schema
-    are exercised end-to-end."""
+    PNG payloads (detected by signature) are decoded FOR REAL via the
+    stdlib codec (functions/png.py): actual width/height plus a pooled
+    integer-luma feature. For every other format: ``fake=False`` raises
+    NotImplementedError inside the UDF (JPEG/audio/video decoder libs
+    absent in this container); ``fake=True`` emits a deterministic fake
+    feature vector derived from the payload bytes, so partitioning/
+    batching/schema are exercised end-to-end regardless of format."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.png import SIGNATURE, decode_png, luma_features
+
         for pdf in batches:
             rows = []
             for ref, kind, payload in zip(pdf["media_ref"], pdf["media_kind"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:8] == SIGNATURE:
+                    w, h, ch, px = decode_png(raw)
+                    rows.append((ref, kind, luma_features(w, h, ch, px, feature_dim), w, h))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "media decode requires PIL/ffmpeg/librosa (not in container); "
-                        "run with fake=True for the deterministic stub"
+                        "non-PNG media decode requires PIL/ffmpeg/librosa (not in "
+                        "container); run with fake=True for the deterministic stub"
                     )
-                d = hashlib.sha256(bytes(payload)).digest()
+                d = hashlib.sha256(raw).digest()
                 feat = [round(b / 255.0, 6) for b in d[:feature_dim]]
                 rows.append((ref, kind, feat, 16 + d[0] % 64, 16 + d[1] % 64))
             yield pd.DataFrame(rows, columns=["media_ref", "media_kind", "feature", "width", "height"])
@@ -129,21 +170,41 @@ FRAME_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                   fake: bool = False) -> DataFrame:
     """Image resize as an Arrow-batched mapInPandas stage (1 row -> 1
-    row, image rows only). Decode/resample is STUBBED behind ``fake``
-    (PIL absent); the fake emits a deterministic payload of exactly
-    width*height bytes so downstream size invariants are testable. The
-    Spark-side plumbing — filter pushdown to image rows, batch shape,
-    binary output schema — is real."""
+    row, image rows only). PNG payloads are resized FOR REAL: stdlib
+    decode -> nearest-neighbor resample -> stdlib re-encode, so the
+    output payload is itself a valid PNG of the target geometry. Other
+    image formats (JPEG) are STUBBED behind ``fake`` (PIL absent); the
+    fake emits a deterministic payload of exactly width*height bytes so
+    downstream size invariants stay testable. The Spark-side plumbing —
+    filter pushdown to image rows, batch shape, binary output schema —
+    is real for both paths."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.png import SIGNATURE, decode_png, encode_png
+
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:8] == SIGNATURE:
+                    sw, sh, ch, px = decode_png(raw)
+                    out = bytearray(width * height * ch)
+                    for y in range(height):
+                        sy = y * sh // height
+                        for x in range(width):
+                            sx = x * sw // width
+                            src = (sy * sw + sx) * ch
+                            dst = (y * width + x) * ch
+                            out[dst:dst + ch] = px[src:src + ch]
+                    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+                    rows.append((ref, encode_png(width, height, bytes(out), ctype), width, height))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "image resize requires PIL (not in container); fake=True for the stub"
+                        "non-PNG image resize requires PIL (not in container); "
+                        "fake=True for the stub"
                     )
-                seed = hashlib.sha256(bytes(payload)).digest()
+                seed = hashlib.sha256(raw).digest()
                 out = (seed * (width * height // len(seed) + 1))[: width * height]
                 rows.append((ref, out, width, height))
             yield pd.DataFrame(rows, columns=["media_ref", "payload", "width", "height"])

@@ -370,11 +370,24 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert "image" in kinds and "video" in kinds
 
     with _pytest.raises(Exception):
-        resize_images(media, fake=False).collect()  # honest stub
+        resize_images(media, fake=False).collect()  # honest stub for jpg
 
     rs = resize_images(media, width=8, height=4, fake=True).collect()
     assert len(rs) == media.filter(F.col("media_kind") == "image").count()
-    assert all(len(r["payload"]) == 32 for r in rs)
+    # png rows resize FOR REAL (payload is a re-encoded 8x4 PNG);
+    # jpg rows take the deterministic 32-byte fake
+    from nde_crawlers_spark.functions.png import decode_png
+
+    png_refs = {
+        r["media_ref"]
+        for r in media.filter(F.col("media_ref").endswith(".png")).collect()
+    }
+    assert png_refs  # synthetic refs rotate through MEDIA_EXT, png included
+    for r in rs:
+        if r["media_ref"] in png_refs:
+            assert decode_png(bytes(r["payload"]))[:2] == (8, 4)
+        else:
+            assert len(r["payload"]) == 32
 
     fr = sample_frames(media, every_ms=500, max_frames=3, fake=True)
     rows = fr.collect()
