@@ -223,7 +223,8 @@ def run_headline() -> None:
     # (r5's embedded-soak line overflowed the tail and the round's
     # official bench artifact parsed as null).
     for aux_name, aux_path in (("soak_sf1", "BENCH/soak_sf1.json"),
-                               ("soak_crawl_delta", "BENCH/soak_crawl_delta.json")):
+                               ("soak_crawl_delta", "BENCH/soak_crawl_delta.json"),
+                               ("soak_crawl_ttl", "BENCH/soak_crawl_ttl.json")):
         if os.path.exists(aux_path):
             print(json.dumps({"aux": aux_name, "path": aux_path,
                               **json.load(open(aux_path))}))
@@ -525,18 +526,29 @@ def run_soak_sf1() -> None:
 SOAK_DELTA_SEEDS, SOAK_DELTA_HOSTS, SOAK_DELTA_ROUNDS = 2_000_000, 500, 6
 
 
-def run_soak_crawl_delta() -> None:
+def run_soak_crawl_delta(ttl_rounds: int | None = None,
+                         rounds: int | None = None) -> None:
     """Soak the crawl loop's O(delta) frontier path (plans/crawl.py
     frontier_deltas=True) at the 2M-URL scaling-corpus size: the SAME
     crawl runs in snapshot mode (full frontier rewrite per round) and
-    delta mode (frontier_add/remove + compaction every 4 rounds) for 6
-    rounds at local[32]; order/seen/docs signatures must be identical,
-    and the per-round wall times + frontier bytes written are reported
-    so flat (non-growing) delta-mode round cost is evidenced. Budgets
-    keep per-round selection ~10/host, so the frontier stays ~2M rows
+    delta mode (frontier_add/remove + compaction every 4 rounds);
+    order/seen/docs signatures must be identical, and the per-round
+    wall times + frontier bytes written are reported so flat
+    (non-growing) delta-mode round cost is evidenced. Budgets keep
+    per-round selection ~10/host, so the frontier stays ~2M rows
     throughout — the regime where snapshot rewrites dominate.
-    Pre-run artifact (minutes-long): the per-driver bench embeds
-    BENCH/soak_crawl_delta.json on its own stdout line."""
+
+    With ``ttl_rounds`` (the --soak-crawl-ttl mode, r6 verdict task 7):
+    both runs switch to the CUCKOO seen filter with
+    recrawl_ttl_rounds=ttl_rounds over ``rounds`` (default 12) rounds,
+    so keys seen in early rounds expire MID-RUN and every subsequent
+    round executes the guarded cuckoo delete (live-key verification +
+    collision rebuild, operators/cuckoo.py:301) against the full ~2M-key
+    active set inside the loop. Reported extras: per-round expiry
+    counts, the cumulative guarded-delete segment-rebuild count, and
+    how many URLs were re-fetched after expiring.
+    Pre-run artifact (minutes-long): the per-driver bench embeds the
+    JSON on its own stdout line."""
     import shutil
     import tempfile
 
@@ -574,6 +586,12 @@ def run_soak_crawl_delta() -> None:
         ).agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("s")).first()["s"]
         return order_sig, seen_sig, docs_sig
 
+    n_rounds = rounds if rounds is not None else (
+        12 if ttl_rounds is not None else SOAK_DELTA_ROUNDS)
+    ttl_extra = (
+        {"seen_filter": "cuckoo", "recrawl_ttl_rounds": ttl_rounds}
+        if ttl_rounds is not None else {}
+    )
     modes = {}
     sigs = {}
     for mode, extra in (
@@ -583,19 +601,29 @@ def run_soak_crawl_delta() -> None:
         d = tempfile.mkdtemp(prefix=f"soak_delta_{mode}_")
         run = CrawlRun(spark, d, CrawlConfig(
             num_hosts=SOAK_DELTA_HOSTS, round_seconds=5,
-            max_rounds=SOAK_DELTA_ROUNDS, **extra))
+            max_rounds=n_rounds, **extra, **ttl_extra))
         t0 = time.monotonic()
         run.run(seeds=seeds)
         total_s = round(time.monotonic() - t0, 3)
-        rounds = [run._meta(r) for r in run.committed_rounds()]
+        metas = [run._meta(r) for r in run.committed_rounds()]
         sigs[mode] = _sigs(run)
         modes[mode] = {
             "total_s": total_s,
-            "per_round_wall_s": [m["wall_s"] for m in rounds],
-            "selected": [m["selected"] for m in rounds],
-            "frontier_rows": [m["frontier_next"] for m in rounds],
+            "per_round_wall_s": [m["wall_s"] for m in metas],
+            "selected": [m["selected"] for m in metas],
+            "new_seen": [m["new_seen"] for m in metas],
+            "frontier_rows": [m["frontier_next"] for m in metas],
             "frontier_bytes_written": _frontier_bytes(d),
         }
+        if ttl_rounds is not None:
+            modes[mode]["cuckoo_rebuilds_total"] = metas[-1].get(
+                "cuckoo_rebuilds_total", 0)
+            # URLs fetched MORE than once = expiry -> re-discovery ->
+            # re-fetch actually happened inside the loop
+            order = run.crawl_order()
+            modes[mode]["refetched_urls"] = (
+                order.groupBy("url_hash").count().filter(F.col("count") > 1).count()
+            )
         shutil.rmtree(d, ignore_errors=True)
     assert sigs["snapshot"] == sigs["delta"], (
         "delta-mode crawl diverged from snapshot mode", sigs)
@@ -603,13 +631,16 @@ def run_soak_crawl_delta() -> None:
         "cores": CPUS,
         "seeds": SOAK_DELTA_SEEDS,
         "hosts": SOAK_DELTA_HOSTS,
-        "rounds": SOAK_DELTA_ROUNDS,
+        "rounds": n_rounds,
+        "recrawl_ttl_rounds": ttl_rounds,
         "signatures_identical": True,
         "order_sig": sigs["delta"][0],
         "modes": modes,
     }
+    path = ("BENCH/soak_crawl_ttl.json" if ttl_rounds is not None
+            else "BENCH/soak_crawl_delta.json")
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/soak_crawl_delta.json", "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
@@ -838,6 +869,11 @@ if __name__ == "__main__":
         run_headline()
     elif sys.argv[1] == "--soak-crawl-delta":
         run_soak_crawl_delta()
+    elif sys.argv[1] == "--soak-crawl-ttl":
+        run_soak_crawl_delta(
+            ttl_rounds=int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+            rounds=int(sys.argv[3]) if len(sys.argv) > 3 else None,
+        )
     elif sys.argv[1] == "--ann-recall":
         run_ann_recall()
     elif sys.argv[1] == "--soak-sf1":

@@ -300,7 +300,7 @@ def insert_into_cuckoo_segments(
 
 def delete_from_cuckoo_segments(
     segments: DataFrame, expired: DataFrame, key: str = "url_hash",
-    live: DataFrame | None = None,
+    live: DataFrame | None = None, rebuild_counter=None,
 ) -> DataFrame:
     """TTL recrawl: evict the expired keys' fingerprints from their own
     segments — those URLs read as definitely-unseen again, no rebuild.
@@ -318,7 +318,12 @@ def delete_from_cuckoo_segments(
     rebuilt segments keep their recorded geometry. ``live`` must be the
     COMPLETE post-delete membership, since a rebuilt segment contains
     exactly those keys. Without ``live`` the unguarded single-copy
-    delete runs (callers that tolerate ~n²/2¹⁶/nbuckets re-fetches)."""
+    delete runs (callers that tolerate ~n²/2¹⁶/nbuckets re-fetches).
+
+    ``rebuild_counter`` (optional Spark accumulator) is incremented once
+    per segment that had to rebuild — observability for soak runs; task
+    retries/speculation can overcount, so it is reporting-grade, not an
+    exactness input."""
     if live is None:
         return _apply_keys_to_segments(segments, expired, key, "delete", 64, 4)
     sizing = cuckoo_segments_sizing(segments)
@@ -357,6 +362,8 @@ def delete_from_cuckoo_segments(
                 fresh.count, fresh.max_kicks, fresh.stash = 0, 500, []
                 fresh.insert_hashes(lh)
                 cf = fresh
+                if rebuild_counter is not None:
+                    rebuild_counter.add(1)
         return pd.DataFrame({
             "seg": [int(sdf["seg"].iloc[0])], "nseg": [int(sdf["nseg"].iloc[0])],
             "nbuckets": [cf.nbuckets], "slots": [cf.slots], "blob": [cf.to_bytes()],

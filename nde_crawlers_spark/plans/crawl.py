@@ -86,6 +86,17 @@ class CrawlConfig:
     # segment-count / design-capacity knobs below; use_bloom=False
     # disables the prefilter entirely (exact anti-join only).
     seen_filter: str = "bloom"
+    # TTL recrawl inside the loop (figshare EXPIRE analog,
+    # figshare_oai-pmh/files/sql_database.py:75): a key first seen in
+    # round f EXPIRES at round f + recrawl_ttl_rounds — it leaves the
+    # ACTIVE seen set (the URL reads as unseen again when re-discovered)
+    # and, with seen_filter="cuckoo", its fingerprint is deleted from
+    # the persisted segments under the live-key guard
+    # (operators/cuckoo.py::delete_from_cuckoo_segments). Expiry is a
+    # pure function of (first_seen_round, current round), so resume
+    # reconstruction recomputes the identical active set at any
+    # parallelism. None (default) = keys never expire.
+    recrawl_ttl_rounds: int | None = None
     bloom_segments: int = 64         # segment count (10^10 design point: 4096)
     bloom_expected: int = 1_000_000  # TOTAL expected keys across segments
     bloom_fpp: float = 0.01
@@ -163,8 +174,14 @@ class CrawlRun:
         self.run_dir = run_dir
         self.cfg = config or CrawlConfig()
         # cumulative committed seen-key count (from round metas) —
-        # adaptive bloom sizing input; _run_locked refreshes it on resume
+        # adaptive bloom sizing input; _run_locked refreshes it on resume.
+        # With TTL recrawl it counts ALL keys ever seen (expired included)
+        # — a deliberate overcount that only makes capacity rebuilds fire
+        # earlier, never lets the filter overload.
         self._seen_total = 0
+        # guarded-delete observability: +1 per segment rebuilt because a
+        # fingerprint collision evicted a live key (reporting-grade)
+        self.cuckoo_rebuilds = spark.sparkContext.accumulator(0)
         os.makedirs(run_dir, exist_ok=True)
 
     # ---------- single-flight lock ----------
@@ -321,6 +338,23 @@ class CrawlRun:
         cand = self._prepare_candidates(candidates_raw)
         robots = self._update_robots(robots, cand).cache()
 
+        # TTL expiry (cfg.recrawl_ttl_rounds): restrict to the ACTIVE
+        # seen set before any seen-dependent step. ``seen`` is always
+        # the FULL reconstruction (_seen_through), so filtering by
+        # horizon here — rather than mutating persisted state — keeps
+        # expiry idempotent across resume at any parallelism. A key
+        # re-fetched after expiry re-enters new_seen with the current
+        # round, so only its newest row survives the horizon filter.
+        expired_new = None
+        if cfg.recrawl_ttl_rounds is not None:
+            horizon = r - cfg.recrawl_ttl_rounds
+            if horizon >= 0:
+                # rows hitting the horizon EXACTLY this round drive the
+                # segment delete below (earlier rows were deleted by
+                # earlier rounds; committed segments persist post-delete)
+                expired_new = seen.filter(F.col("first_seen_round") == F.lit(horizon))
+                seen = seen.filter(F.col("first_seen_round") > F.lit(horizon))
+
         # unseen filter: candidates never enqueued before. With
         # use_bloom, candidates are probed against the PREVIOUS round's
         # persisted bloom-segment table (each candidate against its own
@@ -339,6 +373,19 @@ class CrawlRun:
             # unknown; drop it and probe/rebuild from the full seen set
             if "nseg" not in prev_segments.columns:
                 prev_segments = None
+        ttl_deleted_segments = None
+        if mode == "cuckoo" and prev_segments is not None and expired_new is not None:
+            # evict this round's newly-expired fingerprints BEFORE the
+            # probe, under the live-key guard (live = the active seen
+            # set — the complete post-delete membership). Cached: the
+            # post-delete table feeds both the probe and the insert/
+            # commit below, and the guarded delete is the expensive step.
+            prev_segments = CK.delete_from_cuckoo_segments(
+                prev_segments, expired_new.select("url_hash"),
+                live=seen.select("url_hash"),
+                rebuild_counter=self.cuckoo_rebuilds,
+            ).cache()
+            ttl_deleted_segments = prev_segments
         if mode == "bloom":
             unseen = SN.filter_unseen_bloom_segmented(
                 cand, seen, segments=prev_segments, nseg=cfg.bloom_segments,
@@ -622,10 +669,15 @@ class CrawlRun:
             "outlinks": int(fstats["out"] or 0),
             "wall_s": round(time.monotonic() - t0, 3),
         }
+        if cfg.recrawl_ttl_rounds is not None:
+            # cumulative guarded-delete rebuild count as of this commit
+            meta["cuckoo_rebuilds_total"] = self.cuckoo_rebuilds.value
         self._commit(r, meta)
         self._seen_total += n_unseen
         for df in (robots, frontier_all, selected, fetched, unseen):
             df.unpersist()
+        if ttl_deleted_segments is not None:
+            ttl_deleted_segments.unpersist()
         return meta
 
     # ---------- state reconstruction (resume) ----------

@@ -453,3 +453,105 @@ def test_crawl_cuckoo_seen_filter_matches_oracle(spark, oracle):
     assert probed.filter(~F.col("__maybe_seen")).count() == 0
     # and no bloom table was written in cuckoo mode
     assert not os.path.isdir(os.path.join(d, f"round={last:04d}", "bloom_segments"))
+
+
+def test_crawl_recrawl_ttl_in_loop(spark):
+    """TTL recrawl INSIDE the crawl loop (cfg.recrawl_ttl_rounds, the
+    figshare EXPIRE analog): keys seen >= ttl rounds ago leave the
+    active seen set and their fingerprints are evicted from the
+    committed cuckoo segments via the guarded delete — so a
+    re-discovered expired URL is genuinely RE-FETCHED by a later round.
+
+    Corpus: a closed ring of 16 URLs over 2 hosts where every page
+    links to the next two ring members (ring small enough to wrap within the run) — re-discovery of expired keys
+    is guaranteed, unlike the open synthetic URL space. Asserts, for
+    BOTH frontier modes (snapshot and delta): re-fetches happen, never
+    before expiry, identical order/seen/docs across modes, expired-and-
+    not-refreshed fingerprints absent from the committed segments while
+    every active key still probes present, and the commit meta carries
+    the guarded-delete rebuild counter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nde_crawlers_spark.operators import cuckoo as CK
+
+    RING, HOSTS, TTL, ROUNDS_TTL = 8, 2, 2, 8
+
+    class RingFetcher:
+        """Deterministic closed-world fetcher: /records/i links to
+        i+1, i+2 (mod RING), alternating hosts; allow-all robots."""
+
+        def __call__(self, url: str) -> dict:
+            i = int(url.rsplit("/", 1)[1])
+            links = "".join(
+                f'<a href="https://h{(i + k) % HOSTS}.example.org/records/{(i + k) % RING}"></a>'
+                for k in (1, 2)
+            )
+            body = (
+                f"<html><body><h1>ring {i}</h1><p>ring page {i} of the closed "
+                f"corpus</p>{links}</body></html>"
+            )
+            return {
+                "status": 200, "attempts": 1, "kind": "html", "body": body,
+                "bytes": len(body), "retry_after_s": 0, "latency_ms": 10.0,
+            }
+
+        def robots_txt(self, host: str) -> str:
+            return ""  # allow-all
+
+    seeds = spark.createDataFrame(
+        [(f"https://h{i % HOSTS}.example.org/records/{i}", 0) for i in range(4)],
+        ["url", "priority"],
+    )
+    results = {}
+    for mode, extra in (("snapshot", {}), ("delta", {"frontier_deltas": True, "compact_every": 2})):
+        d = tempfile.mkdtemp(prefix=f"crawl_ttl_{mode}_")
+        cfg = CrawlConfig(
+            num_hosts=HOSTS, round_seconds=2, max_rounds=ROUNDS_TTL,
+            seen_filter="cuckoo", bloom_segments=4, bloom_expected=2048,
+            recrawl_ttl_rounds=TTL, autothrottle=False,
+            fetcher=RingFetcher(), **extra,
+        )
+        run = CrawlRun(spark, d, cfg)
+        metas = run.run(seeds=seeds)
+        order = [
+            (r["round"], r["url_hash"])
+            for r in run.crawl_order().select("round", "url_hash").collect()
+        ]
+        # re-fetches happened, and never before the TTL horizon
+        by_key: dict[str, list[int]] = {}
+        for rnd, h in order:
+            by_key.setdefault(h, []).append(rnd)
+        refetched = {h: rs for h, rs in by_key.items() if len(rs) > 1}
+        assert refetched, "ring corpus must re-fetch expired URLs"
+        for h, rs in by_key.items():
+            for a, b in zip(rs, rs[1:]):
+                assert b - a >= TTL, (h, rs, "re-fetched before expiry")
+        # guarded-delete observability in the commit meta
+        assert all("cuckoo_rebuilds_total" in m for m in metas[TTL:])
+        assert metas[-1]["cuckoo_rebuilds_total"] >= 0
+        # committed segments: active keys all present; keys whose NEWEST
+        # sighting has expired are deleted (deterministic corpus ->
+        # deterministic probe outcome)
+        last = run.committed_rounds()[-1]
+        segs = spark.read.parquet(os.path.join(d, f"round={last:04d}", "cuckoo_segments"))
+        newest = run.seen().groupBy("url_hash").agg(
+            F.max("first_seen_round").alias("fsr"))
+        horizon = last - TTL
+        active = newest.filter(F.col("fsr") > horizon)
+        expired = newest.filter(F.col("fsr") <= horizon)
+        assert expired.count() > 0
+        probed_active = CK.probe_cuckoo_segmented(active.select("url_hash"), segs)
+        assert probed_active.filter(~F.col("__maybe_seen")).count() == 0
+        probed_exp = CK.probe_cuckoo_segmented(expired.select("url_hash"), segs)
+        assert probed_exp.filter(F.col("__maybe_seen")).count() == 0
+        results[mode] = (
+            sorted(order),
+            {r["url_hash"] for r in run.seen().collect()},
+            sorted(
+                (r["doc_id"], str(r["spans"]))
+                for r in run.documents().collect()
+            ),
+        )
+    assert results["snapshot"] == results["delta"], "TTL crawl diverged across frontier modes"
