@@ -364,8 +364,11 @@ _WINDOW_PRIORITY = [
     # r7 pinned: implementation or oracle changed this round — the
     # kmeans_codebook micro-unit Lloyd means + its new trained-IVF
     # serving row (uploader_pipeline is pinned separately below, with
-    # its NEW DuckDB mirror built from the Python crawl oracle)
+    # its NEW DuckDB mirror built from the Python crawl oracle), and
+    # the new trained-PQ row (pq_train's m independent Lloyd chains
+    # unrolled relationally)
     "ann_ivf_trained_topk",
+    "ann_pq_trained_topk",
 ]
 # settled r6-green rows rotating behind the window for r7 (every name
 # below has a green hash-match row in CORRECTNESS_r06.json and stays

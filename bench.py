@@ -201,6 +201,8 @@ def run_headline() -> None:
         "crawl_autothrottle_budget",
         # round-6 additions
         "embed_memo_cache", "ann_pq_adc_topk", "ann_ivfpq_topk",
+        # round-7 additions
+        "ann_ivf_trained_topk", "ann_pq_trained_topk",
     ]
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:
@@ -465,7 +467,10 @@ def run_soak_sf1() -> None:
                        # r6 additions: the memo pass and PQ-ADC scale with
                        # documents/embeddings rows — include them in the 10x
                        "embed_memo_cache", "ann_pq_adc_topk",
-                       "ann_ivfpq_topk"]
+                       "ann_ivfpq_topk",
+                       # r7: trained-codebook IVF (Lloyd training scales
+                       # with corpus rows too)
+                       "ann_ivf_trained_topk"]
     for name in qset:  # warm codegen at the smallest shipped SF
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 

@@ -1734,34 +1734,41 @@ SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank FROM ranked WHE
 # engine-specific decimal division anywhere. Assignment parity (cosine
 # left-fold, cosine-desc/cid-asc tie-break) is the same contract the
 # ann_ivf_topk oracle already witnesses.
-def _lloyd_ctes(k: int, iters: int) -> str:
-    """CTE chain cent0..cent{iters}: cent0 = first-k rows by vec_id,
-    cent{i} = one Lloyd step (cosine argmax assignment, micro-unit
-    per-dimension means, empty clusters keep their previous centroid)."""
-    ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid "
-        f"FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))",
-    ]
+def _lloyd_ctes(k: int, iters: int, prefix: str = "", src: str | None = None) -> str:
+    """CTE chain cent{prefix}0..cent{prefix}{iters}: cent0 = first-k
+    rows by vec_id, cent{i} = one Lloyd step (cosine argmax assignment,
+    micro-unit per-dimension means, empty clusters keep their previous
+    centroid). With ``prefix``/``src`` the same chain runs over a
+    DERIVED vector table (e.g. a PQ subspace slice) under disambiguated
+    CTE names — the per-subspace training mirror pq_train needs."""
+    p = prefix
+    ctes = []
+    if src is None:
+        ctes.append("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+        src = "e"
+    ctes.append(
+        f"cent{p}0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid "
+        f"FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT {k}))"
+    )
     for i in range(1, iters + 1):
-        cos = COSINE_RAW.format(a="e.v", b="c.centroid")
+        cos = COSINE_RAW.format(a=f"{src}.v", b="c.centroid")
         ctes.append(
-            f"a{i} AS (SELECT e.vec_id, e.v, c.cid, row_number() OVER "
-            f"(PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid ASC) AS rn "
-            f"FROM e CROSS JOIN cent{i - 1} c)"
+            f"a{p}{i} AS (SELECT {src}.vec_id, {src}.v, c.cid, row_number() OVER "
+            f"(PARTITION BY {src}.vec_id ORDER BY {cos} DESC, c.cid ASC) AS rn "
+            f"FROM {src} CROSS JOIN cent{p}{i - 1} c)"
         )
         ctes.append(
-            f"x{i} AS (SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS x "
-            f"FROM a{i} WHERE rn = 1)"
+            f"x{p}{i} AS (SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS x "
+            f"FROM a{p}{i} WHERE rn = 1)"
         )
         ctes.append(
-            f"m{i} AS (SELECT cid, d, CAST(round(CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE) "
-            f"/ count(*)) AS BIGINT) / 1000000.0 AS m FROM x{i} GROUP BY cid, d)"
+            f"m{p}{i} AS (SELECT cid, d, CAST(round(CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE) "
+            f"/ count(*)) AS BIGINT) / 1000000.0 AS m FROM x{p}{i} GROUP BY cid, d)"
         )
         ctes.append(
-            f"cent{i} AS (SELECT c0.cid, coalesce(n.centroid, c0.centroid) AS centroid "
-            f"FROM cent{i - 1} c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS centroid "
-            f"FROM m{i} GROUP BY cid) n USING (cid))"
+            f"cent{p}{i} AS (SELECT c0.cid, coalesce(n.centroid, c0.centroid) AS centroid "
+            f"FROM cent{p}{i - 1} c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS centroid "
+            f"FROM m{p}{i} GROUP BY cid) n USING (cid))"
         )
     return ",\n".join(ctes)
 
@@ -1784,3 +1791,67 @@ scored AS (SELECT query_id, neighbor_id, {COSINE.format(a='qv', b='v')} AS cosin
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
 """
+
+
+# mirror of queries.ann_pq_trained_topk: pq_train = the SAME Lloyd
+# discipline (cosine argmax assignment, micro-unit means, first-k init,
+# empty clusters keep their centroid) run INDEPENDENTLY on each of the
+# m subspace slices, then PQ encode (argmin L2 per subspace vs the
+# TRAINED centroids, first-min tie like list_position) + ADC scoring —
+# the trained counterpart of ann_pq_adc_topk; distances stay sequential
+# left-folds so ranks match bit-for-bit.
+_PQT_ITERS = 2
+
+
+def _pqt_sql() -> str:
+    chains = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for j in range(_PQ_M):
+        off = j * _PQ_DSUB
+        chains.append(
+            f"s{j} AS (SELECT vec_id, v[{off + 1}:{off + _PQ_DSUB}] AS v FROM e)"
+        )
+        chains.append(_lloyd_ctes(_PQ_KSUB, _PQT_ITERS, prefix=f"s{j}_", src=f"s{j}"))
+    l2 = (f"list_reduce(list_transform(range(1, {_PQ_DSUB + 1}), i -> "
+          f"(x.v[CAST(i AS INTEGER)] - c.centroid[CAST(i AS INTEGER)])"
+          f" * (x.v[CAST(i AS INTEGER)] - c.centroid[CAST(i AS INTEGER)])),"
+          f" (a, b) -> a + b)")
+    for j in range(_PQ_M):
+        chains.append(
+            f"cd{j} AS (SELECT x.vec_id, c.cid, {l2} AS dd "
+            f"FROM s{j} x CROSS JOIN cents{j}_{_PQT_ITERS} c)"
+        )
+        chains.append(
+            f"ca{j} AS (SELECT vec_id, list(dd ORDER BY cid) AS darr{j} "
+            f"FROM cd{j} GROUP BY vec_id)"
+        )
+    joins = " ".join(f"JOIN ca{j} USING (vec_id)" for j in range(1, _PQ_M))
+    chains.append(
+        "codes AS (SELECT vec_id AS neighbor_id, "
+        + ", ".join(
+            f"CAST(list_position(darr{j}, list_min(darr{j})) AS INTEGER) AS code{j}"
+            for j in range(_PQ_M)
+        )
+        + f" FROM ca0 {joins})"
+    )
+    chains.append(
+        "luts AS (SELECT vec_id AS query_id, "
+        + ", ".join(f"darr{j} AS lut{j}" for j in range(_PQ_M))
+        + f" FROM ca0 {joins} WHERE vec_id < 5)"
+    )
+    chains.append(
+        "scored AS (SELECT q.query_id, c.neighbor_id, round("
+        + " + ".join(f"q.lut{j}[c.code{j}]" for j in range(_PQ_M))
+        + ", 6) AS adc FROM codes c CROSS JOIN luts q WHERE c.neighbor_id != q.query_id)"
+    )
+    chains.append(
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank FROM scored)"
+    )
+    return (
+        "WITH " + ",\n".join(chains)
+        + "\nSELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank "
+          "FROM ranked WHERE rank <= 10"
+    )
+
+
+ORACLES["ann_pq_trained_topk"] = _pqt_sql()

@@ -446,6 +446,20 @@ def ann_ivf_trained_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, q, k=10, nlist=8, nprobe=2, codebook=cb)
 
 
+def ann_pq_trained_topk(spark, sf_dir):
+    """PQ-ADC serving over TRAINED per-subspace codebooks
+    (similarity.pq_train: the kmeans_codebook Lloyd discipline run
+    independently on each subspace slice) — the trained counterpart of
+    ann_pq_adc_topk, closing the trained-codebook story for the
+    compressed family: the DuckDB mirror unrolls all m independent
+    Lloyd chains relationally and must land on bit-identical subspace
+    centroids before encode/ADC comparison starts."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cb = SIM.pq_train(emb, m=4, ksub=8, iters=2)
+    return SIM.pq_adc_topk(emb, q, k=10, m=4, ksub=8, codebook=cb)
+
+
 def ann_pq_adc_topk(spark, sf_dir):
     """PQ compression + asymmetric-distance top-k (similarity.py::
     pq_adc_topk): 64-dim float vectors -> 4 subspace codes; queries
@@ -2064,6 +2078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
+    "ann_pq_trained_topk": ann_pq_trained_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "text_analyze": text_analyze,
