@@ -37,9 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def _crawl_e2e_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two checkpointed crawl rounds on a 100-seed synthetic frontier;
     returns the harvested documents (spans flattened for a stable
-    schema). Oracle-equivalence of order/seen/spans is asserted in
-    tests/test_crawl_oracle.py against the straight-line Python oracle
-    AND witnessed by the driver gate via crawl_e2e_signatures."""
+    schema). Oracle-checked (r7): the DuckDB mirror
+    (_py_e2e_documents_sql) embeds the independent Python crawl
+    oracle's span rows for the same scenario as a VALUES literal, so
+    the full per-span relation is hash-compared — on top of the
+    signature witness (crawl_e2e_signatures) and the pytest oracle
+    equality (tests/test_crawl_oracle.py)."""
     docs = _e2e_crawl_run(spark, "nde_spark_e2e").documents()
     return docs.select(
         "doc_id",
@@ -248,6 +251,33 @@ def _uploader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @functools.lru_cache(maxsize=1)
+def _py_e2e_documents_sql() -> str:
+    """DuckDB mirror of crawl_e2e_documents: the independent Python
+    crawl oracle's harvested span rows for the shared e2e scenario
+    (100 seeds / 10 hosts / 2 rounds) embedded as a VALUES literal —
+    flips the flagship e2e row from rows-only to hash-checked."""
+    from nde_crawlers_spark.plans.oracle import crawl_oracle
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    orc = crawl_oracle(make_seeds(100, 10), 10, round_seconds=2, max_rounds=2)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = []
+    for did in sorted(orc.documents):
+        for i, (kd, tx, mr, off) in enumerate(orc.documents[did]):
+            rows.append(f"({q(did)}, {i}, {q(kd)}, {q(tx)}, {q(mr)}, {off})")
+    values = ",\n".join(rows)
+    return (
+        'SELECT doc_id, CAST(span_idx AS INT) AS span_idx, kind, text, '
+        'media_ref, CAST("offset" AS INT) AS "offset"\n'
+        f"FROM (VALUES\n{values}\n) "
+        't(doc_id, span_idx, kind, text, media_ref, "offset")'
+    )
+
+
+@functools.lru_cache(maxsize=1)
 def _py_uploader_pipeline_sql() -> str:
     """DuckDB mirror of _uploader_pipeline. The input table is the
     INDEPENDENT Python crawl oracle's harvested documents for the same
@@ -431,10 +461,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # north-rule order/seen/span signatures, oracle-checked against the
     # Python oracle's literal signatures (driver-visible e2e evidence)
     out["crawl_e2e_signatures"] = _crawl_e2e_signatures
-    # rows-only extras stay in-window (they never earn a green driver
-    # row, so the rotation rule never retires them): flagship e2e crawl
-    # + media plumbing
+    # PINNED: oracle added this round — the flagship e2e docs row now
+    # hash-compares the full per-span relation against the Python
+    # oracle's literal span rows (was rows-only/signature-witnessed)
     out["crawl_e2e_documents"] = _crawl_e2e_documents
+    # rows-only extra stays in-window (never earns a green driver row,
+    # so the rotation rule never retires it): media plumbing — PNG rows
+    # decode for real, other formats are env-scoped stubs
     out["multimodal_features"] = _multimodal_features
     # PINNED: oracle changed this round — new DuckDB mirror composed
     # from the Python crawl oracle's harvested documents (was rows-only)
@@ -460,4 +493,7 @@ def oracle_sql() -> dict[str, str]:
     # composed uploader pipeline over crawled docs: mirror built from the
     # independent Python crawl oracle's harvested documents (r6 task 3)
     out["uploader_pipeline"] = _py_uploader_pipeline_sql()
+    # flagship e2e docs: full per-span relation vs the Python oracle's
+    # literal span rows (r7 — was rows-only/signature-witnessed)
+    out["crawl_e2e_documents"] = _py_e2e_documents_sql()
     return out
