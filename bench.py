@@ -867,6 +867,60 @@ matching the reference's own operating regime while leaving ~3 orders of
 magnitude of headroom for the many-host frontier where budgets stop
 binding.
 """)
+        f.write(_soak_sections())
+
+
+def _soak_sections() -> str:
+    """Soak-evidence sections for BENCH/BASELINE.md, regenerated from
+    their JSON artifacts so a --scaling rewrite never loses them."""
+    out = []
+    p = "BENCH/soak_crawl_ttl.json"
+    if os.path.exists(p):
+        d = json.load(open(p))
+        sn, de = d["modes"]["snapshot"], d["modes"]["delta"]
+        gb = 1024 ** 3
+        out.append(f"""
+## TTL-expiry soak: guarded cuckoo delete inside the loop at {d['seeds'] // 10**6}M keys
+
+`python bench.py --soak-crawl-ttl {d['recrawl_ttl_rounds']} {d['rounds']}` — the {d['seeds'] // 10**6}M-seed /
+{d['hosts']}-host delta soak over {d['rounds']} rounds with `seen_filter="cuckoo"`
+and `recrawl_ttl_rounds={d['recrawl_ttl_rounds']}`: the round-0 cohort ({d['seeds']:,} keys)
+expires MID-RUN and every later round executes the guarded fingerprint
+delete (live-key verification + collision rebuild) against the full
+active set inside the crawl loop. Full artifact: `{p}`.
+
+| metric | snapshot mode | delta mode |
+|---|---|---|
+| total wall ({d['rounds']} rounds) | {sn['total_s']:.1f} s | {de['total_s']:.1f} s |
+| frontier bytes written | {sn['frontier_bytes_written'] / gb:.2f} GB | {de['frontier_bytes_written'] / gb:.2f} GB |
+| order/seen/docs signatures | IDENTICAL across modes | IDENTICAL |
+| guarded-delete segment rebuilds | {sn['cuckoo_rebuilds_total']} | {de['cuckoo_rebuilds_total']} |
+| re-fetched URLs | {sn['refetched_urls']} | {de['refetched_urls']} |
+
+Zero guard rebuilds is the expected outcome for partial-key cuckoo
+tables: two keys sharing a 16-bit fingerprint share the same bucket
+PAIR, so deleting one copy leaves the other present and the live key
+still probes positive; a live-key false negative needs a double
+collision. The guard's rebuild path is exercised by the
+forced-collision property test (tests/test_cuckoo.py); genuine
+re-fetch-after-expiry (zero here — the open 10^7 URL space never
+re-proposes expired keys organically) is exercised by the closed-ring
+integration test
+(tests/test_crawl_oracle.py::test_crawl_recrawl_ttl_in_loop).
+""")
+    p = "BENCH/soak_crawl_delta.json"
+    if os.path.exists(p):
+        d = json.load(open(p))
+        sn, de = d["modes"]["snapshot"], d["modes"]["delta"]
+        gb = 1024 ** 3
+        out.append(f"""
+## O(delta) frontier soak ({d['seeds'] // 10**6}M seeds / {d['hosts']} hosts / {d['rounds']} rounds)
+
+Snapshot vs delta frontier persistence, identical signatures
+(`{p}`): total {sn['total_s']:.1f} s -> {de['total_s']:.1f} s, frontier bytes
+{sn['frontier_bytes_written'] / gb:.2f} GB -> {de['frontier_bytes_written'] / gb:.2f} GB.
+""")
+    return "".join(out)
 
 
 if __name__ == "__main__":
