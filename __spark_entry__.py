@@ -159,8 +159,10 @@ def _py_oracle_signatures() -> dict:
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media plumbing: spans -> binary payload table -> Arrow-batched
     feature extraction. PNG rows decode FOR REAL (stdlib codec,
-    functions/png.py — true geometry + pooled-luma feature); other
-    formats take the deterministic stub (decoder libs env-blocked)."""
+    functions/png.py — true geometry + pooled-luma feature) and WAV
+    rows too (functions/wav.py — pooled-energy feature, (width,height)
+    carrying (frames, sample_rate)); other formats take the
+    deterministic stub (decoder libs env-blocked)."""
     from nde_crawlers_spark.operators.multimodal import decode_media, media_table_from_spans
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
     from nde_crawlers_spark.sources.synthetic import make_seeds
@@ -399,6 +401,9 @@ _WINDOW_PRIORITY = [
     # unrolled relationally)
     "ann_ivf_trained_topk",
     "ann_pq_trained_topk",
+    # NEW this round: int8 scalar-quantized top-k (the reference's own
+    # ES int8_hnsw quantization shape) — new query + new oracle
+    "ann_sq8_topk",
 ]
 # settled r6-green rows rotating behind the window for r7 (every name
 # below has a green hash-match row in CORRECTNESS_r06.json and stays

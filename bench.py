@@ -202,7 +202,7 @@ def run_headline() -> None:
         # round-6 additions
         "embed_memo_cache", "ann_pq_adc_topk", "ann_ivfpq_topk",
         # round-7 additions
-        "ann_ivf_trained_topk", "ann_pq_trained_topk",
+        "ann_ivf_trained_topk", "ann_pq_trained_topk", "ann_sq8_topk",
     ]
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:
@@ -277,7 +277,7 @@ def run_ann_recall() -> None:
     int8_hnsw), so it gets measured, not assumed."""
     from nde_crawlers_spark.operators.similarity import (
         brute_force_topk, ivf_topk, ivfpq_topk, kmeans_codebook, lsh_topk,
-        pq_adc_topk, pq_train, recall_at_k,
+        pq_adc_topk, pq_train, recall_at_k, sq8_topk,
     )
 
     spark = _spark(CPUS)
@@ -323,6 +323,14 @@ def run_ann_recall() -> None:
         ("ivfpq", {"nprobe": 4, "codebook": "trained"},
          lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=4, m=4, ksub=8,
                             coarse_codebook=coarse, pq_codebook=pq)),
+        # sq8 scans everything (memory-bounded, not scan-bounded): the
+        # near-1.0 rows are the contrast lines showing the pruning
+        # variants' recall loss is scan fraction, not quantization; the
+        # rescore row adds the ES/Lucene production step (exact re-rank
+        # of top k*4 — floats read for 40 rows/query, not the corpus)
+        ("sq8", {"bits": 8}, lambda: sq8_topk(emb, q, k=k)),
+        ("sq8_rescore", {"bits": 8, "rescore": 4},
+         lambda: sq8_topk(emb, q, k=k, rescore=4)),
     ]
     table = []
     for name, params, thunk in variants:

@@ -10,8 +10,11 @@ metadata struct.
 PNG decode is REAL: ``functions/png.py`` is a pure-stdlib codec (zlib
 inflate + per-scanline unfilter), so PNG payloads yield their actual
 width/height and a pooled-luma feature with no external libraries.
-JPEG/audio/video decode (PIL/ffmpeg/librosa) stays STUBBED — those
-libraries are not in this container — so for non-PNG rows
+WAV decode is REAL too: ``functions/wav.py`` parses the RIFF/PCM
+container with struct alone, so audio payloads yield their actual
+frame count / sample rate and a pooled-energy feature. JPEG and
+video/compressed-audio decode (PIL/ffmpeg/librosa) stay STUBBED —
+those libraries are not in this container — so for such rows
 ``decode_media`` raises NotImplementedError unless ``fake=True``, in
 which case it produces a deterministic fake feature vector from the
 bytes, keeping the whole distributed path (mapInPandas signature,
@@ -81,12 +84,39 @@ def _synth_png(refs: pd.Series) -> pd.Series:
     return refs.map(one)
 
 
+_WAV_RATE, _WAV_FRAMES = 8000, 400
+
+
+@F.pandas_udf(T.BinaryType())
+def _synth_wav(refs: pd.Series) -> pd.Series:
+    """Deterministic 8 kHz mono 16-bit WAV whose PCM is the sha256
+    stream of the ref (byte pairs -> int16) — the sandbox stand-in for
+    fetching real audio, except the bytes ARE a valid RIFF/PCM file so
+    the real decoder downstream exercises the full chunk-walk path."""
+    import struct as _struct
+
+    from nde_crawlers_spark.functions.wav import encode_wav
+
+    def one(ref: str) -> bytes:
+        need = _WAV_FRAMES * 2
+        seed = hashlib.sha256(ref.encode()).digest()
+        buf = bytearray()
+        while len(buf) < need:
+            seed = hashlib.sha256(seed).digest()
+            buf += seed
+        samples = list(_struct.unpack(f"<{_WAV_FRAMES}h", bytes(buf[:need])))
+        return encode_wav(_WAV_RATE, 1, samples, sampwidth=2)
+
+    return refs.map(one)
+
+
 def media_table_from_spans(docs: DataFrame) -> DataFrame:
     """Extract media spans from the documents table into the media schema,
     synthesizing a deterministic payload — the sandbox stand-in for the
     media fetch stage. ``.png`` refs get a REAL (valid, decodable) PNG
-    payload via the stdlib encoder; other kinds get the sha-stream bytes
-    of the ref (opaque, as before)."""
+    payload and ``.wav`` refs a REAL RIFF/PCM payload via the stdlib
+    encoders; other kinds get the sha-stream bytes of the ref (opaque,
+    as before)."""
     media = (
         docs.select(F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "media")
@@ -101,8 +131,10 @@ def media_table_from_spans(docs: DataFrame) -> DataFrame:
         *[F.when(ext == e, F.lit(c)) for e, (_, c) in _EXT_KIND.items()],
         F.lit("application/octet-stream"),
     )
-    payload = F.when(ext == "png", _synth_png(F.col("media_ref"))).otherwise(
-        F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex"))
+    payload = (
+        F.when(ext == "png", _synth_png(F.col("media_ref")))
+        .when(ext == "wav", _synth_wav(F.col("media_ref")))
+        .otherwise(F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex")))
     )
     return media.select(
         "media_ref",
@@ -117,14 +149,18 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
 
     PNG payloads (detected by signature) are decoded FOR REAL via the
     stdlib codec (functions/png.py): actual width/height plus a pooled
-    integer-luma feature. For every other format: ``fake=False`` raises
-    NotImplementedError inside the UDF (JPEG/audio/video decoder libs
-    absent in this container); ``fake=True`` emits a deterministic fake
-    feature vector derived from the payload bytes, so partitioning/
-    batching/schema are exercised end-to-end regardless of format."""
+    integer-luma feature. WAV payloads likewise (functions/wav.py):
+    pooled-energy feature, with the (width, height) columns carrying
+    the audio shape analog (frames, sample_rate). For every other
+    format: ``fake=False`` raises NotImplementedError inside the UDF
+    (JPEG/video/compressed-audio decoder libs absent in this
+    container); ``fake=True`` emits a deterministic fake feature vector
+    derived from the payload bytes, so partitioning/batching/schema are
+    exercised end-to-end regardless of format."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nde_crawlers_spark.functions.png import SIGNATURE, decode_png, luma_features
+        from nde_crawlers_spark.functions.wav import audio_features, decode_wav, is_wav
 
         for pdf in batches:
             rows = []
@@ -134,10 +170,15 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                     w, h, ch, px = decode_png(raw)
                     rows.append((ref, kind, luma_features(w, h, ch, px, feature_dim), w, h))
                     continue
+                if is_wav(raw):
+                    rate, ch, sw, smp = decode_wav(raw)
+                    feat = audio_features(rate, ch, sw, smp, feature_dim)
+                    rows.append((ref, kind, feat, len(smp) // ch, rate))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-PNG media decode requires PIL/ffmpeg/librosa (not in "
-                        "container); run with fake=True for the deterministic stub"
+                        "non-PNG/WAV media decode requires PIL/ffmpeg/librosa (not "
+                        "in container); run with fake=True for the deterministic stub"
                     )
                 d = hashlib.sha256(raw).digest()
                 feat = [round(b / 255.0, 6) for b in d[:feature_dim]]
@@ -211,6 +252,56 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
 
     imgs = media.filter(F.col("media_kind") == "image").select("media_ref", "payload")
     return imgs.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("frames", T.IntegerType()),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, rate: int = 4000,
+                   fake: bool = False) -> DataFrame:
+    """Audio resample as an Arrow-batched mapInPandas stage (1 row -> 1
+    row, audio rows only) — the audio analog of ``resize_images``. WAV
+    payloads are resampled FOR REAL: stdlib decode -> nearest-frame
+    rate conversion -> stdlib re-encode, so the output payload is
+    itself a valid WAV at the target rate. Compressed formats are
+    STUBBED behind ``fake`` (decoder libs absent); the fake emits a
+    deterministic payload whose length matches the target frame count
+    so downstream size invariants stay testable."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.wav import (
+            decode_wav, encode_wav, is_wav, resample_nearest,
+        )
+
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                raw = bytes(payload)
+                if is_wav(raw):
+                    src_rate, ch, sw, smp = decode_wav(raw)
+                    out = resample_nearest(smp, ch, src_rate, rate)
+                    rows.append((ref, encode_wav(rate, ch, out, sw), rate, len(out) // ch))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-WAV audio resample requires ffmpeg/librosa (not in "
+                        "container); fake=True for the stub"
+                    )
+                seed = hashlib.sha256(raw).digest()
+                n = rate // 20  # deterministic stand-in length
+                out = (seed * (n * 2 // len(seed) + 1))[: n * 2]
+                rows.append((ref, out, rate, n))
+            yield pd.DataFrame(rows, columns=["media_ref", "payload", "sample_rate", "frames"])
+
+    auds = media.filter(F.col("media_kind") == "audio").select("media_ref", "payload")
+    return auds.mapInPandas(_resample, schema=RESAMPLED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 4,

@@ -439,6 +439,222 @@ def ivfpq_topk(
     )
 
 
+# ------------------------- int8 scalar quantization -----------------------
+
+def sq8_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[float, float]:
+    """Global (min, step) quantization interval over every vector
+    component in the corpus — ONE min/max aggregate, a single row
+    collected. A SINGLE interval (Lucene's int8 scalar-quantization
+    shape, minus the confidence-interval trim) rather than per-dim
+    intervals: with one (mn, s) the true dot product is exactly
+    reconstructable from integer code statistics alone (see
+    ``sq8_topk``); per-dim offsets would need per-dim float weights in
+    the cross term, losing the exact-integer scoring. The step is
+    computed as Python-float ``(mx - mn) / 255.0`` — the same IEEE ops
+    the DuckDB mirror performs on identical doubles, so both engines
+    quantize with bit-identical constants."""
+    r = (
+        emb.select(
+            F.explode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("x")
+        )
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()[0]
+    )
+    mn = float(r["mn"])
+    return mn, (float(r["mx"]) - mn) / 255.0
+
+
+def _sq8_codes_expr(mn: float, s: float, dim: int) -> str:
+    """SQL string projecting the double-cast vector column ``v`` to its
+    uint8 code array: code_i = round((v_i - mn) / s), codes in [0,255]
+    by construction (all corpus values lie in [mn, mn + 255*s]). Pure
+    codegen'd projection — mn/s are double literals in the same
+    ``.17e`` form the PQ path uses, so Spark and DuckDB round the same
+    doubles. Degenerate constant corpus (s = 0) encodes to all-zero."""
+    if s == 0.0:
+        return f"transform(sequence(1,{dim}), i -> 0)"
+    return (
+        f"transform(v, x -> "
+        f"cast(round((x - {_fmt(mn)}) / {_fmt(s)}) as int))"
+    )
+
+
+def _int_dot_fixed(a, b, dim: int):
+    """Codegen'd fixed-dimension INTEGER dot product over two code
+    arrays — exact (bigint) arithmetic, so the score is engine-
+    independent by construction, with no float-fold discipline needed."""
+    acc = F.lit(0).cast("bigint")
+    for i in range(dim):
+        acc = acc + F.element_at(a, i + 1).cast("bigint") * F.element_at(b, i + 1)
+    return acc
+
+
+def _int_sum_fixed(a, dim: int):
+    """Codegen'd fixed-dimension INTEGER component sum of a code array
+    (bigint) — the per-vector statistic the offset-correction term of
+    the reconstructed dot product needs."""
+    acc = F.lit(0).cast("bigint")
+    for i in range(dim):
+        acc = acc + F.element_at(a, i + 1).cast("bigint")
+    return acc
+
+
+def sq8_encode(
+    emb: DataFrame,
+    stats: tuple[float, float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Materialize the int8-scalar-quantized corpus: (id, codes
+    array<int> in [0,255], cs = exact integer code sum, nsq = exact
+    integer code squared-norm) — the encode-once half of the SQ
+    lifecycle, a pure codegen'd projection (4x compression vs float32
+    when the codes are written byte-narrow; cs/nsq are 16 bytes/row).
+    This is the reference's OWN index shape: its dense-vector pass
+    delegates to an ES ``int8_hnsw`` index (hub/dataindex/embed.py:
+    51-59), whose int8 half is exactly this single-interval linear
+    quantization with per-vector correction stats (Lucene
+    ScalarQuantizer)."""
+    if stats is None:
+        stats = sq8_stats(emb, id_col=id_col, vec_col=vec_col, dim=dim)
+    mn, s = stats
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = emb.select(F.col(id_col), dbl.alias("v")).withColumn(
+        "codes", F.expr(_sq8_codes_expr(mn, s, dim))
+    )
+    return out.select(
+        id_col,
+        "codes",
+        _int_sum_fixed(F.col("codes"), dim).alias("cs"),
+        _int_dot_fixed(F.col("codes"), F.col("codes"), dim).alias("nsq"),
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rescore: int = 0,
+) -> DataFrame:
+    """int8 scalar-quantized cosine top-k — the direct analog of the
+    reference's ES ``int8_hnsw`` quantization half
+    (hub/dataindex/embed.py:51-59): the corpus is scanned as uint8
+    codes (4x memory), scores are EXACT integer dot products over the
+    codes (bigint — no float-fold discipline needed cross-engine), and
+    only the final normalize/round touches doubles. Unlike the pruning
+    variants (LSH/IVF/PQ) this scans every candidate, so its recall
+    loss is quantization noise, not scan fraction: with the
+    reconstructed-dot scoring below the only error is per-component
+    rounding (≤ s/2), measured recall@10 = 0.98 on the worst-case
+    isotropic sf0.01 corpus and 1.0 on a clustered one
+    (BENCH/ann_recall.json, tests/test_operators.py). The correction
+    terms are load-bearing: naive cosine over raw codes lets the
+    shared (mn) offset dominate every dot product — cross-cluster
+    cosines collapse to ~0.96 and recall to 0.2.
+
+    ``rescore=r > 0`` adds the belt-and-braces production step
+    (ES/Lucene rescoring): the quantized scan keeps the top ``k*r``
+    candidates per query, and ONLY those rows' float vectors are
+    fetched (corpus equi-join against the broadcast candidate set) for
+    exact cosine re-ranking — recall measured 1.0 everywhere while the
+    full-corpus scan stays int8; at 100 TB the float column is read
+    for Q*k*r rows, not N.
+
+    Plan shape = brute_force_topk: broadcast encoded queries, map-only
+    integer scoring over the encoded corpus, one shuffle for the
+    per-query top-k (+ one broadcast join and a Q*k*r-row re-rank when
+    rescoring). Quantization stats are one 64-row aggregate."""
+    mn, s = sq8_stats(emb, id_col=id_col, vec_col=vec_col, dim=dim)
+    # Exact reconstruction of the float dot product from integer code
+    # stats: with v_d = mn + s*c_d,  dot(a,b) = dim*mn^2
+    # + mn*s*(sum(a)+sum(b)) + s^2*dot(codes) — the per-vector sums and
+    # the code dot are EXACT bigints; the four scalar constants below
+    # are the only doubles, computed with the same IEEE op shapes the
+    # DuckDB mirror uses, so the score is engine-identical. This is why
+    # the interval is global (Lucene's shape): per-dim offsets would
+    # force per-dim float weights into the cross term.
+    c0 = (float(dim) * mn) * mn  # dim * mn^2
+    a1 = mn * s                  # offset-correction weight
+    a2 = s * s                   # code-dot weight
+    b2 = (2.0 * mn) * s          # norm-correction weight
+
+    def _rn2(cs, nsq):
+        return F.lit(c0) + (
+            (F.lit(b2) * cs.cast("double")) + (F.lit(a2) * nsq.cast("double"))
+        )
+
+    corpus = sq8_encode(emb, (mn, s), id_col=id_col, vec_col=vec_col, dim=dim).select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("cc"),
+        F.col("cs").alias("ccs"),
+        F.sqrt(_rn2(F.col("cs"), F.col("nsq"))).alias("cn"),
+    )
+    q = F.broadcast(
+        sq8_encode(queries, (mn, s), id_col=id_col, vec_col=vec_col, dim=dim).select(
+            F.col(id_col).alias("query_id"), F.col("codes").alias("qc"),
+            F.col("cs").alias("qcs"),
+            F.sqrt(_rn2(F.col("cs"), F.col("nsq"))).alias("qn"),
+        )
+    )
+    denom = F.col("qn") * F.col("cn")
+    rdot = F.lit(c0) + (
+        (F.lit(a1) * (F.col("qcs") + F.col("ccs")).cast("double"))
+        + (F.lit(a2) * _int_dot_fixed(F.col("qc"), F.col("cc"), dim).cast("double"))
+    )
+    scored = (
+        corpus.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(denom > 0, rdot / denom).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    if rescore <= 0:
+        return _topk_per_query(scored, k)
+    cand = F.broadcast(
+        _topk_per_query(scored, k * rescore).select("query_id", "neighbor_id")
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            V.norm_pd(dim)(F.col(vec_col)).alias("qn"),
+        )
+    )
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        V.norm_pd(dim)(F.col(vec_col)).alias("cn"),
+    )
+    rescored = (
+        cv.join(cand, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                V.cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk_per_query(rescored, k)
+
+
 def recall_at_k(truth: DataFrame, approx: DataFrame, k: int = 10) -> float:
     """recall@k of an approximate top-k result against the exact one:
     mean over queries of |approx ∩ truth| / k. Both frames carry

@@ -471,6 +471,22 @@ def ann_pq_adc_topk(spark, sf_dir):
     return SIM.pq_adc_topk(emb, q, k=10, m=4, ksub=8)
 
 
+def ann_sq8_topk(spark, sf_dir):
+    """int8 scalar-quantized top-k (similarity.py::sq8_topk) — the
+    reference's OWN dense-vector index shape (ES int8_hnsw,
+    hub/dataindex/embed.py:51-59): per-dimension linear quantization to
+    [0,255] over a single global interval (the Lucene ScalarQuantizer
+    shape), EXACT integer code-sum/code-dot stats (4x memory vs
+    float32), and the true dot reconstructed as dim*mn^2 +
+    mn*s*(cs_a+cs_b) + s^2*dot(codes). Scans all candidates —
+    memory-bounded, not scan-bounded; recall loss is per-component
+    rounding only (0.98 isotropic / 1.0 clustered measured; rescore=
+    recovers 1.0, see BENCH/ann_recall.json)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.sq8_topk(emb, q, k=10)
+
+
 # ------------------------------------------------------------------ text --
 def text_analyze(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -2081,6 +2097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_trained_topk": ann_pq_trained_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_sq8_topk": ann_sq8_topk,
     "text_analyze": text_analyze,
     "text_lang_agreement": text_lang_agreement,
     "text_quality_filter": text_quality_filter,

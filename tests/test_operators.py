@@ -161,7 +161,11 @@ def test_multimodal_stub_and_fake_decode(spark):
     for r in feats:
         assert len(r["feature"]) == 8
         assert r["media_kind"] in {"image", "audio", "video", "other"}
-        assert 16 <= r["width"] < 80
+        if r["media_ref"].endswith(".wav"):
+            # real WAV decode: (width, height) = (frames, sample_rate)
+            assert (r["width"], r["height"]) == (400, 8000)
+        else:
+            assert 16 <= r["width"] < 80
     # determinism
     again = {r["media_ref"]: r["feature"] for r in decode_media(media, fake=True).collect()}
     assert all(again[r["media_ref"]] == r["feature"] for r in feats)
@@ -862,6 +866,19 @@ def test_ann_recall_floors_clustered(spark):
     assert r_ivfpq_tr >= 0.8, f"trained IVF-PQ recall@10 {r_ivfpq_tr}"
     assert r_ivfpq_tr >= r_ivfpq_def - 1e-9, (r_ivfpq_tr, r_ivfpq_def)
 
+    # sq8 on the clustered corpus: the reconstructed-dot scoring keeps
+    # both coarse structure (every retrieved neighbor in the query's
+    # cluster) AND fine in-cluster ranking (raw recall 1.0 measured).
+    # This is the regression test for the offset bug: naive code-space
+    # cosine without the mn/s correction terms pulled cross-cluster
+    # cosines to ~0.96 (all-offset dot) and scored 0.2 recall here.
+    from nde_crawlers_spark.operators.similarity import sq8_topk
+
+    sq8_raw = sq8_topk(emb, q, k=10).collect()
+    assert all(r["neighbor_id"] // per == r["query_id"] // per for r in sq8_raw)
+    r_sq8 = recall_at_k(truth, sq8_topk(emb, q, k=10))
+    assert r_sq8 >= 0.95, f"sq8 raw recall@10 on clustered corpus {r_sq8}"
+
 
 def test_ann_recall_floors_isotropic(spark):
     """Floors on the REAL (isotropic) sf0.01 corpus, where any pruning
@@ -884,3 +901,17 @@ def test_ann_recall_floors_isotropic(spark):
     assert r2 >= 0.45, f"ivf nprobe=2 recall {r2} vs ~0.25 scan-fraction floor"
     assert r4 >= 0.65 and r4 > r2, (r2, r4)
     assert rl >= 0.05, f"lsh bits=4 recall {rl}"
+    # sq8 scans every candidate (it buys memory, not scan fraction), so
+    # unlike the pruning variants its recall stays near-exact even on
+    # this worst-case isotropic corpus: with the reconstructed-dot
+    # scoring (offset correction) the only loss is per-component
+    # rounding, measured 0.98. Oversampled exact rescoring (ES/Lucene
+    # rescore: quantized scan keeps top k*4, float vectors fetched only
+    # for those rows) recovers the remainder, measured 1.0.
+    from nde_crawlers_spark.operators.similarity import sq8_topk
+
+    rs = recall_at_k(truth, sq8_topk(emb, q, k=10))
+    assert rs >= 0.9, f"sq8 recall@10 {rs} vs measured 0.98"
+    rr = recall_at_k(truth, sq8_topk(emb, q, k=10, rescore=4))
+    assert rr >= 0.95, f"sq8+rescore4 recall@10 {rr} — exact re-rank should recover"
+    assert rr >= rs, (rs, rr)
