@@ -20,6 +20,8 @@ upgrade path keeps the same plan shape with bucket = nearest-centroid id
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -446,43 +448,71 @@ def sq8_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    clip_sigma: float | None = None,
 ) -> tuple[float, float]:
     """Global (min, step) quantization interval over every vector
-    component in the corpus — ONE min/max aggregate, a single row
-    collected. A SINGLE interval (Lucene's int8 scalar-quantization
-    shape, minus the confidence-interval trim) rather than per-dim
-    intervals: with one (mn, s) the true dot product is exactly
-    reconstructable from integer code statistics alone (see
+    component in the corpus — ONE aggregate, a single row collected. A
+    SINGLE interval (Lucene's int8 scalar-quantization shape) rather
+    than per-dim intervals: with one (mn, s) the true dot product is
+    exactly reconstructable from integer code statistics alone (see
     ``sq8_topk``); per-dim offsets would need per-dim float weights in
     the cross term, losing the exact-integer scoring. The step is
     computed as Python-float ``(mx - mn) / 255.0`` — the same IEEE ops
     the DuckDB mirror performs on identical doubles, so both engines
-    quantize with bit-identical constants."""
-    r = (
-        emb.select(
-            F.explode(
-                F.transform(F.col(vec_col), lambda x: x.cast("double"))
-            ).alias("x")
-        )
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .collect()[0]
+    quantize with bit-identical constants.
+
+    ``clip_sigma=c`` is the confidence-interval trim (Lucene clips its
+    interval to quantiles for the same reason): the interval becomes
+    [max(mn, mean - c*std), min(mx, mean + c*std)], so one extreme
+    component can no longer inflate the step and wash out everyone
+    else's resolution. mean/std are computed on MICRO-UNIT integers
+    (round(x*1e6) -> exact decimal sums of u and u*u — the same
+    engine-reproducible discipline as kmeans_codebook; doubles only in
+    the final mean/sqrt), so the clipped interval is deterministic in
+    any engine too. Out-of-interval components CLAMP to code 0/255 at
+    encode (``_sq8_codes_expr``) — the clamp also makes frozen-stats
+    incremental encode safe for drifted data."""
+    comp = emb.select(
+        F.explode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("x")
     )
-    mn = float(r["mn"])
-    return mn, (float(r["mx"]) - mn) / 255.0
+    if clip_sigma is None:
+        r = comp.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+        mn = float(r["mn"])
+        return mn, (float(r["mx"]) - mn) / 255.0
+    u = F.round(F.col("x") * F.lit(1e6)).cast("decimal(38,0)")
+    r = comp.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"),
+        F.count("x").alias("n"),
+        F.sum(u).alias("s1"), F.sum(u * u).alias("s2"),
+    ).collect()[0]
+    n = float(r["n"])
+    s1, s2 = float(r["s1"]), float(r["s2"])
+    mean_u = s1 / n
+    var_u = (s2 / n) - (mean_u * mean_u)
+    std_u = math.sqrt(var_u) if var_u > 0 else 0.0
+    lo = max(float(r["mn"]), (mean_u - (clip_sigma * std_u)) / 1e6)
+    hi = min(float(r["mx"]), (mean_u + (clip_sigma * std_u)) / 1e6)
+    return lo, (hi - lo) / 255.0
 
 
 def _sq8_codes_expr(mn: float, s: float, dim: int) -> str:
     """SQL string projecting the double-cast vector column ``v`` to its
-    uint8 code array: code_i = round((v_i - mn) / s), codes in [0,255]
-    by construction (all corpus values lie in [mn, mn + 255*s]). Pure
-    codegen'd projection — mn/s are double literals in the same
-    ``.17e`` form the PQ path uses, so Spark and DuckDB round the same
-    doubles. Degenerate constant corpus (s = 0) encodes to all-zero."""
+    uint8 code array: code_i = round((v_i - mn) / s) CLAMPED to
+    [0,255]. The clamp is a no-op for in-interval values (everything,
+    when the stats are untrimmed and from this corpus) and the defined
+    behavior for the two cases that produce out-of-interval components:
+    a clip_sigma-trimmed interval, and frozen-stats incremental encode
+    of drifted data. Pure codegen'd projection — mn/s are double
+    literals in the same ``.17e`` form the PQ path uses, so Spark and
+    DuckDB round the same doubles. Degenerate constant corpus (s = 0)
+    encodes to all-zero."""
     if s == 0.0:
         return f"transform(sequence(1,{dim}), i -> 0)"
     return (
-        f"transform(v, x -> "
-        f"cast(round((x - {_fmt(mn)}) / {_fmt(s)}) as int))"
+        f"transform(v, x -> least(255, greatest(0, "
+        f"cast(round((x - {_fmt(mn)}) / {_fmt(s)}) as int))))"
     )
 
 
@@ -546,6 +576,7 @@ def sq8_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     rescore: int = 0,
+    clip_sigma: float | None = None,
 ) -> DataFrame:
     """int8 scalar-quantized cosine top-k — the direct analog of the
     reference's ES ``int8_hnsw`` quantization half
@@ -571,11 +602,20 @@ def sq8_topk(
     full-corpus scan stays int8; at 100 TB the float column is read
     for Q*k*r rows, not N.
 
+    ``clip_sigma=c`` trims the quantization interval to mean ± c*std
+    (see ``sq8_stats``): without it one extreme component anywhere in
+    the corpus inflates the step 100x and washes out everyone else's
+    resolution; with it outliers saturate to code 0/255 and the bulk
+    keeps full resolution. Clamped components reconstruct to their
+    clipped value (standard SQ saturation) — the integer-dot identity
+    is exact for the stored representation.
+
     Plan shape = brute_force_topk: broadcast encoded queries, map-only
     integer scoring over the encoded corpus, one shuffle for the
     per-query top-k (+ one broadcast join and a Q*k*r-row re-rank when
     rescoring). Quantization stats are one 64-row aggregate."""
-    mn, s = sq8_stats(emb, id_col=id_col, vec_col=vec_col, dim=dim)
+    mn, s = sq8_stats(emb, id_col=id_col, vec_col=vec_col, dim=dim,
+                      clip_sigma=clip_sigma)
     # Exact reconstruction of the float dot product from integer code
     # stats: with v_d = mn + s*c_d,  dot(a,b) = dim*mn^2
     # + mn*s*(sum(a)+sum(b)) + s^2*dot(codes) — the per-vector sums and

@@ -732,7 +732,7 @@ dims AS (SELECT unnest(range(1, 65)) AS d),
 codes AS (
   SELECT e.vec_id, d.d,
          CASE WHEN st.s = 0 THEN 0
-              ELSE CAST(round((e.v[d.d] - st.mn) / st.s) AS BIGINT) END AS c
+              ELSE least(255, greatest(0, CAST(round((e.v[d.d] - st.mn) / st.s) AS BIGINT))) END AS c
   FROM e CROSS JOIN dims d CROSS JOIN st
 ),
 vstats AS (SELECT vec_id, sum(c) AS cs, sum(c * c) AS nsq FROM codes GROUP BY vec_id),

@@ -880,6 +880,50 @@ def test_ann_recall_floors_clustered(spark):
     assert r_sq8 >= 0.95, f"sq8 raw recall@10 on clustered corpus {r_sq8}"
 
 
+def test_sq8_outlier_clipping_and_clamp(spark):
+    """The confidence-interval trim (clip_sigma, Lucene's motivation):
+    ONE extreme component in the corpus inflates the untrimmed global
+    step ~100x, washing out everyone else's resolution — recall
+    collapses. clip_sigma=3 restores the interval to the data bulk
+    (recall back to ~raw sq8); the outlier saturates to code 255
+    instead of poisoning the stats. Also pins the clamp contract:
+    frozen-stats encode of out-of-interval values stays in [0,255]."""
+    from nde_crawlers_spark.operators.similarity import (
+        brute_force_topk, recall_at_k, sq8_encode, sq8_stats, sq8_topk,
+    )
+
+    dim, per, ncl = 64, 30, 8
+    rows = []
+    for c in range(ncl):
+        base = [0.0] * dim
+        base[c * 8] = 10.0
+        for i in range(per):
+            v = list(base)
+            for d in range(dim):
+                v[d] += (((i * 31 + d * 7 + c * 13) % 11) - 5) / 10.0
+            rows.append((c * per + i, v))
+    # the poison pill: one vector with a 1000.0 component
+    pill = [0.0] * dim
+    pill[0] = 1000.0
+    rows.append((ncl * per, pill))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter((F.col("vec_id") % per == 5) & (F.col("vec_id") < ncl * per))
+    truth = brute_force_topk(emb, q, k=10).localCheckpoint(eager=True)
+
+    r_raw = recall_at_k(truth, sq8_topk(emb, q, k=10))
+    r_clip = recall_at_k(truth, sq8_topk(emb, q, k=10, clip_sigma=3.0))
+    assert r_clip >= 0.9, f"clipped sq8 recall {r_clip}"
+    assert r_clip > r_raw + 0.2, (r_raw, r_clip)
+
+    # clamp contract: frozen trimmed stats leave the outlier's codes in
+    # [0,255], with the spike saturated at 255
+    st = sq8_stats(emb, clip_sigma=3.0)
+    enc = {r["vec_id"]: r for r in sq8_encode(emb, st).collect()}
+    pill_codes = enc[ncl * per]["codes"]
+    assert all(0 <= c <= 255 for c in pill_codes)
+    assert pill_codes[0] == 255
+
+
 def test_ann_recall_floors_isotropic(spark):
     """Floors on the REAL (isotropic) sf0.01 corpus, where any pruning
     index degrades toward recall ~= scanned fraction: IVF at
