@@ -402,8 +402,10 @@ _WINDOW_PRIORITY = [
     "ann_ivf_trained_topk",
     "ann_pq_trained_topk",
     # NEW this round: int8 scalar-quantized top-k (the reference's own
-    # ES int8_hnsw quantization shape) — new query + new oracle
+    # ES int8_hnsw quantization shape) — new query + new oracle — and
+    # its frozen-stats incremental-ingest variant (clamp under oracle)
     "ann_sq8_topk",
+    "ann_sq8_incremental_topk",
 ]
 # settled r6-green rows rotating behind the window for r7 (every name
 # below has a green hash-match row in CORRECTNESS_r06.json and stays

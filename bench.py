@@ -203,6 +203,7 @@ def run_headline() -> None:
         "embed_memo_cache", "ann_pq_adc_topk", "ann_ivfpq_topk",
         # round-7 additions
         "ann_ivf_trained_topk", "ann_pq_trained_topk", "ann_sq8_topk",
+        "ann_sq8_incremental_topk",
     ]
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:
@@ -477,8 +478,9 @@ def run_soak_sf1() -> None:
                        "embed_memo_cache", "ann_pq_adc_topk",
                        "ann_ivfpq_topk",
                        # r7: trained-codebook IVF (Lloyd training scales
-                       # with corpus rows too)
-                       "ann_ivf_trained_topk"]
+                       # with corpus rows too) + the int8-SQ full scan
+                       # (stats aggregate + code scan both scale with rows)
+                       "ann_ivf_trained_topk", "ann_sq8_topk"]
     for name in qset:  # warm codegen at the smallest shipped SF
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 

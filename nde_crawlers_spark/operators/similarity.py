@@ -577,6 +577,7 @@ def sq8_topk(
     dim: int = 64,
     rescore: int = 0,
     clip_sigma: float | None = None,
+    stats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """int8 scalar-quantized cosine top-k — the direct analog of the
     reference's ES ``int8_hnsw`` quantization half
@@ -610,12 +611,20 @@ def sq8_topk(
     clipped value (standard SQ saturation) — the integer-dot identity
     is exact for the stored representation.
 
+    ``stats=(mn, s)`` serves with a FROZEN interval instead of
+    recomputing it — the incremental-ingest contract: stats are
+    trained once on the base corpus and appended batches encode with
+    the same constants (else every historical code would change);
+    components outside the frozen interval clamp. With ``stats`` set,
+    ``clip_sigma`` is ignored (the freeze already happened).
+
     Plan shape = brute_force_topk: broadcast encoded queries, map-only
     integer scoring over the encoded corpus, one shuffle for the
     per-query top-k (+ one broadcast join and a Q*k*r-row re-rank when
     rescoring). Quantization stats are one 64-row aggregate."""
-    mn, s = sq8_stats(emb, id_col=id_col, vec_col=vec_col, dim=dim,
-                      clip_sigma=clip_sigma)
+    mn, s = stats if stats is not None else sq8_stats(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim, clip_sigma=clip_sigma
+    )
     # Exact reconstruction of the float dot product from integer code
     # stats: with v_d = mn + s*c_d,  dot(a,b) = dim*mn^2
     # + mn*s*(sum(a)+sum(b)) + s^2*dot(codes) — the per-vector sums and

@@ -765,6 +765,54 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DE
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
 """
 
+# mirror of queries.ann_sq8_incremental_topk: identical pipeline to
+# ann_sq8_topk EXCEPT the (mn, s) stats come from the BASE partition
+# only (vec_id < 80) — the frozen-interval incremental-ingest
+# contract — so appended rows genuinely exercise the 0/255 clamp in
+# both engines (the corpus-wide max component sits outside the base).
+ORACLES["ann_sq8_incremental_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+st AS (
+  SELECT min(x) AS mn, (max(x) - min(x)) / 255.0 AS s
+  FROM (SELECT unnest(v) AS x FROM e WHERE vec_id < 80)
+),
+dims AS (SELECT unnest(range(1, 65)) AS d),
+codes AS (
+  SELECT e.vec_id, d.d,
+         CASE WHEN st.s = 0 THEN 0
+              ELSE least(255, greatest(0, CAST(round((e.v[d.d] - st.mn) / st.s) AS BIGINT))) END AS c
+  FROM e CROSS JOIN dims d CROSS JOIN st
+),
+vstats AS (SELECT vec_id, sum(c) AS cs, sum(c * c) AS nsq FROM codes GROUP BY vec_id),
+norms AS (
+  SELECT v.vec_id, v.cs,
+         sqrt(((64.0 * st.mn) * st.mn)
+              + ((((2.0 * st.mn) * st.s) * CAST(v.cs AS DOUBLE))
+                 + ((st.s * st.s) * CAST(v.nsq AS DOUBLE)))) AS rn
+  FROM vstats v CROSS JOIN st
+),
+dots AS (
+  SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id, sum(qc.c * cc.c) AS dp
+  FROM codes qc JOIN codes cc ON qc.d = cc.d
+  WHERE qc.vec_id < 5 AND cc.vec_id != qc.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.query_id, t.neighbor_id,
+         round(CASE WHEN nq.rn * nc.rn > 0
+                    THEN (((64.0 * st.mn) * st.mn)
+                          + (((st.mn * st.s) * CAST(nq.cs + nc.cs AS DOUBLE))
+                             + ((st.s * st.s) * CAST(t.dp AS DOUBLE))))
+                         / (nq.rn * nc.rn)
+                    ELSE 0.0 END, 6) AS cosine
+  FROM dots t JOIN norms nq ON t.query_id = nq.vec_id
+              JOIN norms nc ON t.neighbor_id = nc.vec_id
+              CROSS JOIN st
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""
+
 ORACLES["tpch_rollup"] = """
 SELECT coalesce(r.r_name, 'ALL') AS region, coalesce(n.n_name, 'ALL') AS nation,
        CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8))), 2) AS DOUBLE) AS revenue,

@@ -487,6 +487,24 @@ def ann_sq8_topk(spark, sf_dir):
     return SIM.sq8_topk(emb, q, k=10)
 
 
+def ann_sq8_incremental_topk(spark, sf_dir):
+    """Frozen-stats incremental SQ serving (similarity.py::sq8_topk
+    with stats=): the quantization interval is trained ONCE on the
+    base partition (vec_id < 80) and the full corpus — base plus
+    every later-appended row — encodes and serves with those frozen
+    constants, clamping out-of-interval components to code 0/255. This
+    is the only contract that works for incremental ingest at scale
+    (retraining the interval would invalidate every historical code);
+    the clamp is exercised FOR REAL here (the corpus-wide max
+    component lives OUTSIDE the base partition at both gate SFs, so
+    appended rows saturate) and mirrored in the DuckDB oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 80)
+    frozen = SIM.sq8_stats(base)
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.sq8_topk(emb, q, k=10, stats=frozen)
+
+
 # ------------------------------------------------------------------ text --
 def text_analyze(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -2098,6 +2116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_sq8_topk": ann_sq8_topk,
+    "ann_sq8_incremental_topk": ann_sq8_incremental_topk,
     "text_analyze": text_analyze,
     "text_lang_agreement": text_lang_agreement,
     "text_quality_filter": text_quality_filter,
