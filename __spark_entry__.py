@@ -158,11 +158,12 @@ def _py_oracle_signatures() -> dict:
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media plumbing: spans -> binary payload table -> Arrow-batched
-    feature extraction. PNG rows decode FOR REAL (stdlib codec,
-    functions/png.py — true geometry + pooled-luma feature) and WAV
-    rows too (functions/wav.py — pooled-energy feature, (width,height)
-    carrying (frames, sample_rate)); other formats take the
-    deterministic stub (decoder libs env-blocked)."""
+    feature extraction. PNG, JPEG, and WAV rows all decode FOR REAL
+    (pure-stdlib codecs: functions/png.py, functions/jpeg.py,
+    functions/wav.py — true geometry + pooled luma/energy features;
+    audio (width,height) carries (frames, sample_rate)); only
+    video/compressed-audio rows take the deterministic stub (ffmpeg
+    env-blocked)."""
     from nde_crawlers_spark.operators.multimodal import decode_media, media_table_from_spans
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
     from nde_crawlers_spark.sources.synthetic import make_seeds

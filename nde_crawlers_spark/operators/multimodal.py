@@ -7,14 +7,14 @@ Spark-side plumbing — schema, partitioning, Arrow batch shape — for
 image/audio/video columns treated as opaque ``binary`` with a typed
 metadata struct.
 
-PNG decode is REAL: ``functions/png.py`` is a pure-stdlib codec (zlib
-inflate + per-scanline unfilter), so PNG payloads yield their actual
-width/height and a pooled-luma feature with no external libraries.
-WAV decode is REAL too: ``functions/wav.py`` parses the RIFF/PCM
-container with struct alone, so audio payloads yield their actual
-frame count / sample rate and a pooled-energy feature. JPEG and
-video/compressed-audio decode (PIL/ffmpeg/librosa) stay STUBBED —
-those libraries are not in this container — so for such rows
+Image and WAV decode are REAL, all pure stdlib: ``functions/png.py``
+(zlib inflate + per-scanline unfilter), ``functions/jpeg.py``
+(baseline Huffman + 8x8 IDCT + chroma upsample — both image formats
+yield actual geometry and a pooled-luma feature), and
+``functions/wav.py`` (struct-level RIFF/PCM — actual frame count /
+sample rate and a pooled-energy feature). Only video and compressed
+audio (MP4/MP3 — containers + motion compensation genuinely need
+ffmpeg, absent in this container) stay STUBBED: for such rows
 ``decode_media`` raises NotImplementedError unless ``fake=True``, in
 which case it produces a deterministic fake feature vector from the
 bytes, keeping the whole distributed path (mapInPandas signature,
@@ -84,6 +84,27 @@ def _synth_png(refs: pd.Series) -> pd.Series:
     return refs.map(one)
 
 
+@F.pandas_udf(T.BinaryType())
+def _synth_jpeg(refs: pd.Series) -> pd.Series:
+    """Deterministic 16x16 RGB baseline JPEG (4:2:0) whose pixels are
+    the sha256 stream of the ref — the sandbox stand-in for fetching a
+    real photo, except the bytes ARE a valid JPEG so the real decoder
+    downstream exercises the full Huffman+IDCT+upsample path."""
+    from nde_crawlers_spark.functions.jpeg import encode_jpeg
+
+    def one(ref: str) -> bytes:
+        need = _PNG_W * _PNG_H * 3
+        seed = hashlib.sha256(ref.encode()).digest()
+        buf = bytearray()
+        while len(buf) < need:
+            seed = hashlib.sha256(seed).digest()
+            buf += seed
+        return encode_jpeg(_PNG_W, _PNG_H, bytes(buf[:need]), channels=3,
+                           quality=90, subsampling="420")
+
+    return refs.map(one)
+
+
 _WAV_RATE, _WAV_FRAMES = 8000, 400
 
 
@@ -114,9 +135,9 @@ def media_table_from_spans(docs: DataFrame) -> DataFrame:
     """Extract media spans from the documents table into the media schema,
     synthesizing a deterministic payload — the sandbox stand-in for the
     media fetch stage. ``.png`` refs get a REAL (valid, decodable) PNG
-    payload and ``.wav`` refs a REAL RIFF/PCM payload via the stdlib
-    encoders; other kinds get the sha-stream bytes of the ref (opaque,
-    as before)."""
+    payload, ``.jpg`` refs a REAL baseline 4:2:0 JPEG, and ``.wav``
+    refs a REAL RIFF/PCM payload via the stdlib encoders; other kinds
+    get the sha-stream bytes of the ref (opaque, as before)."""
     media = (
         docs.select(F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "media")
@@ -133,6 +154,7 @@ def media_table_from_spans(docs: DataFrame) -> DataFrame:
     )
     payload = (
         F.when(ext == "png", _synth_png(F.col("media_ref")))
+        .when(ext == "jpg", _synth_jpeg(F.col("media_ref")))
         .when(ext == "wav", _synth_wav(F.col("media_ref")))
         .otherwise(F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex")))
     )
@@ -159,6 +181,7 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
     exercised end-to-end regardless of format."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.jpeg import decode_jpeg, is_jpeg
         from nde_crawlers_spark.functions.png import SIGNATURE, decode_png, luma_features
         from nde_crawlers_spark.functions.wav import audio_features, decode_wav, is_wav
 
@@ -170,6 +193,10 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                     w, h, ch, px = decode_png(raw)
                     rows.append((ref, kind, luma_features(w, h, ch, px, feature_dim), w, h))
                     continue
+                if is_jpeg(raw):
+                    w, h, ch, px = decode_jpeg(raw)
+                    rows.append((ref, kind, luma_features(w, h, ch, px, feature_dim), w, h))
+                    continue
                 if is_wav(raw):
                     rate, ch, sw, smp = decode_wav(raw)
                     feat = audio_features(rate, ch, sw, smp, feature_dim)
@@ -177,8 +204,9 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-PNG/WAV media decode requires PIL/ffmpeg/librosa (not "
-                        "in container); run with fake=True for the deterministic stub"
+                        "video/compressed-audio decode requires ffmpeg/librosa "
+                        "(not in container); run with fake=True for the "
+                        "deterministic stub"
                     )
                 d = hashlib.sha256(raw).digest()
                 feat = [round(b / 255.0, 6) for b in d[:feature_dim]]
@@ -211,17 +239,29 @@ FRAME_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                   fake: bool = False) -> DataFrame:
     """Image resize as an Arrow-batched mapInPandas stage (1 row -> 1
-    row, image rows only). PNG payloads are resized FOR REAL: stdlib
-    decode -> nearest-neighbor resample -> stdlib re-encode, so the
-    output payload is itself a valid PNG of the target geometry. Other
-    image formats (JPEG) are STUBBED behind ``fake`` (PIL absent); the
-    fake emits a deterministic payload of exactly width*height bytes so
+    row, image rows only). PNG and JPEG payloads are resized FOR REAL:
+    stdlib decode -> nearest-neighbor resample -> stdlib re-encode, so
+    the output payload is itself a valid PNG/JPEG of the target
+    geometry. Unknown formats are STUBBED behind ``fake``; the fake
+    emits a deterministic payload of exactly width*height bytes so
     downstream size invariants stay testable. The Spark-side plumbing —
     filter pushdown to image rows, batch shape, binary output schema —
     is real for both paths."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.jpeg import decode_jpeg, encode_jpeg, is_jpeg
         from nde_crawlers_spark.functions.png import SIGNATURE, decode_png, encode_png
+
+        def _nearest(px, sw, sh, ch):
+            out = bytearray(width * height * ch)
+            for y in range(height):
+                sy = y * sh // height
+                for x in range(width):
+                    sx = x * sw // width
+                    src = (sy * sw + sx) * ch
+                    dst = (y * width + x) * ch
+                    out[dst:dst + ch] = px[src:src + ch]
+            return bytes(out)
 
         for pdf in batches:
             rows = []
@@ -229,21 +269,20 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32,
                 raw = bytes(payload)
                 if raw[:8] == SIGNATURE:
                     sw, sh, ch, px = decode_png(raw)
-                    out = bytearray(width * height * ch)
-                    for y in range(height):
-                        sy = y * sh // height
-                        for x in range(width):
-                            sx = x * sw // width
-                            src = (sy * sw + sx) * ch
-                            dst = (y * width + x) * ch
-                            out[dst:dst + ch] = px[src:src + ch]
+                    out = _nearest(px, sw, sh, ch)
                     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-                    rows.append((ref, encode_png(width, height, bytes(out), ctype), width, height))
+                    rows.append((ref, encode_png(width, height, out, ctype), width, height))
+                    continue
+                if is_jpeg(raw):
+                    sw, sh, ch, px = decode_jpeg(raw)
+                    out = _nearest(px, sw, sh, ch)
+                    rows.append((ref, encode_jpeg(width, height, out, channels=ch,
+                                                  quality=90), width, height))
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-PNG image resize requires PIL (not in container); "
-                        "fake=True for the stub"
+                        "non-PNG/JPEG image resize needs an external decoder "
+                        "(not in container); fake=True for the stub"
                     )
                 seed = hashlib.sha256(raw).digest()
                 out = (seed * (width * height // len(seed) + 1))[: width * height]

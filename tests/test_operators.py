@@ -373,13 +373,11 @@ def test_multimodal_resize_and_frame_sample(spark):
     kinds = {r["media_kind"] for r in media.select("media_kind").distinct().collect()}
     assert "image" in kinds and "video" in kinds
 
-    with _pytest.raises(Exception):
-        resize_images(media, fake=False).collect()  # honest stub for jpg
-
-    rs = resize_images(media, width=8, height=4, fake=True).collect()
+    rs = resize_images(media, width=8, height=4, fake=False).collect()
     assert len(rs) == media.filter(F.col("media_kind") == "image").count()
-    # png rows resize FOR REAL (payload is a re-encoded 8x4 PNG);
-    # jpg rows take the deterministic 32-byte fake
+    # BOTH image formats resize FOR REAL now: png rows re-encode as 8x4
+    # PNGs, jpg rows as 8x4 baseline JPEGs (functions/jpeg.py)
+    from nde_crawlers_spark.functions.jpeg import decode_jpeg
     from nde_crawlers_spark.functions.png import decode_png
 
     png_refs = {
@@ -387,11 +385,12 @@ def test_multimodal_resize_and_frame_sample(spark):
         for r in media.filter(F.col("media_ref").endswith(".png")).collect()
     }
     assert png_refs  # synthetic refs rotate through MEDIA_EXT, png included
+    assert any(r["media_ref"].endswith(".jpg") for r in rs)
     for r in rs:
         if r["media_ref"] in png_refs:
             assert decode_png(bytes(r["payload"]))[:2] == (8, 4)
         else:
-            assert len(r["payload"]) == 32
+            assert decode_jpeg(bytes(r["payload"]))[:2] == (8, 4)
 
     fr = sample_frames(media, every_ms=500, max_frames=3, fake=True)
     rows = fr.collect()

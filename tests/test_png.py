@@ -156,12 +156,11 @@ def test_decode_media_real_png_path(spark):
         }
         assert got[r["media_ref"]] == pytest.approx(ref_feat)
 
-    # real decode is format-scoped: the jpg row still raises honestly
-    with pytest.raises(Exception, match="non-PNG|NotImplementedError"):
-        decode_media(media, fake=False).collect()
-    # fake=True decodes PNG for real AND stubs the rest in one pass
-    allrows = {r["media_ref"]: r for r in decode_media(media, fake=True).collect()}
+    # the jpg row now decodes FOR REAL too (functions/jpeg.py), so the
+    # whole image set passes fake=False with true geometry for both
+    allrows = {r["media_ref"]: r for r in decode_media(media, fake=False).collect()}
     assert allrows["http://x/a.png"]["width"] == _PNG_W
+    assert allrows["http://x/c.jpg"]["width"] == _PNG_W
     assert len(allrows) == 3
 
     # real resize: output payload is itself a valid 8x4 PNG
