@@ -179,7 +179,9 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table_from_spans(run.documents())
     return decode_media(media, fake=True).select(
         "media_ref", "media_kind", F.col("width"), F.col("height"),
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        # try_: video rows carry an honestly-EMPTY feature (container
+        # metadata is real, pixel features need a codec) -> f0 null
+        F.round(F.try_element_at("feature", F.lit(1)), 6).alias("f0"),
     )
 
 

@@ -12,11 +12,14 @@ Image and WAV decode are REAL, all pure stdlib: ``functions/png.py``
 (baseline Huffman + 8x8 IDCT + chroma upsample — both image formats
 yield actual geometry and a pooled-luma feature), and
 ``functions/wav.py`` (struct-level RIFF/PCM — actual frame count /
-sample rate and a pooled-energy feature). Only video and compressed
-audio (MP4/MP3 — containers + motion compensation genuinely need
-ffmpeg, absent in this container) stay STUBBED: for such rows
-``decode_media`` raises NotImplementedError unless ``fake=True``, in
-which case it produces a deterministic fake feature vector from the
+sample rate and a pooled-energy feature). Video container METADATA is
+REAL too: ``functions/mp4.py`` walks the ISO BMFF box tree with
+struct, so ``probe_video`` reads true geometry/duration/track-count
+and ``sample_frames`` derives its fan-out from the real duration.
+Only the codec-bound parts stay STUBBED — video FRAME pixels and
+compressed audio (motion compensation / MDCT genuinely need ffmpeg,
+absent in this container): those rows raise NotImplementedError
+unless ``fake=True``, which produces a deterministic fake from the
 bytes, keeping the whole distributed path (mapInPandas signature,
 batch sizing, schema) real and testable. On a cluster the stub body
 swaps for the real decoder; nothing else changes.
@@ -105,6 +108,25 @@ def _synth_jpeg(refs: pd.Series) -> pd.Series:
     return refs.map(one)
 
 
+@F.pandas_udf(T.BinaryType())
+def _synth_mp4(refs: pd.Series) -> pd.Series:
+    """Deterministic minimal-but-VALID ISO BMFF file whose geometry and
+    duration derive from the ref hash (duration 1-8 s, even dims in
+    [160, 478]) and whose mdat is the sha stream — the container
+    headers are real, so the metadata probe downstream parses them for
+    real; only frame DECODE stays out of scope (needs a codec)."""
+    from nde_crawlers_spark.functions.mp4 import encode_mp4_stub
+
+    def one(ref: str) -> bytes:
+        d = hashlib.sha256(ref.encode()).digest()
+        w = 160 + (d[0] % 160) * 2
+        h = 120 + (d[1] % 120) * 2
+        dur_ms = 1000 + (int.from_bytes(d[2:4], "big") % 7000)
+        return encode_mp4_stub(w, h, dur_ms, mdat=d * 4)
+
+    return refs.map(one)
+
+
 _WAV_RATE, _WAV_FRAMES = 8000, 400
 
 
@@ -156,6 +178,7 @@ def media_table_from_spans(docs: DataFrame) -> DataFrame:
         F.when(ext == "png", _synth_png(F.col("media_ref")))
         .when(ext == "jpg", _synth_jpeg(F.col("media_ref")))
         .when(ext == "wav", _synth_wav(F.col("media_ref")))
+        .when(ext == "mp4", _synth_mp4(F.col("media_ref")))
         .otherwise(F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex")))
     )
     return media.select(
@@ -182,6 +205,7 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nde_crawlers_spark.functions.jpeg import decode_jpeg, is_jpeg
+        from nde_crawlers_spark.functions.mp4 import is_mp4, probe_mp4
         from nde_crawlers_spark.functions.png import SIGNATURE, decode_png, luma_features
         from nde_crawlers_spark.functions.wav import audio_features, decode_wav, is_wav
 
@@ -202,9 +226,15 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                     feat = audio_features(rate, ch, sw, smp, feature_dim)
                     rows.append((ref, kind, feat, len(smp) // ch, rate))
                     continue
+                if is_mp4(raw):
+                    # container metadata is REAL; pixel features need a
+                    # codec, so the feature is honestly empty
+                    m = probe_mp4(raw)
+                    rows.append((ref, kind, [], m["width"] or 0, m["height"] or 0))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "video/compressed-audio decode requires ffmpeg/librosa "
+                        "frame/compressed-audio decode requires ffmpeg/librosa "
                         "(not in container); run with fake=True for the "
                         "deterministic stub"
                     )
@@ -343,25 +373,85 @@ def resample_audio(media: DataFrame, rate: int = 4000,
     return auds.mapInPandas(_resample, schema=RESAMPLED_SCHEMA)
 
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("brand", T.StringType()),
+    ]
+)
+
+
+def probe_video(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Container-metadata probe for video rows (1->1 mapInPandas):
+    geometry / duration / timescale / track count parsed FOR REAL from
+    the ISO BMFF box tree (functions/mp4.py) — the gate a curation
+    pipeline applies (resolution/duration filters) before paying for
+    frame extraction. Non-MP4 payloads raise unless ``fake=True``
+    (deterministic stand-in metadata from the bytes)."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.mp4 import is_mp4, probe_mp4
+
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                raw = bytes(payload)
+                if is_mp4(raw):
+                    m = probe_mp4(raw)
+                    rows.append((ref, m["width"], m["height"], m["duration_ms"],
+                                 m["timescale"], m["n_tracks"], m["brand"]))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-MP4 container probe not implemented; fake=True for the stub"
+                    )
+                d = hashlib.sha256(raw).digest()
+                rows.append((ref, 160 + d[0], 120 + d[1],
+                             1000 + d[2] * 16, 1000, 1, "fake"))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "width", "height", "duration_ms", "timescale",
+                "n_tracks", "brand"])
+
+    vids = media.filter(F.col("media_kind") == "video").select("media_ref", "payload")
+    return vids.mapInPandas(_probe, schema=PROBE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 4,
                   fake: bool = False) -> DataFrame:
     """Video frame sampling as a 1->N mapInPandas fan-out (one output row
     per sampled frame, video rows only) — the multimodal analog of the
-    parse fan-out. ffmpeg is STUBBED behind ``fake``: the fake derives a
-    deterministic frame count (1..max_frames) and per-frame payload from
-    the source bytes, keeping the fan-out plumbing (row multiplication,
-    frame index/timestamp columns, binary payloads) real and tested."""
+    parse fan-out. For valid MP4 payloads the fan-out COUNT and
+    timestamps are REAL: frames every ``every_ms`` across the probed
+    container duration, capped at ``max_frames``. Frame PAYLOADS are
+    deterministic fakes in all cases — pixel extraction needs a codec
+    (ffmpeg, env-blocked) — and non-MP4 payloads raise unless
+    ``fake=True`` (hash-derived count), keeping the fan-out plumbing
+    (row multiplication, index/timestamp columns, binary payloads)
+    real and tested either way."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.mp4 import is_mp4, probe_mp4
+
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                if not fake:
+                raw = bytes(payload)
+                seed = hashlib.sha256(raw).digest()
+                if is_mp4(raw):
+                    dur = probe_mp4(raw)["duration_ms"]
+                    n = min(max_frames, max(1, dur // every_ms + 1))
+                elif fake:
+                    n = 1 + seed[0] % max_frames
+                else:
                     raise NotImplementedError(
-                        "frame sampling requires ffmpeg (not in container); fake=True for the stub"
+                        "frame sampling of non-MP4 video requires ffmpeg (not "
+                        "in container); fake=True for the stub"
                     )
-                seed = hashlib.sha256(bytes(payload)).digest()
-                n = 1 + seed[0] % max_frames
                 for i in range(n):
                     fp = hashlib.sha256(seed + bytes([i])).digest()
                     rows.append((ref, i, i * every_ms, fp))

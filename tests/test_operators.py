@@ -159,13 +159,18 @@ def test_multimodal_stub_and_fake_decode(spark):
     feats = decode_media(media, fake=True).collect()
     assert len(feats) == n
     for r in feats:
-        assert len(r["feature"]) == 8
         assert r["media_kind"] in {"image", "audio", "video", "other"}
         if r["media_ref"].endswith(".wav"):
             # real WAV decode: (width, height) = (frames, sample_rate)
             assert (r["width"], r["height"]) == (400, 8000)
+            assert len(r["feature"]) == 8
+        elif r["media_ref"].endswith(".mp4"):
+            # real container probe: true geometry, honestly-empty
+            # feature (pixel features need a codec)
+            assert 160 <= r["width"] <= 478 and len(r["feature"]) == 0
         else:
             assert 16 <= r["width"] < 80
+            assert len(r["feature"]) == 8
     # determinism
     again = {r["media_ref"]: r["feature"] for r in decode_media(media, fake=True).collect()}
     assert all(again[r["media_ref"]] == r["feature"] for r in feats)
