@@ -884,6 +884,25 @@ def test_ann_recall_floors_clustered(spark):
     assert r_sq8 >= 0.95, f"sq8 raw recall@10 on clustered corpus {r_sq8}"
 
 
+def test_sq8_encode_persist_and_serve_roundtrip(spark, tmp_path):
+    """The encode-once/serve-many lifecycle: sq8_encode written to
+    parquet, read back cold, and served against — identical top-k to
+    serving from the live frame. This is the 100-TB shape (the float
+    corpus is encoded once; every query scans the 4x-smaller code
+    table from storage)."""
+    from nde_crawlers_spark.operators.similarity import sq8_encode, sq8_stats
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    st = sq8_stats(emb)
+    live = sq8_encode(emb, st).orderBy("vec_id").collect()
+    path = str(tmp_path / "sq8_codes.parquet")
+    sq8_encode(emb, st).write.parquet(path)
+    cold = spark.read.parquet(path).orderBy("vec_id").collect()
+    assert [tuple(r) for r in cold] == [tuple(r) for r in live]
+    # codes are genuinely narrow: ints in [0,255] + two bigint stats
+    assert all(0 <= c <= 255 for c in cold[0]["codes"])
+
+
 def test_sq8_outlier_clipping_and_clamp(spark):
     """The confidence-interval trim (clip_sigma, Lucene's motivation):
     ONE extreme component in the corpus inflates the untrimmed global
