@@ -2,9 +2,10 @@
 
 ``entry(spark)`` runs the flagship crawl-scheduling query on sf0.001;
 ``queries()``/``oracle_sql()`` expose the full catalog from
-``nde_crawlers_spark`` (67 oracle-checked catalog queries, plus the
-oracle-checked e2e signature row and 3 non-SQL-expressible extras
-checked rows-only). The driver oracle-checks the first 50 catalog
+``nde_crawlers_spark`` (77 oracle-checked rows: 74 catalog queries
+plus the e2e signature/documents rows and uploader_pipeline, with ONE
+rows-only extra — multimodal_features, whose Python-codec media path
+has no SQL mirror by nature). The driver oracle-checks the first 50 catalog
 entries; the rotation rule (at ``_WINDOW_PRIORITY`` below) guarantees the
 union of two consecutive rounds' driver windows covers the complete
 catalog, and every query stays covered by the full-catalog parity mirror
@@ -476,8 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle's literal span rows (was rows-only/signature-witnessed)
     out["crawl_e2e_documents"] = _crawl_e2e_documents
     # rows-only extra stays in-window (never earns a green driver row,
-    # so the rotation rule never retires it): media plumbing — PNG rows
-    # decode for real, other formats are env-scoped stubs
+    # so the rotation rule never retires it): media plumbing — PNG/JPEG/
+    # WAV decode + MP4 probe all real (stdlib codecs), but the Python
+    # codec path has no SQL mirror by nature
     out["multimodal_features"] = _multimodal_features
     # PINNED: oracle changed this round — new DuckDB mirror composed
     # from the Python crawl oracle's harvested documents (was rows-only)
