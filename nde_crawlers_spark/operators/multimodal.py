@@ -13,16 +13,19 @@ Image and WAV decode are REAL, all pure stdlib: ``functions/png.py``
 yield actual geometry and a pooled-luma feature), and
 ``functions/wav.py`` (struct-level RIFF/PCM — actual frame count /
 sample rate and a pooled-energy feature). Video container METADATA is
-REAL too: ``functions/mp4.py`` walks the ISO BMFF box tree with
-struct, so ``probe_video`` reads true geometry/duration/track-count
-and ``sample_frames`` derives its fan-out from the real duration.
-Only the codec-bound parts stay STUBBED — video FRAME pixels and
-compressed audio (motion compensation / MDCT genuinely need ffmpeg,
-absent in this container): those rows raise NotImplementedError
-unless ``fake=True``, which produces a deterministic fake from the
-bytes, keeping the whole distributed path (mapInPandas signature,
-batch sizing, schema) real and testable. On a cluster the stub body
-swaps for the real decoder; nothing else changes.
+REAL too: ``functions/mp4.py`` walks the ISO BMFF box tree and
+``functions/avi.py`` the AVI RIFF tree, so ``probe_video`` reads true
+geometry/duration/track-count and ``sample_frames`` derives its
+fan-out from the real duration — and for MJPEG AVI the sampled frame
+PAYLOADS are the actual per-frame JPEGs, decodable by the repo's own
+codec (video end-to-end for one format). Only the codec-bound parts
+stay STUBBED — H.264/MP4 frame pixels and compressed audio (motion
+compensation / MDCT genuinely need ffmpeg, absent in this container):
+those rows raise NotImplementedError unless ``fake=True``, which
+produces a deterministic fake from the bytes, keeping the whole
+distributed path (mapInPandas signature, batch sizing, schema) real
+and testable. On a cluster the stub body swaps for the real decoder;
+nothing else changes.
 """
 
 from __future__ import annotations
@@ -59,7 +62,8 @@ FEATURE_SCHEMA = T.StructType(
 
 _EXT_KIND = {
     "jpg": ("image", "image/jpeg"), "png": ("image", "image/png"),
-    "mp4": ("video", "video/mp4"), "wav": ("audio", "audio/wav"),
+    "mp4": ("video", "video/mp4"), "avi": ("video", "video/x-msvideo"),
+    "wav": ("audio", "audio/wav"),
     "pdf": ("other", "application/pdf"),
 }
 
@@ -104,6 +108,33 @@ def _synth_jpeg(refs: pd.Series) -> pd.Series:
             buf += seed
         return encode_jpeg(_PNG_W, _PNG_H, bytes(buf[:need]), channels=3,
                            quality=90, subsampling="420")
+
+    return refs.map(one)
+
+
+@F.pandas_udf(T.BinaryType())
+def _synth_avi(refs: pd.Series) -> pd.Series:
+    """Deterministic MJPEG AVI: 2-6 real 16x16 JPEG frames (pixel
+    stream from the ref hash) in a valid RIFF container — the one video
+    format whose frames the repo can decode END-TO-END (demux +
+    pixels) with stdlib alone."""
+    from nde_crawlers_spark.functions.avi import encode_avi_mjpeg
+    from nde_crawlers_spark.functions.jpeg import encode_jpeg
+
+    def one(ref: str) -> bytes:
+        d = hashlib.sha256(ref.encode()).digest()
+        n = 2 + d[0] % 5
+        frames = []
+        for i in range(n):
+            need = _PNG_W * _PNG_H * 3
+            seed = hashlib.sha256(d + bytes([i])).digest()
+            buf = bytearray()
+            while len(buf) < need:
+                seed = hashlib.sha256(seed).digest()
+                buf += seed
+            frames.append(encode_jpeg(_PNG_W, _PNG_H, bytes(buf[:need]),
+                                      channels=3, quality=90))
+        return encode_avi_mjpeg(_PNG_W, _PNG_H, 4, frames)
 
     return refs.map(one)
 
@@ -179,6 +210,7 @@ def media_table_from_spans(docs: DataFrame) -> DataFrame:
         .when(ext == "jpg", _synth_jpeg(F.col("media_ref")))
         .when(ext == "wav", _synth_wav(F.col("media_ref")))
         .when(ext == "mp4", _synth_mp4(F.col("media_ref")))
+        .when(ext == "avi", _synth_avi(F.col("media_ref")))
         .otherwise(F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex")))
     )
     return media.select(
@@ -204,6 +236,7 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
     exercised end-to-end regardless of format."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.avi import decode_avi, is_avi
         from nde_crawlers_spark.functions.jpeg import decode_jpeg, is_jpeg
         from nde_crawlers_spark.functions.mp4 import is_mp4, probe_mp4
         from nde_crawlers_spark.functions.png import SIGNATURE, decode_png, luma_features
@@ -231,6 +264,14 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                     # codec, so the feature is honestly empty
                     m = probe_mp4(raw)
                     rows.append((ref, kind, [], m["width"] or 0, m["height"] or 0))
+                    continue
+                if is_avi(raw):
+                    # MJPEG: frame pixels decode END-TO-END — real
+                    # geometry AND a real first-frame luma feature
+                    w, h, _fps, fr = decode_avi(raw)
+                    fw, fh, fch, fpx = decode_jpeg(fr[0])
+                    feat = luma_features(fw, fh, fch, fpx, feature_dim)
+                    rows.append((ref, kind, feat, w, h))
                     continue
                 if not fake:
                     raise NotImplementedError(
@@ -389,12 +430,14 @@ PROBE_SCHEMA = T.StructType(
 def probe_video(media: DataFrame, fake: bool = False) -> DataFrame:
     """Container-metadata probe for video rows (1->1 mapInPandas):
     geometry / duration / timescale / track count parsed FOR REAL from
-    the ISO BMFF box tree (functions/mp4.py) — the gate a curation
-    pipeline applies (resolution/duration filters) before paying for
-    frame extraction. Non-MP4 payloads raise unless ``fake=True``
-    (deterministic stand-in metadata from the bytes)."""
+    the ISO BMFF box tree (functions/mp4.py) or the AVI RIFF tree
+    (functions/avi.py) — the gate a curation pipeline applies
+    (resolution/duration filters) before paying for frame extraction.
+    Other containers raise unless ``fake=True`` (deterministic
+    stand-in metadata from the bytes)."""
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.avi import decode_avi, is_avi
         from nde_crawlers_spark.functions.mp4 import is_mp4, probe_mp4
 
         for pdf in batches:
@@ -406,9 +449,14 @@ def probe_video(media: DataFrame, fake: bool = False) -> DataFrame:
                     rows.append((ref, m["width"], m["height"], m["duration_ms"],
                                  m["timescale"], m["n_tracks"], m["brand"]))
                     continue
+                if is_avi(raw):
+                    w, h, fps, fr = decode_avi(raw)
+                    dur = int(len(fr) * 1000 / fps) if fps else 0
+                    rows.append((ref, w, h, dur, int(fps * 1000), 1, "AVI "))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "non-MP4 container probe not implemented; fake=True for the stub"
+                        "non-MP4/AVI container probe not implemented; fake=True for the stub"
                     )
                 d = hashlib.sha256(raw).digest()
                 rows.append((ref, 160 + d[0], 120 + d[1],
@@ -425,16 +473,18 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 4,
                   fake: bool = False) -> DataFrame:
     """Video frame sampling as a 1->N mapInPandas fan-out (one output row
     per sampled frame, video rows only) — the multimodal analog of the
-    parse fan-out. For valid MP4 payloads the fan-out COUNT and
-    timestamps are REAL: frames every ``every_ms`` across the probed
-    container duration, capped at ``max_frames``. Frame PAYLOADS are
-    deterministic fakes in all cases — pixel extraction needs a codec
-    (ffmpeg, env-blocked) — and non-MP4 payloads raise unless
-    ``fake=True`` (hash-derived count), keeping the fan-out plumbing
-    (row multiplication, index/timestamp columns, binary payloads)
-    real and tested either way."""
+    parse fan-out. MJPEG AVI is REAL end-to-end: the sampled payloads
+    are the actual per-frame JPEGs demuxed from the container
+    (functions/avi.py), timestamped on the source clock — no ffmpeg.
+    For MP4 the fan-out COUNT and timestamps are real (probed container
+    duration) while frame payloads are deterministic fakes — H.264
+    pixel extraction needs a codec (ffmpeg, env-blocked). Other
+    payloads raise unless ``fake=True`` (hash-derived count), keeping
+    the fan-out plumbing (row multiplication, index/timestamp columns,
+    binary payloads) real and tested in every mode."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nde_crawlers_spark.functions.avi import decode_avi, is_avi
         from nde_crawlers_spark.functions.mp4 import is_mp4, probe_mp4
 
         for pdf in batches:
@@ -442,6 +492,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 4,
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 raw = bytes(payload)
                 seed = hashlib.sha256(raw).digest()
+                if is_avi(raw):
+                    # MJPEG: the sampled payloads are the REAL per-frame
+                    # JPEGs out of the container, timestamped on the
+                    # source clock — demux AND pixels, no ffmpeg
+                    w, h, fps, fr = decode_avi(raw)
+                    step = max(1, int(round(every_ms * fps / 1000.0))) if fps else 1
+                    picks = fr[::step][:max_frames] or fr[:1]
+                    for i, fp in enumerate(picks):
+                        ts = int(i * step * 1000 / fps) if fps else i * every_ms
+                        rows.append((ref, i, ts, fp))
+                    continue
                 if is_mp4(raw):
                     dur = probe_mp4(raw)["duration_ms"]
                     n = min(max_frames, max(1, dur // every_ms + 1))
