@@ -59,7 +59,9 @@ def decode_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
                 info["w"], info["h"] = struct.unpack("<II", data[body + 32:body + 40])
             elif cid == b"strh" and data[body:body + 4] == b"vids":
                 info["codec"] = data[body + 4:body + 8]
-            elif cid == b"00dc":
+            elif cid in (b"00dc", b"00db"):
+                # compressed ('dc') and uncompressed-flagged ('db')
+                # frame chunks both carry MJPEG data in the wild
                 frames.append(data[body:nxt])
 
     visit(12, len(data))
@@ -91,7 +93,8 @@ def encode_avi_mjpeg(width: int, height: int, fps: int,
         "<IIIIIIIIII4x4x4x4x",
         uspf, 0, 0, 0x10, len(frames), 0, 1, 0, width, height))
     strh = _chunk(b"strh", b"vids" + b"MJPG" + struct.pack(
-        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0))
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height))  # rcFrame per spec
     strf = _chunk(b"strf", struct.pack(
         "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
         width * height * 3, 0, 0, 0, 0))

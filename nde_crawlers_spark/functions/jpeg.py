@@ -142,6 +142,8 @@ class _BitReader:
             raise ValueError("truncated JPEG entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -170,11 +172,12 @@ class _BitReader:
         """Skip to just past the next RSTn marker and byte-align."""
         self.buf = 0
         self.nbits = 0
-        while True:
+        while self.pos + 1 < len(self.data):
             if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
                 self.pos += 2
                 return
             self.pos += 1
+        raise ValueError("truncated JPEG entropy data")
 
     def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
@@ -242,6 +245,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG segment")
         body = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
             b = 0

@@ -99,17 +99,31 @@ def encode_mp4_stub(width: int, height: int, duration_ms: int,
     and any standards-conforming demuxer reads) and an opaque ``mdat``
     payload (no codec data — frame decode is out of scope by design)."""
     dur = duration_ms * timescale // 1000
-    mvhd = _box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
-                + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
-                + b"\x00" * 10
-                + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
-                + b"\x00" * 24 + struct.pack(">I", 2))
-    tkhd = _box(b"tkhd", struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
-                + struct.pack(">I", dur) + b"\x00" * 16
-                + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
-                + struct.pack(">II", width << 16, height << 16))
-    mdhd = _box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, timescale, dur,
-                                     0x55C4, 0))
+    matrix = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                         0x40000000)
+    if dur > 0xFFFFFFFF:
+        # Tick count exceeds 32 bits: real muxers switch to version-1
+        # (64-bit creation/modification/duration) headers, and probe_mp4
+        # above already parses them. Version 0 would overflow struct 'I'.
+        mvhd = _box(b"mvhd", struct.pack(">B3xQQIQ", 1, 0, 0, timescale, dur)
+                    + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+                    + b"\x00" * 10 + matrix
+                    + b"\x00" * 24 + struct.pack(">I", 2))
+        tkhd = _box(b"tkhd", struct.pack(">B3xQQII", 1, 0, 0, 1, 0)
+                    + struct.pack(">Q", dur) + b"\x00" * 16 + matrix
+                    + struct.pack(">II", width << 16, height << 16))
+        mdhd = _box(b"mdhd", struct.pack(">B3xQQIQHH", 1, 0, 0, timescale,
+                                         dur, 0x55C4, 0))
+    else:
+        mvhd = _box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+                    + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+                    + b"\x00" * 10 + matrix
+                    + b"\x00" * 24 + struct.pack(">I", 2))
+        tkhd = _box(b"tkhd", struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
+                    + struct.pack(">I", dur) + b"\x00" * 16 + matrix
+                    + struct.pack(">II", width << 16, height << 16))
+        mdhd = _box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, timescale, dur,
+                                         0x55C4, 0))
     mdia = _box(b"mdia", mdhd)
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)

@@ -242,50 +242,73 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
         from nde_crawlers_spark.functions.png import SIGNATURE, decode_png, luma_features
         from nde_crawlers_spark.functions.wav import audio_features, decode_wav, is_wav
 
+        def _real(ref, kind, raw):
+            """Decode one recognized payload, or None if no signature
+            matches. Raises on malformed/unsupported streams — the
+            caller decides whether that is fatal (fake=False) or falls
+            back to the deterministic stub (fake=True)."""
+            if raw[:8] == SIGNATURE:
+                w, h, ch, px = decode_png(raw)
+                return (ref, kind, luma_features(w, h, ch, px, feature_dim), w, h)
+            if is_jpeg(raw):
+                w, h, ch, px = decode_jpeg(raw)
+                return (ref, kind, luma_features(w, h, ch, px, feature_dim), w, h)
+            if is_wav(raw):
+                rate, ch, sw, smp = decode_wav(raw)
+                feat = audio_features(rate, ch, sw, smp, feature_dim)
+                return (ref, kind, feat, len(smp) // ch, rate)
+            if is_mp4(raw):
+                # container metadata is REAL; pixel features need a
+                # codec, so the feature is honestly empty
+                m = probe_mp4(raw)
+                return (ref, kind, [], m["width"] or 0, m["height"] or 0)
+            if is_avi(raw):
+                # MJPEG: frame pixels decode END-TO-END — real
+                # geometry AND a real first-frame luma feature. A
+                # valid container with zero frame chunks gets the
+                # MP4-style honest empty feature instead of a crash.
+                w, h, _fps, fr = decode_avi(raw)
+                if not fr:
+                    return (ref, kind, [], w, h)
+                fw, fh, fch, fpx = decode_jpeg(fr[0])
+                feat = luma_features(fw, fh, fch, fpx, feature_dim)
+                return (ref, kind, feat, w, h)
+            return None
+
         for pdf in batches:
             rows = []
             for ref, kind, payload in zip(pdf["media_ref"], pdf["media_kind"], pdf["payload"]):
                 raw = bytes(payload)
-                if raw[:8] == SIGNATURE:
-                    w, h, ch, px = decode_png(raw)
-                    rows.append((ref, kind, luma_features(w, h, ch, px, feature_dim), w, h))
-                    continue
-                if is_jpeg(raw):
-                    w, h, ch, px = decode_jpeg(raw)
-                    rows.append((ref, kind, luma_features(w, h, ch, px, feature_dim), w, h))
-                    continue
-                if is_wav(raw):
-                    rate, ch, sw, smp = decode_wav(raw)
-                    feat = audio_features(rate, ch, sw, smp, feature_dim)
-                    rows.append((ref, kind, feat, len(smp) // ch, rate))
-                    continue
-                if is_mp4(raw):
-                    # container metadata is REAL; pixel features need a
-                    # codec, so the feature is honestly empty
-                    m = probe_mp4(raw)
-                    rows.append((ref, kind, [], m["width"] or 0, m["height"] or 0))
-                    continue
-                if is_avi(raw):
-                    # MJPEG: frame pixels decode END-TO-END — real
-                    # geometry AND a real first-frame luma feature
-                    w, h, _fps, fr = decode_avi(raw)
-                    fw, fh, fch, fpx = decode_jpeg(fr[0])
-                    feat = luma_features(fw, fh, fch, fpx, feature_dim)
-                    rows.append((ref, kind, feat, w, h))
-                    continue
-                if not fake:
-                    raise NotImplementedError(
-                        "frame/compressed-audio decode requires ffmpeg/librosa "
-                        "(not in container); run with fake=True for the "
-                        "deterministic stub"
-                    )
-                d = hashlib.sha256(raw).digest()
-                feat = [round(b / 255.0, 6) for b in d[:feature_dim]]
-                rows.append((ref, kind, feat, 16 + d[0] % 64, 16 + d[1] % 64))
+                row = None
+                if fake:
+                    # fake mode is a TOTAL function: a truncated or
+                    # unsupported-profile payload falls back to the
+                    # deterministic stub instead of killing the batch
+                    try:
+                        row = _real(ref, kind, raw)
+                    except (ValueError, NotImplementedError):
+                        row = None
+                else:
+                    row = _real(ref, kind, raw)
+                    if row is None:
+                        raise NotImplementedError(
+                            "frame/compressed-audio decode requires ffmpeg/librosa "
+                            "(not in container); run with fake=True for the "
+                            "deterministic stub"
+                        )
+                if row is None:
+                    d = hashlib.sha256(raw).digest()
+                    feat = [round(b / 255.0, 6) for b in d[:feature_dim]]
+                    row = (ref, kind, feat, 16 + d[0] % 64, 16 + d[1] % 64)
+                rows.append(row)
             yield pd.DataFrame(rows, columns=["media_ref", "media_kind", "feature", "width", "height"])
 
+    # No repartition here: a shuffle at this point moves the binary
+    # payloads themselves, which at production scale costs more than the
+    # decode imbalance it fixes. Balance by repartitioning the *refs*
+    # upstream (before payload materialization) or rely on input splits.
     cols = media.select("media_ref", "media_kind", "payload")
-    return cols.repartition(F.col("media_ref")).mapInPandas(_decode, schema=FEATURE_SCHEMA)
+    return cols.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -252,7 +252,10 @@ class StreamingCrawl:
                 ]
             except OSError:
                 continue
-            if data_files and all(f"{d}/{f}" in ingested for f in data_files):
+            # A parquet-less dir (e.g. only _SUCCESS from an empty-batch
+            # overwrite) holds no data the source could lose — treat it
+            # as trivially consumed so it doesn't accumulate forever.
+            if all(f"{d}/{f}" in ingested for f in data_files):
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     def documents(self) -> DataFrame:

@@ -125,3 +125,46 @@ def test_video_end_to_end_through_spark(spark):
             luma_features(fw, fh, fch, fpx, 8)
         assert (dec[ref]["width"], dec[ref]["height"]) == (_PNG_W, _PNG_H)
     media.unpersist()
+
+def test_frameless_avi_is_honest_empty_not_crash(spark):
+    """A valid-header MJPEG AVI with zero frame chunks demuxes to
+    frames=[] and decode_media degrades to the MP4-style honest row
+    (real geometry, empty feature) instead of IndexError-ing the
+    whole Arrow batch."""
+    from nde_crawlers_spark.operators.multimodal import decode_media
+
+    data = encode_avi_mjpeg(16, 16, 4, [])
+    w, h, fps, fr = decode_avi(data)
+    assert (w, h, fps, fr) == (16, 16, 4.0, [])
+
+    media = spark.createDataFrame(
+        [("http://x/empty.avi", "video", bytearray(data))],
+        "media_ref string, media_kind string, payload binary",
+    )
+    rows = decode_media(media, fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (16, 16)
+    assert list(r["feature"]) == []
+
+
+def test_00db_frame_chunks_are_collected():
+    """Real-world MJPEG AVIs often store frames as '00db' chunks; the
+    demux must accept them alongside '00dc'."""
+    frames = [_frame(16, 16, bytes([i])) for i in range(3)]
+    data = encode_avi_mjpeg(16, 16, 4, frames)
+    # rewrite every frame chunk id 00dc -> 00db in place
+    swapped = data.replace(b"00dc", b"00db")
+    assert b"00dc" not in swapped
+    assert decode_avi(swapped)[3] == frames
+
+
+def test_strh_carries_rcframe_tail():
+    """The strh payload must carry the spec's 8-byte rcFrame RECT
+    (left, top, right, bottom) as its tail: 52 header bytes + 8."""
+    data = encode_avi_mjpeg(32, 24, 4, [])
+    at = data.find(b"strh")
+    (length,) = struct.unpack("<I", data[at + 4:at + 8])
+    assert length == 60
+    body = data[at + 8:at + 8 + length]
+    assert struct.unpack("<4H", body[-8:]) == (0, 0, 32, 24)

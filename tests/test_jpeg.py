@@ -207,3 +207,23 @@ def test_decode_media_real_jpeg_path(spark):
     for r in rs:
         assert decode_jpeg(bytes(r["payload"]))[:3] == (8, 4, 3)
     media.unpersist()
+
+def test_truncated_entropy_stream_raises_valueerror():
+    """A stream cut mid-entropy-data — including exactly AT a 0xFF
+    byte — must raise ValueError per decode_jpeg's contract, never
+    IndexError (ADVICE r7: _BitReader._fill read data[pos+1] without a
+    bounds check; align_past_restart scanned without an end guard)."""
+    import pytest
+
+    from nde_crawlers_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    full = encode_jpeg(16, 16, bytes(range(256)) * 3, channels=3,
+                       quality=85, restart_interval=1)
+    # entropy data starts right after the SOS header; chop at every
+    # prefix ending in 0xFF and a few arbitrary cuts
+    sos = full.find(b"\xff\xda")
+    start = sos + 2 + int.from_bytes(full[sos + 2:sos + 4], "big")
+    cuts = [i + 1 for i in range(start, len(full) - 2) if full[i] == 0xFF]
+    for cut in cuts[:8] + [start + 1, start + 3, len(full) - 3]:
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])

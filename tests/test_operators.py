@@ -982,3 +982,38 @@ def test_ann_recall_floors_isotropic(spark):
     rr = recall_at_k(truth, sq8_topk(emb, q, k=10, rescore=4))
     assert rr >= 0.95, f"sq8+rescore4 recall@10 {rr} — exact re-rank should recover"
     assert rr >= rs, (rs, rr)
+
+
+def test_fake_mode_is_total_on_malformed_recognized_payloads(spark):
+    """fake=True must keep its total-function contract even when a
+    payload MATCHES a codec signature but is malformed (truncated JPEG)
+    or unsupported (progressive SOF2): the real-decode attempt falls
+    back to the deterministic hash stub instead of failing the stage
+    (ADVICE r7)."""
+    import hashlib
+
+    from nde_crawlers_spark.functions.jpeg import encode_jpeg
+
+    full = encode_jpeg(16, 16, bytes(range(256)) * 3, channels=3)
+    truncated = full[: len(full) // 2]          # ValueError in decode_jpeg
+    progressive = bytearray(full)
+    at = progressive.find(b"\xff\xc0")
+    progressive[at + 1] = 0xC2                  # SOF2 -> NotImplementedError
+    media = spark.createDataFrame(
+        [
+            ("http://x/t.jpg", "image", bytearray(truncated)),
+            ("http://x/p.jpg", "image", bytes(progressive)),
+        ],
+        "media_ref string, media_kind string, payload binary",
+    )
+    rows = {r["media_ref"]: r for r in decode_media(media, fake=True).collect()}
+    assert len(rows) == 2
+    for ref, raw in [("http://x/t.jpg", truncated),
+                     ("http://x/p.jpg", bytes(progressive))]:
+        d = hashlib.sha256(raw).digest()
+        assert [round(float(x), 6) for x in rows[ref]["feature"]] == [
+            round(b / 255.0, 6) for b in d[:8]
+        ]
+    # fake=False still surfaces the codec errors
+    with pytest.raises(Exception, match="ValueError|NotImplementedError|truncated|progressive"):
+        decode_media(media, fake=False).collect()

@@ -4,7 +4,7 @@ render->parse round-trips for all four wire formats."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from nde_crawlers_spark.operators.parse import parse_body
@@ -241,6 +241,7 @@ def test_wav_roundtrip_property(rate, channels, nframes, sampwidth, data):
     duration_ms=st.integers(min_value=0, max_value=86_400_000),
     timescale=st.sampled_from([600, 1000, 90_000]),
 )
+@example(width=16, height=16, duration_ms=47_721_859, timescale=90_000)
 def test_mp4_probe_roundtrip_property(width, height, duration_ms, timescale):
     """ANY geometry/duration/timescale written by the stub encoder is
     read back exactly by the box-walk probe (duration up to timescale

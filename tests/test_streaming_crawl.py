@@ -479,9 +479,16 @@ def test_feedback_idempotent_layout_and_gc(spark):
     open(fake, "wb").close()
     stray = os.path.join(root, "feedback", "batch=tmp")
     os.makedirs(stray, exist_ok=True)
+    # round-8 (ADVICE r7): a parquet-less old batch dir (only _SUCCESS,
+    # from an empty-batch overwrite) is trivially consumed — it must be
+    # REMOVED, not retained forever
+    empty_old = os.path.join(root, "feedback", "batch=000001")
+    os.makedirs(empty_old, exist_ok=True)
+    open(os.path.join(empty_old, "_SUCCESS"), "wb").close()
     sc._gc_feedback(upto=10_000)  # keep_from far beyond every batch id
     assert os.path.exists(fake), "unconsumed feedback was GC'd"
     assert os.path.isdir(stray), "stray dir must be skipped, not removed"
+    assert not os.path.exists(empty_old), "parquet-less old batch dir kept"
     # every fully-CONSUMED batch is gone; survivors each carry at least
     # one file absent from the committed source log (e.g. the final
     # drain's own feedback — no later run ingested it yet)
