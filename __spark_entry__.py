@@ -164,7 +164,18 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/wav.py — true geometry + pooled luma/energy features;
     audio (width,height) carries (frames, sample_rate)); only
     video/compressed-audio rows take the deterministic stub (ffmpeg
-    env-blocked)."""
+    env-blocked).
+
+    ORACLE-CHECKED since r8 on the GEOMETRY relation (media_ref,
+    media_kind, width, height) — independently derivable from the
+    synthesizer contract (16x16 PNG/JPEG, (400, 8000) WAV, the mp4
+    stub's hash-derived dims, the sha-stub dims for opaque payloads)
+    over the Python crawl oracle's media refs
+    (_py_multimodal_geometry_sql). The pooled luma/energy FEATURE
+    values stay out of the compared columns by nature (a pure-Python
+    codec pipeline has no SQL mirror); they are pinned by the codec
+    unit/property tests instead (tests/test_png.py, test_jpeg.py,
+    test_wav.py, test_avi.py, test_operators.py)."""
     from nde_crawlers_spark.operators.multimodal import decode_media, media_table_from_spans
     from nde_crawlers_spark.plans.crawl import CrawlConfig, CrawlRun
     from nde_crawlers_spark.sources.synthetic import make_seeds
@@ -180,9 +191,55 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table_from_spans(run.documents())
     return decode_media(media, fake=True).select(
         "media_ref", "media_kind", F.col("width"), F.col("height"),
-        # try_: video rows carry an honestly-EMPTY feature (container
-        # metadata is real, pixel features need a codec) -> f0 null
-        F.round(F.try_element_at("feature", F.lit(1)), 6).alias("f0"),
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _py_multimodal_geometry_sql() -> str:
+    """DuckDB mirror for _multimodal_features: the geometry relation as
+    a VALUES literal, derived WITHOUT running any Spark code or codec
+    decode — media refs come from the independent Python crawl oracle
+    (plans/oracle.py) over the same 80-seed/10-host/1-round scenario,
+    and each ref's (kind, width, height) comes straight from the
+    SYNTHESIZER CONTRACT (operators/multimodal.py):
+      png/jpg -> image 16x16; wav -> audio (400 frames, 8000 Hz);
+      mp4 -> video with w=160+(d0%160)*2, h=120+(d1%120)*2 over
+      d=sha256(ref); anything else -> the sha-stub dims
+      16+dd0%64 x 16+dd1%64 over dd=sha256(payload),
+      payload=sha256(ref) raw digest."""
+    import hashlib
+
+    from nde_crawlers_spark.operators.multimodal import (
+        _EXT_KIND, _PNG_H, _PNG_W, _WAV_FRAMES, _WAV_RATE)
+    from nde_crawlers_spark.plans.oracle import crawl_oracle
+    from nde_crawlers_spark.sources.synthetic import make_seeds
+
+    orc = crawl_oracle(make_seeds(80, 10), 10, round_seconds=2, max_rounds=1)
+    refs = sorted({
+        mr for spans in orc.documents.values()
+        for kd, _tx, mr, _off in spans if kd == "media" and mr
+    })
+    rows = []
+    for ref in refs:
+        ext = ref.split(".")[-1]  # mirrors split(media_ref, "\\.")[-1]
+        kind = _EXT_KIND.get(ext, ("other", None))[0]
+        if ext in ("png", "jpg"):
+            w, h = _PNG_W, _PNG_H
+        elif ext == "wav":
+            w, h = _WAV_FRAMES, _WAV_RATE
+        elif ext == "mp4":
+            d = hashlib.sha256(ref.encode()).digest()
+            w, h = 160 + (d[0] % 160) * 2, 120 + (d[1] % 120) * 2
+        elif ext == "avi":
+            w, h = _PNG_W, _PNG_H
+        else:
+            payload = hashlib.sha256(ref.encode()).digest()
+            dd = hashlib.sha256(payload).digest()
+            w, h = 16 + dd[0] % 64, 16 + dd[1] % 64
+        rows.append(f"('{ref}', '{kind}', {w}, {h})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_ref, media_kind, width, height)"
     )
 
 
@@ -508,4 +565,8 @@ def oracle_sql() -> dict[str, str]:
     # flagship e2e docs: full per-span relation vs the Python oracle's
     # literal span rows (r7 — was rows-only/signature-witnessed)
     out["crawl_e2e_documents"] = _py_e2e_documents_sql()
+    # media geometry relation (r8 — was the last rows-only row): VALUES
+    # literal from the synthesizer contract over the Python crawl
+    # oracle's media refs, no Spark/codec involvement on the oracle side
+    out["multimodal_features"] = _py_multimodal_geometry_sql()
     return out

@@ -269,90 +269,140 @@ def run_headline() -> None:
 # ---------------------------- ANN recall ----------------------------------
 
 def run_ann_recall() -> None:
-    """Recall@10 of every approximate ANN variant against brute force on
-    the $SPARK_GRAFT_SF_DIR embedding corpus, with BOTH default
-    (first-corpus-rows) and TRAINED (kmeans_codebook / pq_train)
-    codebooks across nprobe/bits settings. Writes BENCH/ann_recall.json
-    and prints it — retrieval quality is the product metric of the
-    approximate family (the reference buys the same trade from ES
-    int8_hnsw), so it gets measured, not assumed."""
+    """Recall@10 of every approximate ANN variant against brute force,
+    measured on BOTH corpus regimes and written to BENCH/ann_recall.json:
+
+    - "isotropic": the $SPARK_GRAFT_SF_DIR embedding corpus (flat
+      eigenspectrum, mean pairwise cosine ~0) — the worst case, where
+      recall ~= scanned fraction is the theoretical floor for any
+      pruning index and training finds no structure to exploit.
+    - "clustered": similarity.clustered_rows (the regime ANN indexes
+      are built for; identical corpus to the pytest floor asserts in
+      tests/test_operators.py::test_ann_recall_floors_clustered, so the
+      published numbers and the asserted floors are the same
+      measurement).
+
+    Every table carries default (first-corpus-rows) AND trained
+    (kmeans_codebook / pq_train) codebooks across nprobe/m settings,
+    plus the production exact-rescore rows for the quantized family
+    (pq_adc / ivfpq / sq8 with rescore=4 — the step FAISS and the
+    reference's ES int8_hnsw serving both apply). Retrieval quality is
+    the product metric of the approximate family, so it gets measured,
+    not assumed."""
     from nde_crawlers_spark.operators.similarity import (
-        brute_force_topk, ivf_topk, ivfpq_topk, kmeans_codebook, lsh_topk,
-        pq_adc_topk, pq_train, recall_at_k, sq8_topk,
+        brute_force_topk, clustered_rows, ivf_topk, ivfpq_topk,
+        kmeans_codebook, lsh_topk, pq_adc_topk, pq_train, recall_at_k,
+        sq8_topk,
     )
 
     spark = _spark(CPUS)
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    n_corpus = emb.count()
-    q = emb.filter("vec_id < 50")
     k = 10
 
-    truth = brute_force_topk(emb, q, k=k).localCheckpoint(eager=True)
-    t0 = time.monotonic()
-    coarse = kmeans_codebook(emb, k=8, iters=3)
-    pq = pq_train(emb, m=4, ksub=8, iters=3)
-    pq8 = pq_train(emb, m=8, ksub=8, iters=3)
-    pq16 = pq_train(emb, m=16, ksub=8, iters=3)
-    train_secs = round(time.monotonic() - t0, 3)
-
-    variants = [
-        ("lsh", {"bucket_bits": 4}, lambda: lsh_topk(emb, q, k=k, bucket_bits=4)),
-        ("lsh", {"bucket_bits": 8}, lambda: lsh_topk(emb, q, k=k, bucket_bits=8)),
-        ("ivf", {"nprobe": 1, "codebook": "default"},
-         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=1)),
-        ("ivf", {"nprobe": 2, "codebook": "default"},
-         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=2)),
-        ("ivf", {"nprobe": 1, "codebook": "trained"},
-         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=1, codebook=coarse)),
-        ("ivf", {"nprobe": 2, "codebook": "trained"},
-         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=2, codebook=coarse)),
-        ("ivf", {"nprobe": 4, "codebook": "trained"},
-         lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=4, codebook=coarse)),
-        ("pq_adc", {"m": 4, "codebook": "default"},
-         lambda: pq_adc_topk(emb, q, k=k, m=4, ksub=8)),
-        ("pq_adc", {"m": 4, "codebook": "trained"},
-         lambda: pq_adc_topk(emb, q, k=k, m=4, ksub=8, codebook=pq)),
-        ("pq_adc", {"m": 8, "codebook": "trained"},
-         lambda: pq_adc_topk(emb, q, k=k, m=8, ksub=8, codebook=pq8)),
-        ("pq_adc", {"m": 16, "codebook": "trained"},
-         lambda: pq_adc_topk(emb, q, k=k, m=16, ksub=8, codebook=pq16)),
-        ("ivfpq", {"nprobe": 2, "codebook": "default"},
-         lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=2, m=4, ksub=8)),
-        ("ivfpq", {"nprobe": 2, "codebook": "trained"},
-         lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=2, m=4, ksub=8,
-                            coarse_codebook=coarse, pq_codebook=pq)),
-        ("ivfpq", {"nprobe": 4, "codebook": "trained"},
-         lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=4, m=4, ksub=8,
-                            coarse_codebook=coarse, pq_codebook=pq)),
-        # sq8 scans everything (memory-bounded, not scan-bounded): the
-        # near-1.0 rows are the contrast lines showing the pruning
-        # variants' recall loss is scan fraction, not quantization; the
-        # rescore row adds the ES/Lucene production step (exact re-rank
-        # of top k*4 — floats read for 40 rows/query, not the corpus)
-        ("sq8", {"bits": 8}, lambda: sq8_topk(emb, q, k=k)),
-        ("sq8_rescore", {"bits": 8, "rescore": 4},
-         lambda: sq8_topk(emb, q, k=k, rescore=4)),
-    ]
-    table = []
-    for name, params, thunk in variants:
+    def regime_table(emb, q):
+        """-> (train_secs, rows): every variant scored on one corpus."""
+        truth = brute_force_topk(emb, q, k=k).localCheckpoint(eager=True)
         t0 = time.monotonic()
-        r = recall_at_k(truth, thunk(), k=k)
-        table.append({"variant": name, **params,
-                      "recall_at_10": round(r, 4),
-                      "secs": round(time.monotonic() - t0, 3)})
-    out = {"metric": "ann_recall_at_10", "sf": SF_DIR, "n_corpus": n_corpus,
-           "n_queries": 50, "k": k, "train_secs": train_secs, "nlist": 8,
-           # corpus geometry caveat, measured: the synthetic embeddings
-           # are ISOTROPIC (flat 64-dim eigenspectrum, mean pairwise
-           # cosine ~0) — the worst case for ANN, where recall ~= the
-           # scanned fraction is the theoretical floor for any pruning
-           # index and training finds no structure to exploit. IVF
-           # nprobe/nlist=1/4 beating 0.25 by ~2x and recall rising
-           # monotonically with nprobe/m is the correct behavior here;
-           # the >=0.8 regimes live on CLUSTERED data
-           # (tests/test_operators.py::test_ann_recall_floors_clustered).
-           "corpus_geometry": "isotropic (recall floor ~= scan fraction)",
-           "table": table}
+        coarse = kmeans_codebook(emb, k=8, iters=3)
+        pq = pq_train(emb, m=4, ksub=8, iters=3)
+        pq8 = pq_train(emb, m=8, ksub=8, iters=3)
+        pq16 = pq_train(emb, m=16, ksub=8, iters=3)
+        train_secs = round(time.monotonic() - t0, 3)
+
+        variants = [
+            ("lsh", {"bucket_bits": 4}, lambda: lsh_topk(emb, q, k=k, bucket_bits=4)),
+            ("lsh", {"bucket_bits": 8}, lambda: lsh_topk(emb, q, k=k, bucket_bits=8)),
+            ("ivf", {"nprobe": 1, "codebook": "default"},
+             lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=1)),
+            ("ivf", {"nprobe": 2, "codebook": "default"},
+             lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=2)),
+            ("ivf", {"nprobe": 1, "codebook": "trained"},
+             lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=1, codebook=coarse)),
+            ("ivf", {"nprobe": 2, "codebook": "trained"},
+             lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=2, codebook=coarse)),
+            ("ivf", {"nprobe": 4, "codebook": "trained"},
+             lambda: ivf_topk(emb, q, k=k, nlist=8, nprobe=4, codebook=coarse)),
+            ("pq_adc", {"m": 4, "codebook": "default"},
+             lambda: pq_adc_topk(emb, q, k=k, m=4, ksub=8)),
+            ("pq_adc", {"m": 4, "codebook": "trained"},
+             lambda: pq_adc_topk(emb, q, k=k, m=4, ksub=8, codebook=pq)),
+            ("pq_adc", {"m": 8, "codebook": "trained"},
+             lambda: pq_adc_topk(emb, q, k=k, m=8, ksub=8, codebook=pq8)),
+            ("pq_adc", {"m": 16, "codebook": "trained"},
+             lambda: pq_adc_topk(emb, q, k=k, m=16, ksub=8, codebook=pq16)),
+            # the production serving shape for PQ: exact re-rank of the
+            # ADC scan's top k*4 (floats read for 40 rows/query, not N)
+            ("pq_adc_rescore", {"m": 4, "codebook": "trained", "rescore": 4},
+             lambda: pq_adc_topk(emb, q, k=k, m=4, ksub=8, codebook=pq,
+                                 rescore=4)),
+            ("ivfpq", {"nprobe": 2, "codebook": "default"},
+             lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=2, m=4, ksub=8)),
+            ("ivfpq", {"nprobe": 2, "codebook": "trained"},
+             lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=2, m=4, ksub=8,
+                                coarse_codebook=coarse, pq_codebook=pq)),
+            ("ivfpq", {"nprobe": 4, "codebook": "trained"},
+             lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=4, m=4, ksub=8,
+                                coarse_codebook=coarse, pq_codebook=pq)),
+            ("ivfpq_rescore", {"nprobe": 2, "codebook": "trained", "rescore": 4},
+             lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=2, m=4, ksub=8,
+                                coarse_codebook=coarse, pq_codebook=pq,
+                                rescore=4)),
+            ("ivfpq_rescore", {"nprobe": 4, "codebook": "trained", "rescore": 4},
+             lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=4, m=4, ksub=8,
+                                coarse_codebook=coarse, pq_codebook=pq,
+                                rescore=4)),
+            # sq8 scans everything (memory-bounded, not scan-bounded):
+            # the near-1.0 rows are the contrast lines showing the
+            # pruning variants' recall loss is scan fraction, not
+            # quantization
+            ("sq8", {"bits": 8}, lambda: sq8_topk(emb, q, k=k)),
+            ("sq8_rescore", {"bits": 8, "rescore": 4},
+             lambda: sq8_topk(emb, q, k=k, rescore=4)),
+        ]
+        table = []
+        for name, params, thunk in variants:
+            t0 = time.monotonic()
+            r = recall_at_k(truth, thunk(), k=k)
+            table.append({"variant": name, **params,
+                          "recall_at_10": round(r, 4),
+                          "secs": round(time.monotonic() - t0, 3)})
+        return train_secs, table
+
+    emb_iso = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_iso = emb_iso.count()
+    iso_train, iso_table = regime_table(emb_iso, emb_iso.filter("vec_id < 50"))
+
+    from pyspark.sql import functions as F
+    dim, per, ncl = 64, 30, 8
+    emb_cl = spark.createDataFrame(
+        clustered_rows(dim=dim, per=per, ncl=ncl),
+        "vec_id long, embedding array<float>",
+    )
+    # one query per cluster — same query set as the pytest floors
+    q_cl = emb_cl.filter(F.col("vec_id") % per == 5)
+    cl_train, cl_table = regime_table(emb_cl, q_cl)
+
+    out = {
+        "metric": "ann_recall_at_10", "k": k, "nlist": 8,
+        "isotropic": {
+            "sf": SF_DIR, "n_corpus": n_iso, "n_queries": 50,
+            "note": ("worst case: flat 64-dim eigenspectrum, mean "
+                     "pairwise cosine ~0 — recall ~= scanned fraction "
+                     "is the theoretical floor for any pruning index; "
+                     "IVF beating nprobe/nlist by ~2x and recall rising "
+                     "monotonically with nprobe/m/rescore is the "
+                     "correct behavior here"),
+            "train_secs": iso_train, "table": iso_table,
+        },
+        "clustered": {
+            "generator": f"similarity.clustered_rows(dim={dim}, per={per}, ncl={ncl})",
+            "n_corpus": per * ncl, "n_queries": ncl,
+            "note": ("the regime ANN indexes are built for; identical "
+                     "corpus to the pytest floor asserts "
+                     "(test_ann_recall_floors_clustered: trained IVF "
+                     ">=0.9, trained IVF-PQ >=0.8, sq8 >=0.95)"),
+            "train_secs": cl_train, "table": cl_table,
+        },
+    }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/ann_recall.json", "w") as f:
         json.dump(out, f, indent=1)

@@ -39,6 +39,53 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _exact_rescore(
+    emb: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Exact-cosine re-rank of a candidate set — the production
+    rescoring step every quantized index ships with (FAISS re-ranking,
+    ES/Lucene rescore; the reference's ES int8_hnsw quantized search
+    re-scores the same way, hub/dataindex/embed.py:51-59). ``cand`` is
+    the quantized scan's top ``k*r`` (query_id, neighbor_id) rows —
+    small, so it broadcasts; the float corpus is equi-joined against it,
+    meaning the float column is read for Q*k*r rows only while the full
+    scan stays on the compressed representation. Scoring and ranking
+    reuse brute_force_topk's exact discipline (prenormed cosine,
+    round-6, neighbor-id tie-break), so the output is engine-stable."""
+    cand = F.broadcast(cand.select("query_id", "neighbor_id"))
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            V.norm_pd(dim)(F.col(vec_col)).alias("qn"),
+        )
+    )
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        V.norm_pd(dim)(F.col(vec_col)).alias("cn"),
+    )
+    rescored = (
+        cv.join(cand, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                V.cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk_per_query(rescored, k)
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -278,6 +325,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     codebook: list[tuple[int, list[float]]] | None = None,
+    rescore: int = 0,
 ) -> DataFrame:
     """Product-quantization ADC top-k — the memory-bounded ANN scale
     path (IVF-PQ's compression half): each vector is encoded as ``m``
@@ -303,10 +351,19 @@ def pq_adc_topk(
     corpus values, and ranking keys on (round(adc, 6), neighbor_id) —
     so Spark and the SQL oracle rank identically bit-for-bit.
 
+    ``rescore=r > 0`` adds the exact re-ranking step PQ is unusable
+    without in practice (raw ADC recall on an isotropic corpus is
+    0.06-0.24, BENCH/ann_recall.json; FAISS serves PQ with exact
+    re-ranking for exactly this reason): the ADC scan keeps top ``k*r``
+    per query and ONLY those rows' float vectors are fetched for exact
+    cosine re-ranking — the float column is read for Q*k*r rows, not N.
+    Output columns switch from (adc) to (cosine), matching sq8_topk's
+    rescored contract.
+
     Reference analog: the dense-vector index the reference delegates to
     ES int8_hnsw (hub/dataindex/embed.py:51-59) — int8 scalar
     quantization there, product quantization here; both trade recall
-    for a memory-bounded index."""
+    for a memory-bounded index, and both re-score."""
     dsub = dim // m
     cents = _pq_cents(emb, codebook, m, ksub, dsub, id_col, vec_col)
     darr = _pq_darr_builder(cents, dsub)
@@ -331,11 +388,14 @@ def pq_adc_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= (k * rescore if rescore > 0 else k))
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+    if rescore <= 0:
+        return topk
+    return _exact_rescore(emb, queries, topk, k, id_col, vec_col, dim)
 
 
 def pq_train(
@@ -380,6 +440,7 @@ def ivfpq_topk(
     dim: int = 64,
     coarse_codebook: list[tuple[int, list[float]]] | None = None,
     pq_codebook=None,
+    rescore: int = 0,
 ) -> DataFrame:
     """IVF-PQ composed: coarse inverted-list pruning (ivf_topk's
     cosine assignment) AND PQ compression (pq_adc_topk's subspace
@@ -392,7 +453,13 @@ def ivfpq_topk(
     encode. Both codebooks default to the first corpus rows (pure
     function of the data — the DuckDB oracle reproduces them
     relationally); pass kmeans_codebook / pq_train output for trained
-    variants with the identical plan shape."""
+    variants with the identical plan shape.
+
+    ``rescore=r > 0`` re-ranks the quantized scan's top ``k*r`` per
+    query with exact float cosine (see pq_adc_topk — same contract,
+    output switches to a ``cosine`` column): the step FAISS IVFPQ and
+    the reference's ES int8_hnsw serving both apply, and without which
+    raw code-space recall is unusable (0.06-0.24 isotropic)."""
     dsub = dim // m
     coarse = coarse_codebook if coarse_codebook is not None else sorted(
         (int(r[0]), [float(x) for x in r[1]])
@@ -434,11 +501,14 @@ def ivfpq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= (k * rescore if rescore > 0 else k))
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+    if rescore <= 0:
+        return topk
+    return _exact_rescore(emb, queries, topk, k, id_col, vec_col, dim)
 
 
 # ------------------------- int8 scalar quantization -----------------------
@@ -674,34 +744,30 @@ def sq8_topk(
     )
     if rescore <= 0:
         return _topk_per_query(scored, k)
-    cand = F.broadcast(
-        _topk_per_query(scored, k * rescore).select("query_id", "neighbor_id")
-    )
-    qv = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            V.norm_pd(dim)(F.col(vec_col)).alias("qn"),
-        )
-    )
-    cv = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        V.norm_pd(dim)(F.col(vec_col)).alias("cn"),
-    )
-    rescored = (
-        cv.join(cand, "neighbor_id")
-        .join(qv, "query_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                V.cosine_prenormed(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
-                ),
-                6,
-            ),
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    return _topk_per_query(rescored, k)
+    cand = _topk_per_query(scored, k * rescore)
+    return _exact_rescore(emb, queries, cand, k, id_col, vec_col, dim)
+
+
+def clustered_rows(
+    dim: int = 64, per: int = 30, ncl: int = 8
+) -> list[tuple[int, list[float]]]:
+    """Deterministic clustered embedding corpus — the regime ANN
+    indexes are built for (one spike axis per cluster + small bounded
+    jitter). Shared by the recall floor tests
+    (tests/test_operators.py::test_ann_recall_floors_clustered) and the
+    BENCH/ann_recall.json clustered table so the published numbers and
+    the asserted floors are measured on the identical corpus. Pure
+    function of (dim, per, ncl) — no RNG, engine-independent."""
+    rows = []
+    for c in range(ncl):
+        base = [0.0] * dim
+        base[(c * 8) % dim] = 10.0
+        for i in range(per):
+            v = list(base)
+            for d in range(dim):
+                v[d] += (((i * 31 + d * 7 + c * 13) % 11) - 5) / 10.0
+            rows.append((c * per + i, v))
+    return rows
 
 
 def recall_at_k(truth: DataFrame, approx: DataFrame, k: int = 10) -> float:

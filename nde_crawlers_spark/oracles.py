@@ -1825,6 +1825,33 @@ SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank FROM ranked WHE
 """
 
 
+# mirror of queries.ann_ivfpq_rescore_topk: the ivfpq oracle's quantized
+# scan keeps top k*r=40 per query, then ONLY those candidate rows join
+# back to the float table for exact cosine re-ranking (COSINE == the
+# bruteforce oracle's exact fold, round-6, neighbor-id tie-break) —
+# derived from the ivfpq oracle body so the two stay in lockstep.
+_IVFPQ_TAIL = ("SELECT query_id, neighbor_id, adc, "
+               "CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10")
+assert ORACLES["ann_ivfpq_topk"].rstrip().endswith(_IVFPQ_TAIL)
+ORACLES["ann_ivfpq_rescore_topk"] = (
+    ORACLES["ann_ivfpq_topk"].rstrip()[: -len(_IVFPQ_TAIL)]
+    + f"""
+, cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 40),
+resc AS (
+  SELECT c.query_id, c.neighbor_id, {COSINE.format(a='qe.v', b='ne.v')} AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+),
+rranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM resc
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM rranked WHERE rank <= 10
+"""
+)
+
+
 # mirror of queries.ann_ivf_trained_topk: the Lloyd TRAINING loop itself,
 # unrolled relationally (iters is a fixed hyperparameter), then the ivf
 # serving oracle over the trained centroids. Bit-exactness comes from the

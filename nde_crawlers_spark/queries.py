@@ -433,6 +433,21 @@ def ann_ivfpq_topk(spark, sf_dir):
     return SIM.ivfpq_topk(emb, q, k=10, nlist=8, nprobe=2, m=4, ksub=8)
 
 
+def ann_ivfpq_rescore_topk(spark, sf_dir):
+    """IVF-PQ with the production exact-rescore step (similarity.py::
+    ivfpq_topk(rescore=4)): the quantized equi-join scan keeps top
+    k*4 per query, then ONLY those rows' float vectors are fetched
+    (broadcast candidate join) for exact cosine re-ranking — the step
+    FAISS IVFPQ ships with and the reference's ES int8_hnsw serving
+    applies (hub/dataindex/embed.py:51-59), without which raw PQ
+    recall is 0.06-0.24 on an isotropic corpus. Float column read for
+    Q*k*r rows, not N."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivfpq_topk(emb, q, k=10, nlist=8, nprobe=2, m=4, ksub=8,
+                          rescore=4)
+
+
 def ann_ivf_trained_topk(spark, sf_dir):
     """IVF serving over a TRAINED codebook (similarity.kmeans_codebook:
     deterministic Lloyd, micro-unit means) — the approximate family's
@@ -2115,6 +2130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_trained_topk": ann_pq_trained_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_rescore_topk": ann_ivfpq_rescore_topk,
     "ann_sq8_topk": ann_sq8_topk,
     "ann_sq8_incremental_topk": ann_sq8_incremental_topk,
     "text_analyze": text_analyze,

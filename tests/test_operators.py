@@ -835,20 +835,12 @@ def test_ann_recall_floors_clustered(spark):
     (where recall ~= scan fraction is the theoretical floor) lives in
     test_ann_recall_floors_isotropic + BENCH/ann_recall.json."""
     from nde_crawlers_spark.operators.similarity import (
-        brute_force_topk, ivf_topk, ivfpq_topk, kmeans_codebook, pq_train,
-        recall_at_k,
+        brute_force_topk, clustered_rows, ivf_topk, ivfpq_topk,
+        kmeans_codebook, pq_train, recall_at_k,
     )
 
     dim, per, ncl = 64, 30, 8
-    rows = []
-    for c in range(ncl):
-        base = [0.0] * dim
-        base[c * 8] = 10.0
-        for i in range(per):
-            v = list(base)
-            for d in range(dim):
-                v[d] += (((i * 31 + d * 7 + c * 13) % 11) - 5) / 10.0
-            rows.append((c * per + i, v))
+    rows = clustered_rows(dim=dim, per=per, ncl=ncl)
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     q = emb.filter(F.col("vec_id") % per == 5)  # one query per cluster
     truth = brute_force_topk(emb, q, k=10).localCheckpoint(eager=True)
