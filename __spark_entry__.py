@@ -454,32 +454,62 @@ FROM deduped WHERE rn = 1
 # Queries whose implementation or oracle changed in the current round
 # are PINNED in-window regardless of rotation (head of the list).
 _WINDOW_PRIORITY = [
-    # r7 pinned: implementation or oracle changed this round — the
-    # kmeans_codebook micro-unit Lloyd means + its new trained-IVF
-    # serving row (uploader_pipeline is pinned separately below, with
-    # its NEW DuckDB mirror built from the Python crawl oracle), and
-    # the new trained-PQ row (pq_train's m independent Lloyd chains
-    # unrolled relationally)
-    "ann_ivf_trained_topk",
-    "ann_pq_trained_topk",
-    # NEW this round: int8 scalar-quantized top-k (the reference's own
-    # ES int8_hnsw quantization shape) — new query + new oracle — and
-    # its frozen-stats incremental-ingest variant (clamp under oracle)
+    # r8 NEW: IVF-PQ with the production exact-rescore step (new query
+    # + oracle derived from the ivfpq mirror), and sq8 serving at the
+    # reference's dim=768 (HOF fold path above UNROLL_MAX_DIM under the
+    # full long-form oracle — the corpus lifted by DIM768_BLOCKS)
+    "ann_ivfpq_rescore_topk",
+    "ann_sq8_dim768_topk",
+    "ann_ivf_incremental_topk",
+    # r8 pinned: similarity.py internals changed this round for the
+    # whole family (rescore paths refactored onto the shared
+    # _exact_rescore helper; the fixed-dim integer/double folds gained
+    # the >UNROLL_MAX_DIM HOF switch) — every ANN row re-earns its
+    # driver green on the new code even though dim=64 behavior is
+    # bit-identical by construction
     "ann_sq8_topk",
     "ann_sq8_incremental_topk",
+    "ann_ivf_trained_topk",
+    "ann_pq_trained_topk",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
-# settled r6-green rows rotating behind the window for r7 (every name
-# below has a green hash-match row in CORRECTNESS_r06.json and stays
-# covered by the full-catalog parity mirror); the 27 r5-settled queries
-# rotated out last round return to the window per the rule
+# settled r7-green rows rotating behind the window for r8 (every name
+# below has a green hash-match row in CORRECTNESS_r07.json and stays
+# covered by the full-catalog parity mirror); the r6-settled queries
+# rotated out last round return to the window per the rule. The ANN
+# family is NOT here despite its r7 greens — similarity.py changed this
+# round, so those rows are pinned in-window above.
 _ROTATED_OUT = [
+    "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    "dedup_semantic_keepone",
+    "dedup_incremental_minhash",
+    "text_decontaminate",
+    "dedup_exact_substring",
+    "text_importance_weights",
+    "text_analyze",
+    "text_lang_agreement",
+    "text_quality_filter",
+    "text_bpe_tokens",
+    "merge_priority_lastwriter",
+    "merge_apply_1x1",
+    "enrich_broadcast_lookup",
+    "enrich_explode_collect",
+    "enrich_lineage_expand",
+    "enrich_reclassify",
+    "enrich_drop_rules",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "tpch_q5ish",
     "uploader_registry",
     "nde_pipeline_e2e",
     "crawl_autothrottle_budget",
     "crawl_recrawl_ttl",
     "embed_memo_cache",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
     "crawl_url_canonicalize",
     "crawl_url_filter",
     "crawl_sitemap_seed",
@@ -491,34 +521,6 @@ _ROTATED_OUT = [
     "crawl_host_lineage",
     "dedup_exact_prefix",
     "dedup_simhash",
-    "text_gopher_quality",
-    "text_repetition",
-    "sample_stratified",
-    "pack_greedy_bins",
-    "text_pii_scrub",
-    "merge_version_groups",
-    "merge_key_dedup_1x1",
-    "merge_identifier_dedup",
-    "enrich_cache_miss",
-    "enrich_theta_contains",
-    "tpch_rollup",
-    "semi_anti_parts",
-    "events_running_total",
-    "window_topk_orders",
-    "events_sessionize",
-    "events_hourly",
-    "events_props_extract",
-    "events_pivot",
-    "scalar_showcase",
-    "scalar_ref_kernels",
-    "nde_wrapper_pass",
-    "nde_quarantine_counts",
-    "nde_record_normalize",
-    "nde_doi_promote",
-    "setops_union_by_name",
-    "dedup_minhash_lsh",
-    "dedup_simhash64_hamming",
-    "dedup_ngram_jaccard",
 ]
 
 
@@ -533,13 +535,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-compares the full per-span relation against the Python
     # oracle's literal span rows (was rows-only/signature-witnessed)
     out["crawl_e2e_documents"] = _crawl_e2e_documents
-    # rows-only extra stays in-window (never earns a green driver row,
-    # so the rotation rule never retires it): media plumbing — PNG/JPEG/
-    # WAV decode + MP4 probe all real (stdlib codecs), but the Python
-    # codec path has no SQL mirror by nature
+    # PINNED r8: oracle changed this round — the GEOMETRY relation
+    # (media_ref, kind, width, height) is now hash-checked against a
+    # VALUES literal from the synthesizer contract (was the last
+    # rows-only row); codec feature values stay pinned by unit tests
     out["multimodal_features"] = _multimodal_features
-    # PINNED: oracle changed this round — new DuckDB mirror composed
-    # from the Python crawl oracle's harvested documents (was rows-only)
+    # r7-settled (green in CORRECTNESS_r07); stays via explicit add —
+    # mirror composed from the Python crawl oracle's harvested docs
     out["uploader_pipeline"] = _uploader_pipeline
     for k, v in QUERIES.items():
         if k not in out and k not in _ROTATED_OUT:

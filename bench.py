@@ -159,6 +159,12 @@ def _seen_filter_segmented_bench(spark, n_seen: int, n_cand: int):
 def run_headline() -> None:
     from nde_crawlers_spark.queries import QUERIES
 
+    # capture ambient load before any Spark work: the r7 headline was
+    # taken under co-tenant loadavg 3-10 and five source-unchanged
+    # queries read 1.3-1.5x slow. Recording 1/5/15-min loadavg in the
+    # artifact lets later rounds auto-discount noisy runs instead of
+    # diffing source to prove a "regression" never happened.
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
     spark = _spark(CPUS)
     # warm each query's codegen/plan at the smallest SF before timing at
     # the target SF: generated-code compilation is a one-time driver cost
@@ -204,6 +210,8 @@ def run_headline() -> None:
         # round-7 additions
         "ann_ivf_trained_topk", "ann_pq_trained_topk", "ann_sq8_topk",
         "ann_sq8_incremental_topk",
+        # round-8 additions
+        "ann_ivfpq_rescore_topk",
     ]
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:
@@ -249,6 +257,12 @@ def run_headline() -> None:
         "fetch_context": "fresh-child-jvm",
         "fetch_protocol_ref": "BENCH/BASELINE.md#--scaling",
         "cores": CPUS,
+        # ambient 1/5/15-min load averages at start and end of the run
+        # (co-tenant VM): values >> 0 at start mean the absolute times
+        # are inflated and should be discounted, not read as plan
+        # regressions (r7 lesson — see BENCH/soak_sf1.json "note").
+        "loadavg_start": load_start,
+        "loadavg_end": tuple(round(x, 2) for x in os.getloadavg()),
     }
     headline = json.dumps(payload)
     if len(headline) >= 2000:

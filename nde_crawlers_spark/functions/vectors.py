@@ -37,11 +37,31 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+# Above this dimension the unrolled fixed-dim folds switch to the HOF
+# (aggregate/zip_with) form. Two independent reasons, both measured at
+# the reference's dim=768 (PLANS.md "dim-768 viability"): (a) plan
+# construction — an unrolled 768-term tree is ~2,300 py4j calls and a
+# multi-second Catalyst analyze per use site; (b) codegen — the
+# generated consume() for a 768-term expression lands near Janino's
+# 64 KB method limit, where Spark silently drops whole-stage codegen
+# (spark.sql.codegen.hugeMethodLimit) and runs the WHOLE stage
+# interpreted anyway. The HOF fold is interpreted per-pair but keeps a
+# constant-size plan, and its left-fold order is bit-identical to the
+# unrolled form (0-init, one element at a time, multiply-then-add), so
+# results are engine-equal either way. dim<=128 keeps the unrolled
+# codegen'd fast path used by every catalog query (dim=64).
+UNROLL_MAX_DIM = 128
+
+
 def dot_fixed(a: Column, b: Column, dim: int = 64) -> Column:
     """Codegen'd fixed-dimension dot product: the same left fold as
     ``dot`` (0.0 + a1*b1 + a2*b2 + ...) unrolled into a plain expression
     — bit-identical doubles, ~10-50x faster per pair than the
-    interpreted HOF form."""
+    interpreted HOF form. Above ``UNROLL_MAX_DIM`` the unroll stops
+    paying (see the constant's note) and this delegates to the HOF
+    ``dot`` — same fold order, same doubles."""
+    if dim > UNROLL_MAX_DIM:
+        return dot(a, b)
     acc: Column = F.lit(0.0)
     for i in range(dim):
         acc = acc + F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")

@@ -589,7 +589,18 @@ def _sq8_codes_expr(mn: float, s: float, dim: int) -> str:
 def _int_dot_fixed(a, b, dim: int):
     """Codegen'd fixed-dimension INTEGER dot product over two code
     arrays — exact (bigint) arithmetic, so the score is engine-
-    independent by construction, with no float-fold discipline needed."""
+    independent by construction, with no float-fold discipline needed.
+    Above ``vectors.UNROLL_MAX_DIM`` (reference-shaped vectors are
+    dim=768, hub/dataindex/embed.py:51-59) the unrolled tree stops
+    codegen-ing and costs seconds of plan time, so this switches to the
+    HOF aggregate fold — exact integers, so the switch can't even
+    change a bit."""
+    if dim > V.UNROLL_MAX_DIM:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
     acc = F.lit(0).cast("bigint")
     for i in range(dim):
         acc = acc + F.element_at(a, i + 1).cast("bigint") * F.element_at(b, i + 1)
@@ -599,7 +610,12 @@ def _int_dot_fixed(a, b, dim: int):
 def _int_sum_fixed(a, dim: int):
     """Codegen'd fixed-dimension INTEGER component sum of a code array
     (bigint) — the per-vector statistic the offset-correction term of
-    the reconstructed dot product needs."""
+    the reconstructed dot product needs. Same HOF switch as
+    ``_int_dot_fixed`` above ``vectors.UNROLL_MAX_DIM``."""
+    if dim > V.UNROLL_MAX_DIM:
+        return F.aggregate(
+            a, F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint")
+        )
     acc = F.lit(0).cast("bigint")
     for i in range(dim):
         acc = acc + F.element_at(a, i + 1).cast("bigint")
@@ -746,6 +762,36 @@ def sq8_topk(
         return _topk_per_query(scored, k)
     cand = _topk_per_query(scored, k * rescore)
     return _exact_rescore(emb, queries, cand, k, id_col, vec_col, dim)
+
+
+# 12 affine blocks lifting the 64-d embeddings table to the reference's
+# served dimension (768, hub/dataindex/embed.py:51-59): block j is
+# (x * w_j) + b_j with DYADIC constants (exact binary doubles, so the
+# literals parse to identical bits in Spark and DuckDB and the products
+# with float32 components round identically). A plain 12x repeat would
+# leave every cosine equal to its 64-d value (dot and norm^2 both scale
+# by 12) and test nothing; distinct affine blocks change the
+# quantization interval, the codes, and the scores — genuinely new
+# 768-d math, still a pure function of the shared parquet corpus.
+DIM768_BLOCKS: list[tuple[float, float]] = [
+    (0.25 + j * 0.125, (j % 3) * 0.25 - 0.25) for j in range(12)
+]
+
+
+def lift_768(vec_col):
+    """Lift a 64-d ``array<float>`` column to the 768-d double corpus
+    defined by ``DIM768_BLOCKS`` (see note above) — the Spark half; the
+    DuckDB mirror is ``oracles._v768_sql``."""
+    def _block(w: float, b: float):
+        # closure factory, NOT lambda default-args: pandas_udf-style
+        # signature inspection in F.transform counts parameters, so a
+        # (x, w=w, b=b) lambda reads as a 3-arg HOF lambda and fails
+        # analysis with INVALID_LAMBDA_FUNCTION_CALL
+        return F.transform(
+            vec_col, lambda x: (x.cast("double") * F.lit(w)) + F.lit(b)
+        )
+
+    return F.flatten(F.array(*[_block(w, b) for w, b in DIM768_BLOCKS]))
 
 
 def clustered_rows(

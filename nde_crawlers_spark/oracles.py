@@ -813,6 +813,66 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DE
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
 """
 
+# mirror of queries.ann_sq8_dim768_topk: the identical sq8 long-form
+# pipeline at the reference's served dimension (768), over the corpus
+# lifted from the 64-d embeddings by similarity.DIM768_BLOCKS — the
+# SAME dyadic (w, b) literals in the SAME op shape ((x * w) + b), so
+# the 768-d doubles are bit-equal across engines before quantization
+# even starts. Proves the >UNROLL_MAX_DIM HOF fold path serves
+# reference-shaped vectors with zero drift.
+def _v768_sql() -> str:
+    from .operators.similarity import DIM768_BLOCKS
+
+    blocks = ",\n    ".join(
+        f"list_transform(CAST(embedding AS DOUBLE[]), x -> (x * {w!r}) + {b!r})"
+        for w, b in DIM768_BLOCKS
+    )
+    return f"flatten([\n    {blocks}\n  ])"
+
+
+ORACLES["ann_sq8_dim768_topk"] = f"""
+WITH e AS (SELECT vec_id, {_v768_sql()} AS v FROM embeddings),
+st AS (
+  SELECT min(x) AS mn, (max(x) - min(x)) / 255.0 AS s
+  FROM (SELECT unnest(v) AS x FROM e)
+),
+dims AS (SELECT unnest(range(1, 769)) AS d),
+codes AS (
+  SELECT e.vec_id, d.d,
+         CASE WHEN st.s = 0 THEN 0
+              ELSE least(255, greatest(0, CAST(round((e.v[d.d] - st.mn) / st.s) AS BIGINT))) END AS c
+  FROM e CROSS JOIN dims d CROSS JOIN st
+),
+vstats AS (SELECT vec_id, sum(c) AS cs, sum(c * c) AS nsq FROM codes GROUP BY vec_id),
+norms AS (
+  SELECT v.vec_id, v.cs,
+         sqrt(((768.0 * st.mn) * st.mn)
+              + ((((2.0 * st.mn) * st.s) * CAST(v.cs AS DOUBLE))
+                 + ((st.s * st.s) * CAST(v.nsq AS DOUBLE)))) AS rn
+  FROM vstats v CROSS JOIN st
+),
+dots AS (
+  SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id, sum(qc.c * cc.c) AS dp
+  FROM codes qc JOIN codes cc ON qc.d = cc.d
+  WHERE qc.vec_id < 5 AND cc.vec_id != qc.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.query_id, t.neighbor_id,
+         round(CASE WHEN nq.rn * nc.rn > 0
+                    THEN (((768.0 * st.mn) * st.mn)
+                          + (((st.mn * st.s) * CAST(nq.cs + nc.cs AS DOUBLE))
+                             + ((st.s * st.s) * CAST(t.dp AS DOUBLE))))
+                         / (nq.rn * nc.rn)
+                    ELSE 0.0 END, 6) AS cosine
+  FROM dots t JOIN norms nq ON t.query_id = nq.vec_id
+              JOIN norms nc ON t.neighbor_id = nc.vec_id
+              CROSS JOIN st
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""
+
 ORACLES["tpch_rollup"] = """
 SELECT coalesce(r.r_name, 'ALL') AS region, coalesce(n.n_name, 'ALL') AS nation,
        CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8))), 2) AS DOUBLE) AS revenue,
@@ -1906,6 +1966,34 @@ WITH {_lloyd_ctes(_KM_K, _KM_ITERS)},
 tascore AS (
   SELECT e.vec_id AS vid, e.v, c.cid, {COSINE_RAW.format(a='e.v', b='c.centroid')} AS ccos
   FROM e CROSS JOIN cent{_KM_ITERS} c
+),
+taranked AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crn FROM tascore),
+inv AS (SELECT vid, v, cid FROM taranked WHERE crn = 1),
+probes AS (SELECT vid AS query_id, v AS qv, cid FROM taranked WHERE crn <= 2 AND vid < 5),
+cand AS (
+  SELECT DISTINCT p.query_id, i.vid AS neighbor_id, p.qv, i.v
+  FROM inv i JOIN probes p USING (cid) WHERE i.vid != p.query_id
+),
+scored AS (SELECT query_id, neighbor_id, {COSINE.format(a='qv', b='v')} AS cosine FROM cand),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+# mirror of queries.ann_ivf_incremental_topk: the identical Lloyd chain
+# run over the BASE partition only (vec_id < 80 — the frozen-codebook
+# incremental-ingest contract), then the FULL corpus assigned and
+# served against those frozen centroids. The trained centroids must be
+# bit-identical across engines before serving starts; appended rows
+# (vec_id >= 80) exercise genuinely-frozen assignment — they
+# contributed nothing to training.
+ORACLES["ann_ivf_incremental_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT vec_id, v FROM e WHERE vec_id < 80),
+{_lloyd_ctes(_KM_K, _KM_ITERS, prefix="b_", src="eb")},
+tascore AS (
+  SELECT e.vec_id AS vid, e.v, c.cid, {COSINE_RAW.format(a='e.v', b='c.centroid')} AS ccos
+  FROM e CROSS JOIN centb_{_KM_ITERS} c
 ),
 taranked AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crn FROM tascore),
 inv AS (SELECT vid, v, cid FROM taranked WHERE crn = 1),

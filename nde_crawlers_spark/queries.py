@@ -520,6 +520,48 @@ def ann_sq8_incremental_topk(spark, sf_dir):
     return SIM.sq8_topk(emb, q, k=10, stats=frozen)
 
 
+def ann_ivf_incremental_topk(spark, sf_dir):
+    """Frozen-codebook incremental IVF serving — the pruning family's
+    counterpart of ann_sq8_incremental_topk's contract: the coarse
+    codebook is TRAINED ONCE on the base partition (vec_id < 80,
+    similarity.kmeans_codebook — deterministic micro-unit Lloyd) and
+    the full corpus, base plus every later-appended row, is assigned
+    and served against those frozen centroids. This is the only
+    index-maintenance shape that works for incremental ingest at
+    scale: retraining the coarse quantizer would reassign every
+    historical vector (a full-corpus rewrite); with frozen centroids,
+    adding a batch costs only the NEW rows' assignments — O(delta) —
+    which is how FAISS IVF add() and the reference's ES index serve
+    growing corpora (hub/dataindex/embed.py:51-59). The DuckDB mirror
+    runs the identical Lloyd chain over the base-partition CTE and
+    must land on bit-identical frozen centroids before serving."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 80)
+    cb = SIM.kmeans_codebook(base, k=8, iters=2)
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, q, k=10, nlist=8, nprobe=2, codebook=cb)
+
+
+def ann_sq8_dim768_topk(spark, sf_dir):
+    """sq8 serving at the REFERENCE's embedding dimension (768 — its
+    dense-vector pass indexes 768-d vectors into ES int8_hnsw,
+    hub/dataindex/embed.py:51-59,124-131), under the full DuckDB
+    oracle: the 64-d embeddings table is lifted to a genuine 768-d
+    corpus by 12 distinct affine blocks (similarity.DIM768_BLOCKS —
+    dyadic constants, engine-exact; a plain repeat would leave cosines
+    unchanged), then quantized/scored by the identical sq8 pipeline at
+    dim=768. Above vectors.UNROLL_MAX_DIM the integer folds run as HOF
+    aggregates (constant-size plan — the unrolled 768-term tree costs
+    seconds of Catalyst analyze and falls out of whole-stage codegen
+    via hugeMethodLimit); exact bigint arithmetic means the fold form
+    cannot change a bit, which this row proves against the oracle."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.lift_768(F.col("embedding")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.sq8_topk(emb, q, k=10, dim=768)
+
+
 # ------------------------------------------------------------------ text --
 def text_analyze(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -2133,6 +2175,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_rescore_topk": ann_ivfpq_rescore_topk,
     "ann_sq8_topk": ann_sq8_topk,
     "ann_sq8_incremental_topk": ann_sq8_incremental_topk,
+    "ann_sq8_dim768_topk": ann_sq8_dim768_topk,
+    "ann_ivf_incremental_topk": ann_ivf_incremental_topk,
     "text_analyze": text_analyze,
     "text_lang_agreement": text_lang_agreement,
     "text_quality_filter": text_quality_filter,
