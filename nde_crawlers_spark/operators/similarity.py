@@ -742,6 +742,15 @@ def sq8_topk(
         )
     )
     denom = F.col("qn") * F.col("cn")
+    # per-pair integer dot: codegen'd unrolled expression at catalog
+    # dims, HOF fold above UNROLL_MAX_DIM. A vectorized Arrow pandas-UDF
+    # pair kernel was built and MEASURED as the alternative (r8): 4.06 s
+    # vs the HOF fold's 2.71 s on the dim-768 sf0.1 corpus — shipping
+    # two 768-int arrays per pair through Arrow costs more than
+    # interpreting the fold JVM-side, and both scale linearly with pair
+    # count, so the JVM fold wins at every scale for this shape
+    # (PLANS.md r8). Per-ROW kernels (norms, bucket assignment) stay
+    # Arrow — there the array crosses once per row, not once per pair.
     rdot = F.lit(c0) + (
         (F.lit(a1) * (F.col("qcs") + F.col("ccs")).cast("double"))
         + (F.lit(a2) * _int_dot_fixed(F.col("qc"), F.col("cc"), dim).cast("double"))
