@@ -719,6 +719,36 @@ def sq8_topk(
     # DuckDB mirror uses, so the score is engine-identical. This is why
     # the interval is global (Lucene's shape): per-dim offsets would
     # force per-dim float weights into the cross term.
+    codes = sq8_encode(emb, (mn, s), id_col=id_col, vec_col=vec_col, dim=dim)
+    return sq8_serve_codes(codes, queries, (mn, s), k=k, id_col=id_col,
+                           vec_col=vec_col, dim=dim, rescore=rescore, emb=emb)
+
+
+def sq8_serve_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    stats: tuple[float, float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rescore: int = 0,
+    emb: DataFrame | None = None,
+) -> DataFrame:
+    """Serve sq8 top-k from a PRE-ENCODED code table — the
+    encode-once/serve-many half of the lifecycle split out of
+    ``sq8_topk`` so a persisted codes store (parquet written by
+    ``sq8_encode``, e.g. the streaming ingest's per-batch deltas in
+    streaming/vector_ingest.py) can be scanned directly: at 10^9
+    vectors the float corpus is read ZERO times per query — only the
+    4x-narrower (codes, cs, nsq) table. ``codes`` carries
+    (id_col, codes, cs, nsq); ``stats`` must be the SAME frozen (mn, s)
+    the table was encoded with (the constants are baked into the
+    reconstruction weights below — serving with different stats than
+    encode is meaningless). ``rescore=r`` needs the float corpus for
+    the exact re-rank — pass ``emb``; floats are then read for Q*k*r
+    rows only (broadcast candidate equi-join)."""
+    mn, s = stats
     c0 = (float(dim) * mn) * mn  # dim * mn^2
     a1 = mn * s                  # offset-correction weight
     a2 = s * s                   # code-dot weight
@@ -729,7 +759,7 @@ def sq8_topk(
             (F.lit(b2) * cs.cast("double")) + (F.lit(a2) * nsq.cast("double"))
         )
 
-    corpus = sq8_encode(emb, (mn, s), id_col=id_col, vec_col=vec_col, dim=dim).select(
+    corpus = codes.select(
         F.col(id_col).alias("neighbor_id"), F.col("codes").alias("cc"),
         F.col("cs").alias("ccs"),
         F.sqrt(_rn2(F.col("cs"), F.col("nsq"))).alias("cn"),
@@ -769,6 +799,8 @@ def sq8_topk(
     )
     if rescore <= 0:
         return _topk_per_query(scored, k)
+    if emb is None:
+        raise ValueError("rescore needs the float corpus: pass emb=")
     cand = _topk_per_query(scored, k * rescore)
     return _exact_rescore(emb, queries, cand, k, id_col, vec_col, dim)
 

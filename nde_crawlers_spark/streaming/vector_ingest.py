@@ -1,0 +1,138 @@
+"""Streaming vector ingest: continuous embedding arrival through the
+frozen-stats int8 quantized store.
+
+The batch contract is ``ann_sq8_incremental_topk``'s (operators/
+similarity.py): the quantization interval is trained ONCE on the base
+cohort and every later batch encodes with the SAME frozen constants —
+retraining would invalidate every historical code, so freezing is the
+only shape that works for always-on ingest. This module is that
+contract's streaming form, mirroring how the reference's embedding pass
+feeds ES incrementally per release rather than re-embedding the corpus
+(hub/dataindex/embed.py:51-59,124-131 — new docs are embedded and
+indexed into the live int8_hnsw index with the index's existing
+quantization state):
+
+    embedding stream (file source; production: Kafka/Iceberg CDC)
+      -> foreachBatch: batch 0 trains (mn, s) and freezes it to
+         stats.json; every batch sq8-encodes its delta with the frozen
+         constants (out-of-interval components clamp to code 0/255 —
+         standard SQ saturation for drifted data)
+         -> append the (id, codes, cs, nsq) delta to the codes store
+      -> serve: sq8_serve_codes over the UNION of committed deltas —
+         queries scan the 4x-narrower code table only; the float
+         corpus is read solely by an explicit rescore.
+
+Exactly-once per micro-batch follows the established discipline
+(streaming/crawl_stream.py, dedup_stream.py): per-batch output dirs are
+idempotently overwritten, and the frozen stats are a deterministic pure
+function of batch 0's rows, so a replayed batch 0 (crash between the
+stats write and the checkpoint commit) rewrites identical constants.
+
+Scale shape: per micro-batch cost is O(|delta|) — one codegen'd
+projection over the new rows; nothing historical is read, recomputed,
+or rewritten. Serving reads the code deltas as a plain partitioned
+parquet union (an Iceberg table in production), so the query plan is
+identical to the batch encode-once/serve-many plan the sq8 rows
+audited in PLANS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity as SIM
+
+VEC_SCHEMA = "vec_id long, embedding array<float>"
+_CODES_SCHEMA = "vec_id long, codes array<int>, cs long, nsq long"
+
+
+class StreamingVectorIngest:
+    """File-source streaming sq8 ingest rooted at ``root`` with
+    directories: incoming/ (input vectors), codes/ (one encoded delta
+    per batch), stats.json (the frozen interval), checkpoint/."""
+
+    def __init__(self, spark: SparkSession, root: str, dim: int = 64,
+                 clip_sigma: float | None = None):
+        self.spark = spark
+        self.root = root
+        self.dim = dim
+        self.clip_sigma = clip_sigma
+        for d in ("incoming", "codes"):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # ------------------------------------------------------------ state --
+    def stats(self) -> tuple[float, float] | None:
+        """The frozen (mn, s) interval, or None before batch 0 commits."""
+        p = self._dir("stats.json")
+        if not os.path.exists(p):
+            return None
+        d = json.load(open(p))
+        return d["mn"], d["s"]
+
+    def codes(self, before_batch: int | None = None) -> DataFrame:
+        """The persisted code store: union of committed per-batch
+        deltas, optionally restricted to batches strictly before
+        ``before_batch`` (the replay guard)."""
+        base = self._dir("codes")
+        parts = []
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("batch="):
+                continue
+            b = int(d.split("=")[1])
+            if before_batch is None or b < before_batch:
+                parts.append(os.path.join(base, d))
+        if not parts:
+            return self.spark.createDataFrame([], _CODES_SCHEMA)
+        return self.spark.read.parquet(*parts)
+
+    # ----------------------------------------------------------- ingest --
+    def run_available_now(self) -> None:
+        """Drain currently-available vectors, then stop. Re-runnable:
+        the streaming checkpoint skips already-processed input files."""
+        stream = self.spark.readStream.schema(VEC_SCHEMA).parquet(
+            self._dir("incoming"))
+        q = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self._dir("checkpoint"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def _process_batch(self, vecs: DataFrame, batch_id: int) -> None:
+        st = self.stats()
+        if st is None:
+            # batch 0 IS the base cohort: train and freeze. Replay-safe
+            # without coordination — the interval is a deterministic
+            # pure function of this batch's rows (micro-unit clip
+            # discipline, see sq8_stats), so a crashed-then-replayed
+            # batch 0 recomputes identical constants.
+            st = SIM.sq8_stats(vecs, dim=self.dim, clip_sigma=self.clip_sigma)
+            tmp = self._dir("stats.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"mn": st[0], "s": st[1], "base_batch": batch_id}, f)
+            os.replace(tmp, self._dir("stats.json"))
+        SIM.sq8_encode(vecs, st, dim=self.dim).write.mode("overwrite").parquet(
+            self._dir(f"codes/batch={batch_id:06d}")
+        )
+
+    # ------------------------------------------------------------ serve --
+    def serve(self, queries: DataFrame, k: int = 10, rescore: int = 0,
+              emb: DataFrame | None = None) -> DataFrame:
+        """sq8 top-k over everything ingested so far — the code table
+        union is the only corpus-sized scan; pass ``emb`` (the float
+        corpus, e.g. the incoming/ parquet) only when rescoring."""
+        st = self.stats()
+        if st is None:
+            raise ValueError("no batches ingested yet — stats not frozen")
+        return SIM.sq8_serve_codes(
+            self.codes(), queries, st, k=k, dim=self.dim,
+            rescore=rescore, emb=emb,
+        )
