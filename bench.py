@@ -211,7 +211,7 @@ def run_headline() -> None:
         "ann_ivf_trained_topk", "ann_pq_trained_topk", "ann_sq8_topk",
         "ann_sq8_incremental_topk",
         # round-8 additions
-        "ann_ivfpq_rescore_topk",
+        "ann_ivfpq_rescore_topk", "ann_ivfsq8_topk",
     ]
     new_times: dict[str, float] = {}
     for name in NEW_HEADLINE:
@@ -550,7 +550,7 @@ def run_soak_sf1() -> None:
                        # (adds the k*r float re-rank join), and the 768-d
                        # lift + HOF-fold sq8 scan (12x wider rows)
                        "ann_ivf_incremental_topk", "ann_ivfpq_rescore_topk",
-                       "ann_sq8_dim768_topk"]
+                       "ann_sq8_dim768_topk", "ann_ivfsq8_topk"]
     for name in qset:  # warm codegen at the smallest shipped SF
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 

@@ -805,6 +805,154 @@ def sq8_serve_codes(
     return _exact_rescore(emb, queries, cand, k, id_col, vec_col, dim)
 
 
+def ivfsq8_encode(
+    emb: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    stats: tuple[float, float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Build the composed IVF+SQ8 index table (id, cid, codes, cs, nsq)
+    — the FAISS "IVF,SQ8" shape and the closest relational analog of
+    the reference's ES int8_hnsw index (hub/dataindex/embed.py:51-59:
+    coarse graph pruning there, coarse inverted lists here; int8 codes
+    both). ONE map-only projection: the coarse list id is the Arrow
+    batch argmax against the broadcast codebook (no crossJoin blowup),
+    the codes/stats are the same codegen'd expressions as
+    ``sq8_encode``. At 10^9 vectors this is the persisted index —
+    4x narrower than floats plus one int per row — and appending a
+    batch costs only that batch's projection (both components frozen:
+    see the incremental contracts on ``sq8_topk(stats=)`` and
+    ``ivf_topk(codebook=)``)."""
+    mn, s = stats
+    assign = V.nearest_centroids_pd(coarse, 1, dim)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = emb.select(
+        F.col(id_col),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cid"),
+        dbl.alias("v"),
+    ).withColumn("codes", F.expr(_sq8_codes_expr(mn, s, dim)))
+    return out.select(
+        id_col, "cid", "codes",
+        _int_sum_fixed(F.col("codes"), dim).alias("cs"),
+        _int_dot_fixed(F.col("codes"), F.col("codes"), dim).alias("nsq"),
+    )
+
+
+def ivfsq8_serve_codes(
+    index: DataFrame,
+    queries: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    stats: tuple[float, float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rescore: int = 0,
+    emb: DataFrame | None = None,
+) -> DataFrame:
+    """Serve the composed index: a query touches ~nprobe/nlist of the
+    CODE table only — candidate generation is an equi-join on the
+    coarse list id (every index row carries exactly one cid, so no
+    distinct is needed), scoring is the exact-integer sq8
+    reconstruction, and the float corpus appears nowhere except an
+    explicit ``rescore`` (pass ``emb``; floats read for Q*k*r rows).
+    ``coarse``/``stats`` must be the constants the index was encoded
+    with."""
+    mn, s = stats
+    c0 = (float(dim) * mn) * mn
+    a1 = mn * s
+    a2 = s * s
+    b2 = (2.0 * mn) * s
+
+    def _rn2(cs, nsq):
+        return F.lit(c0) + (
+            (F.lit(b2) * cs.cast("double")) + (F.lit(a2) * nsq.cast("double"))
+        )
+
+    corpus = index.select(
+        F.col(id_col).alias("neighbor_id"), "cid",
+        F.col("codes").alias("cc"), F.col("cs").alias("ccs"),
+        F.sqrt(_rn2(F.col("cs"), F.col("nsq"))).alias("cn"),
+    )
+    assign = V.nearest_centroids_pd(coarse, nprobe, dim)
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qf = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(assign(F.col(vec_col))).alias("cid"),
+            dbl.alias("v"),
+        )
+        .withColumn("qc", F.expr(_sq8_codes_expr(mn, s, dim)))
+        .withColumn("qcs", _int_sum_fixed(F.col("qc"), dim))
+        .withColumn("qnsq", _int_dot_fixed(F.col("qc"), F.col("qc"), dim))
+        .select(
+            "query_id", "cid", "qc", "qcs",
+            F.sqrt(_rn2(F.col("qcs"), F.col("qnsq"))).alias("qn"),
+        )
+    )
+    denom = F.col("qn") * F.col("cn")
+    rdot = F.lit(c0) + (
+        (F.lit(a1) * (F.col("qcs") + F.col("ccs")).cast("double"))
+        + (F.lit(a2) * _int_dot_fixed(F.col("qc"), F.col("cc"), dim).cast("double"))
+    )
+    scored = (
+        corpus.join(F.broadcast(qf), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(F.when(denom > 0, rdot / denom).otherwise(F.lit(0.0)), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    if rescore <= 0:
+        return _topk_per_query(scored, k)
+    if emb is None:
+        raise ValueError("rescore needs the float corpus: pass emb=")
+    cand = _topk_per_query(scored, k * rescore)
+    return _exact_rescore(emb, queries, cand, k, id_col, vec_col, dim)
+
+
+def ivfsq8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    coarse_codebook: list[tuple[int, list[float]]] | None = None,
+    stats: tuple[float, float] | None = None,
+    rescore: int = 0,
+) -> DataFrame:
+    """IVF+SQ8 composed top-k — coarse inverted-list pruning AND int8
+    scalar quantization in one index (FAISS "IVF,SQ8"; the reference's
+    ES int8_hnsw trades recall for memory the same two ways,
+    hub/dataindex/embed.py:51-59). Against IVF-PQ this keeps sq8's
+    exact-integer reconstructed scoring (quantization noise only, no
+    subspace argmin loss); against plain sq8 it scans ~nprobe/nlist of
+    the codes instead of all of them. Defaults mirror the family
+    discipline: coarse codebook = first ``nlist`` corpus rows, stats =
+    corpus-wide interval — both pure functions of the data so the
+    DuckDB oracle reproduces them relationally; pass trained/frozen
+    components for the production variants with the identical plan."""
+    coarse = coarse_codebook if coarse_codebook is not None else sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col(id_col) < nlist).select(id_col, vec_col).collect()
+    )
+    st = stats if stats is not None else sq8_stats(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    index = ivfsq8_encode(emb, coarse, st, id_col=id_col, vec_col=vec_col, dim=dim)
+    return ivfsq8_serve_codes(
+        index, queries, coarse, st, k=k, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, dim=dim, rescore=rescore, emb=emb,
+    )
+
+
 # 12 affine blocks lifting the 64-d embeddings table to the reference's
 # served dimension (768, hub/dataindex/embed.py:51-59): block j is
 # (x * w_j) + b_j with DYADIC constants (exact binary doubles, so the

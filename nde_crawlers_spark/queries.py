@@ -542,6 +542,20 @@ def ann_ivf_incremental_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, q, k=10, nlist=8, nprobe=2, codebook=cb)
 
 
+def ann_ivfsq8_topk(spark, sf_dir):
+    """Composed IVF+SQ8 index (similarity.py::ivfsq8_topk — the FAISS
+    "IVF,SQ8" shape): coarse inverted lists prune the candidate set to
+    ~nprobe/nlist of the CODE table, and scoring is sq8's exact-integer
+    reconstructed dot over int8 codes — the float corpus appears
+    nowhere after encode. vs IVF-PQ: no subspace-argmin loss, only
+    quantization rounding; vs plain sq8: a fraction of the scan. The
+    DuckDB mirror composes the ivf assignment CTEs with the sq8
+    long-form code pipeline and must rank identically bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivfsq8_topk(emb, q, k=10, nlist=8, nprobe=2)
+
+
 def ann_sq8_dim768_topk(spark, sf_dir):
     """sq8 serving at the REFERENCE's embedding dimension (768 — its
     dense-vector pass indexes 768-d vectors into ES int8_hnsw,
@@ -2177,6 +2191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq8_incremental_topk": ann_sq8_incremental_topk,
     "ann_sq8_dim768_topk": ann_sq8_dim768_topk,
     "ann_ivf_incremental_topk": ann_ivf_incremental_topk,
+    "ann_ivfsq8_topk": ann_ivfsq8_topk,
     "text_analyze": text_analyze,
     "text_lang_agreement": text_lang_agreement,
     "text_quality_filter": text_quality_filter,

@@ -47,19 +47,30 @@ from ..operators import similarity as SIM
 
 VEC_SCHEMA = "vec_id long, embedding array<float>"
 _CODES_SCHEMA = "vec_id long, codes array<int>, cs long, nsq long"
+_IVF_CODES_SCHEMA = "vec_id long, cid int, codes array<int>, cs long, nsq long"
 
 
 class StreamingVectorIngest:
     """File-source streaming sq8 ingest rooted at ``root`` with
     directories: incoming/ (input vectors), codes/ (one encoded delta
-    per batch), stats.json (the frozen interval), checkpoint/."""
+    per batch), stats.json (the frozen interval — and, with
+    ``nlist`` set, the frozen coarse codebook), checkpoint/.
+
+    ``nlist=N`` turns on the composed IVF+SQ8 index (the FAISS
+    "IVF,SQ8" maintenance loop): batch 0 ALSO Lloyd-trains N coarse
+    centroids (similarity.kmeans_codebook — deterministic, so replay
+    retrains identically) and freezes them next to the interval; every
+    delta row then carries its coarse list id, and ``serve`` prunes to
+    the query's ``nprobe`` lists before the integer scoring — the scan
+    touches ~nprobe/nlist of the code table instead of all of it."""
 
     def __init__(self, spark: SparkSession, root: str, dim: int = 64,
-                 clip_sigma: float | None = None):
+                 clip_sigma: float | None = None, nlist: int | None = None):
         self.spark = spark
         self.root = root
         self.dim = dim
         self.clip_sigma = clip_sigma
+        self.nlist = nlist
         for d in ("incoming", "codes"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
 
@@ -75,6 +86,16 @@ class StreamingVectorIngest:
         d = json.load(open(p))
         return d["mn"], d["s"]
 
+    def coarse(self) -> list[tuple[int, list[float]]] | None:
+        """The frozen coarse codebook (nlist mode), or None."""
+        p = self._dir("stats.json")
+        if not os.path.exists(p):
+            return None
+        d = json.load(open(p))
+        if "coarse" not in d:
+            return None
+        return [(int(c), v) for c, v in d["coarse"]]
+
     def codes(self, before_batch: int | None = None) -> DataFrame:
         """The persisted code store: union of committed per-batch
         deltas, optionally restricted to batches strictly before
@@ -88,7 +109,8 @@ class StreamingVectorIngest:
             if before_batch is None or b < before_batch:
                 parts.append(os.path.join(base, d))
         if not parts:
-            return self.spark.createDataFrame([], _CODES_SCHEMA)
+            return self.spark.createDataFrame(
+                [], _IVF_CODES_SCHEMA if self.nlist else _CODES_SCHEMA)
         return self.spark.read.parquet(*parts)
 
     # ----------------------------------------------------------- ingest --
@@ -110,28 +132,43 @@ class StreamingVectorIngest:
         st = self.stats()
         if st is None:
             # batch 0 IS the base cohort: train and freeze. Replay-safe
-            # without coordination — the interval is a deterministic
-            # pure function of this batch's rows (micro-unit clip
-            # discipline, see sq8_stats), so a crashed-then-replayed
+            # without coordination — the interval (and the Lloyd coarse
+            # codebook in nlist mode) is a deterministic pure function
+            # of this batch's rows (micro-unit discipline, see
+            # sq8_stats/kmeans_codebook), so a crashed-then-replayed
             # batch 0 recomputes identical constants.
             st = SIM.sq8_stats(vecs, dim=self.dim, clip_sigma=self.clip_sigma)
+            frozen = {"mn": st[0], "s": st[1], "base_batch": batch_id}
+            if self.nlist:
+                frozen["coarse"] = SIM.kmeans_codebook(
+                    vecs, k=self.nlist, iters=2, dim=self.dim)
             tmp = self._dir("stats.json.tmp")
             with open(tmp, "w") as f:
-                json.dump({"mn": st[0], "s": st[1], "base_batch": batch_id}, f)
+                json.dump(frozen, f)
             os.replace(tmp, self._dir("stats.json"))
-        SIM.sq8_encode(vecs, st, dim=self.dim).write.mode("overwrite").parquet(
+        if self.nlist:
+            delta = SIM.ivfsq8_encode(vecs, self.coarse(), st, dim=self.dim)
+        else:
+            delta = SIM.sq8_encode(vecs, st, dim=self.dim)
+        delta.write.mode("overwrite").parquet(
             self._dir(f"codes/batch={batch_id:06d}")
         )
 
     # ------------------------------------------------------------ serve --
     def serve(self, queries: DataFrame, k: int = 10, rescore: int = 0,
-              emb: DataFrame | None = None) -> DataFrame:
-        """sq8 top-k over everything ingested so far — the code table
-        union is the only corpus-sized scan; pass ``emb`` (the float
-        corpus, e.g. the incoming/ parquet) only when rescoring."""
+              emb: DataFrame | None = None, nprobe: int = 2) -> DataFrame:
+        """top-k over everything ingested so far — the code table union
+        is the only corpus-sized scan (pruned to the query's ``nprobe``
+        coarse lists in nlist mode); pass ``emb`` (the float corpus,
+        e.g. the incoming/ parquet) only when rescoring."""
         st = self.stats()
         if st is None:
             raise ValueError("no batches ingested yet — stats not frozen")
+        if self.nlist:
+            return SIM.ivfsq8_serve_codes(
+                self.codes(), queries, self.coarse(), st, k=k,
+                nprobe=nprobe, dim=self.dim, rescore=rescore, emb=emb,
+            )
         return SIM.sq8_serve_codes(
             self.codes(), queries, st, k=k, dim=self.dim,
             rescore=rescore, emb=emb,

@@ -105,6 +105,50 @@ def test_stream_serve_rescored(spark, ingested):
     assert got == want
 
 
+def test_stream_ivfsq8_equals_batch(spark, tmp_path):
+    """nlist mode: the streamed composed index (frozen Lloyd coarse
+    codebook + frozen interval, both trained on batch 0) must serve
+    identically to the batch ivfsq8_topk under the same frozen
+    components, and the stored deltas carry one coarse list id per
+    row."""
+    from nde_crawlers_spark.operators.similarity import (
+        ivfsq8_topk, kmeans_codebook, sq8_stats)
+    from nde_crawlers_spark.streaming.vector_ingest import StreamingVectorIngest
+
+    root = str(tmp_path / "ivf_ingest")
+    vi = StreamingVectorIngest(spark, root, nlist=8)
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    slices = [
+        emb.filter(F.col("vec_id") < 80),
+        emb.filter(F.col("vec_id") >= 80),
+    ]
+    for sl in slices:
+        sl.select("vec_id", "embedding").coalesce(1).write.mode(
+            "append").parquet(os.path.join(root, "incoming"))
+        vi.run_available_now()
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(tuple(r) for r in vi.serve(q, k=10, nprobe=2).collect())
+
+    base = emb.filter(F.col("vec_id") < 80)
+    frozen_cb = kmeans_codebook(base, k=8, iters=2)
+    frozen_st = sq8_stats(base)
+    want = sorted(
+        tuple(r)
+        for r in ivfsq8_topk(emb, q, k=10, nlist=8, nprobe=2,
+                             coarse_codebook=frozen_cb,
+                             stats=frozen_st).collect()
+    )
+    assert got == want
+    assert vi.coarse() == frozen_cb
+    # every stored row carries exactly one coarse list id
+    codes = vi.codes()
+    assert "cid" in codes.columns
+    assert codes.count() == emb.count()
+    ncid = codes.select("cid").distinct().count()
+    assert 1 < ncid <= 8
+
+
 def test_serve_before_ingest_raises(spark, tmp_path):
     from nde_crawlers_spark.streaming.vector_ingest import StreamingVectorIngest
 
