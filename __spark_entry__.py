@@ -2,10 +2,12 @@
 
 ``entry(spark)`` runs the flagship crawl-scheduling query on sf0.001;
 ``queries()``/``oracle_sql()`` expose the full catalog from
-``nde_crawlers_spark`` (77 oracle-checked rows: 74 catalog queries
-plus the e2e signature/documents rows and uploader_pipeline, with ONE
-rows-only extra — multimodal_features, whose Python-codec media path
-has no SQL mirror by nature). The driver oracle-checks the first 50 catalog
+``nde_crawlers_spark`` — 82 entries as of r8, EVERY one oracle-checked
+(78 catalog queries plus the e2e signature/documents rows,
+uploader_pipeline, and multimodal_features, whose former rows-only
+status closed in r8 via the geometry-relation VALUES mirror; the
+Python-codec FEATURE values remain pinned by the codec unit tests
+instead, by nature). The driver oracle-checks the first 50 catalog
 entries; the rotation rule (at ``_WINDOW_PRIORITY`` below) guarantees the
 union of two consecutive rounds' driver windows covers the complete
 catalog, and every query stays covered by the full-catalog parity mirror

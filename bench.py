@@ -305,8 +305,8 @@ def run_ann_recall() -> None:
     not assumed."""
     from nde_crawlers_spark.operators.similarity import (
         brute_force_topk, clustered_rows, ivf_topk, ivfpq_topk,
-        kmeans_codebook, lsh_topk, pq_adc_topk, pq_train, recall_at_k,
-        sq8_topk,
+        ivfsq8_topk, kmeans_codebook, lsh_topk, pq_adc_topk, pq_train,
+        recall_at_k, sq8_topk,
     )
 
     spark = _spark(CPUS)
@@ -364,6 +364,18 @@ def run_ann_recall() -> None:
              lambda: ivfpq_topk(emb, q, k=k, nlist=8, nprobe=4, m=4, ksub=8,
                                 coarse_codebook=coarse, pq_codebook=pq,
                                 rescore=4)),
+            # composed IVF+SQ8 (FAISS "IVF,SQ8"): coarse pruning with
+            # sq8's exact-integer scoring — in-list loss is rounding
+            # noise only, so recall tracks IVF's scan fraction, not PQ's
+            # code loss
+            ("ivfsq8", {"nprobe": 2, "codebook": "default"},
+             lambda: ivfsq8_topk(emb, q, k=k, nlist=8, nprobe=2)),
+            ("ivfsq8", {"nprobe": 2, "codebook": "trained"},
+             lambda: ivfsq8_topk(emb, q, k=k, nlist=8, nprobe=2,
+                                 coarse_codebook=coarse)),
+            ("ivfsq8", {"nprobe": 4, "codebook": "trained"},
+             lambda: ivfsq8_topk(emb, q, k=k, nlist=8, nprobe=4,
+                                 coarse_codebook=coarse)),
             # sq8 scans everything (memory-bounded, not scan-bounded):
             # the near-1.0 rows are the contrast lines showing the
             # pruning variants' recall loss is scan fraction, not

@@ -862,6 +862,18 @@ def test_ann_recall_floors_clustered(spark):
     assert r_ivfpq_tr >= 0.8, f"trained IVF-PQ recall@10 {r_ivfpq_tr}"
     assert r_ivfpq_tr >= r_ivfpq_def - 1e-9, (r_ivfpq_tr, r_ivfpq_def)
 
+    # composed IVF+SQ8 (FAISS "IVF,SQ8"): in-list loss is quantization
+    # rounding only, so with the trained coarse codebook recall must
+    # track trained IVF's (>=0.9), strictly above the trained IVF-PQ
+    # floor — the whole point of the composition
+    from nde_crawlers_spark.operators.similarity import ivfsq8_topk
+
+    r_ivfsq8 = recall_at_k(
+        truth, ivfsq8_topk(emb, q, k=10, nlist=8, nprobe=2,
+                           coarse_codebook=coarse))
+    assert r_ivfsq8 >= 0.9, f"trained IVF+SQ8 recall@10 {r_ivfsq8}"
+    assert r_ivfsq8 >= r_ivf - 0.05, (r_ivfsq8, r_ivf)
+
     # sq8 on the clustered corpus: the reconstructed-dot scoring keeps
     # both coarse structure (every retrieved neighbor in the query's
     # cluster) AND fine in-cluster ranking (raw recall 1.0 measured).
