@@ -149,6 +149,21 @@ def test_stream_ivfsq8_equals_batch(spark, tmp_path):
     assert 1 < ncid <= 8
 
 
+def test_ivfsq8_full_probe_equals_sq8(spark):
+    """Completeness invariant: with nprobe == nlist the composed index
+    scans every list, so IVF+SQ8 must equal plain sq8 row-for-row (the
+    coarse component only PRUNES — it must never change a score)."""
+    from nde_crawlers_spark.operators.similarity import ivfsq8_topk, sq8_topk
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        tuple(r) for r in ivfsq8_topk(emb, q, k=10, nlist=8, nprobe=8).collect()
+    )
+    want = sorted(tuple(r) for r in sq8_topk(emb, q, k=10).collect())
+    assert got == want
+
+
 def test_serve_before_ingest_raises(spark, tmp_path):
     from nde_crawlers_spark.streaming.vector_ingest import StreamingVectorIngest
 
