@@ -159,6 +159,24 @@ def test_brute_force_768(emb768):
     assert by_q == truth
 
 
+def test_ivfsq8_768_full_probe_equals_sq8(emb768):
+    """The composed IVF+SQ8 index serves at the reference dimension:
+    with nprobe == nlist it scans every list, so it must equal plain
+    sq8 row-for-row at dim=768 — coarse assignment (dim-generic Arrow
+    kernel), HOF integer folds, and the broadcast cid join all
+    compose."""
+    q = emb768.filter(F.col("vec_id") < NQ)
+    got = sorted(
+        tuple(r)
+        for r in S.ivfsq8_topk(emb768, q, k=K, nlist=4, nprobe=4,
+                               dim=DIM).collect()
+    )
+    want = sorted(
+        tuple(r) for r in S.sq8_topk(emb768, q, k=K, dim=DIM).collect()
+    )
+    assert got == want
+
+
 def test_hof_fold_bit_equals_unrolled(spark):
     """The fold switch itself: HOF aggregate and the unrolled expression
     produce bit-identical doubles and identical bigints on the same
