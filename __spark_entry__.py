@@ -464,6 +464,7 @@ _WINDOW_PRIORITY = [
     "ann_sq8_dim768_topk",
     "ann_ivf_incremental_topk",
     "ann_ivfsq8_topk",
+    "ann_ivfsq8_incremental_topk",
     # r8 pinned: similarity.py internals changed this round for the
     # whole family (rescore paths refactored onto the shared
     # _exact_rescore helper; the fixed-dim integer/double folds gained

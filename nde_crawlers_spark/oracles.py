@@ -2044,6 +2044,70 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked 
 """
 
 
+# mirror of queries.ann_ivfsq8_incremental_topk: the fully-frozen
+# composed index — the Lloyd chain AND the quantization interval both
+# computed over the BASE partition (vec_id < 80), then the FULL corpus
+# assigned, encoded (clamp live on appended rows), and served. This is
+# the exact serving math of the streaming-maintained index
+# (streaming/vector_ingest.py nlist mode), under the driver oracle.
+ORACLES["ann_ivfsq8_incremental_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT vec_id, v FROM e WHERE vec_id < 80),
+{_lloyd_ctes(_KM_K, _KM_ITERS, prefix="q_", src="eb")},
+ascore AS (
+  SELECT e.vec_id AS vid, e.v, c.cid, {COSINE_RAW.format(a='e.v', b='c.centroid')} AS ccos
+  FROM e CROSS JOIN centq_{_KM_ITERS} c
+),
+aranked AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crn FROM ascore),
+inv AS (SELECT vid, cid FROM aranked WHERE crn = 1),
+probes AS (SELECT vid AS query_id, cid FROM aranked WHERE crn <= 2 AND vid < 5),
+cand AS (
+  SELECT p.query_id, i.vid AS neighbor_id
+  FROM inv i JOIN probes p USING (cid) WHERE i.vid != p.query_id
+),
+st AS (
+  SELECT min(x) AS mn, (max(x) - min(x)) / 255.0 AS s
+  FROM (SELECT unnest(v) AS x FROM eb)
+),
+dims AS (SELECT unnest(range(1, 65)) AS d),
+codes AS (
+  SELECT e.vec_id, d.d,
+         CASE WHEN st.s = 0 THEN 0
+              ELSE least(255, greatest(0, CAST(round((e.v[d.d] - st.mn) / st.s) AS BIGINT))) END AS c
+  FROM e CROSS JOIN dims d CROSS JOIN st
+),
+vstats AS (SELECT vec_id, sum(c) AS cs, sum(c * c) AS nsq FROM codes GROUP BY vec_id),
+norms AS (
+  SELECT v.vec_id, v.cs,
+         sqrt(((64.0 * st.mn) * st.mn)
+              + ((((2.0 * st.mn) * st.s) * CAST(v.cs AS DOUBLE))
+                 + ((st.s * st.s) * CAST(v.nsq AS DOUBLE)))) AS rn
+  FROM vstats v CROSS JOIN st
+),
+dots AS (
+  SELECT ca.query_id, ca.neighbor_id, sum(qc.c * cc.c) AS dp
+  FROM cand ca
+  JOIN codes qc ON qc.vec_id = ca.query_id
+  JOIN codes cc ON cc.vec_id = ca.neighbor_id AND cc.d = qc.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.query_id, t.neighbor_id,
+         round(CASE WHEN nq.rn * nc.rn > 0
+                    THEN (((64.0 * st.mn) * st.mn)
+                          + (((st.mn * st.s) * CAST(nq.cs + nc.cs AS DOUBLE))
+                             + ((st.s * st.s) * CAST(t.dp AS DOUBLE))))
+                         / (nq.rn * nc.rn)
+                    ELSE 0.0 END, 6) AS cosine
+  FROM dots t JOIN norms nq ON t.query_id = nq.vec_id
+              JOIN norms nc ON t.neighbor_id = nc.vec_id
+              CROSS JOIN st
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""
+
+
 # mirror of queries.ann_ivf_incremental_topk: the identical Lloyd chain
 # run over the BASE partition only (vec_id < 80 — the frozen-codebook
 # incremental-ingest contract), then the FULL corpus assigned and

@@ -556,6 +556,25 @@ def ann_ivfsq8_topk(spark, sf_dir):
     return SIM.ivfsq8_topk(emb, q, k=10, nlist=8, nprobe=2)
 
 
+def ann_ivfsq8_incremental_topk(spark, sf_dir):
+    """The fully-frozen composed index — BOTH components trained once
+    on the base partition (vec_id < 80: Lloyd coarse codebook AND
+    quantization interval) and the full corpus served against them.
+    This is exactly the state streaming/vector_ingest.py maintains
+    (nlist mode: batch 0 trains and freezes both, every delta encodes
+    O(delta)), so this row puts the streaming-maintained index's exact
+    serving math under the driver oracle — appended rows exercise both
+    frozen-component behaviors for real (assignment to centroids they
+    never influenced; interval clamp on out-of-range components)."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 80)
+    cb = SIM.kmeans_codebook(base, k=8, iters=2)
+    st = SIM.sq8_stats(base)
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivfsq8_topk(emb, q, k=10, nlist=8, nprobe=2,
+                           coarse_codebook=cb, stats=st)
+
+
 def ann_sq8_dim768_topk(spark, sf_dir):
     """sq8 serving at the REFERENCE's embedding dimension (768 — its
     dense-vector pass indexes 768-d vectors into ES int8_hnsw,
@@ -2192,6 +2211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq8_dim768_topk": ann_sq8_dim768_topk,
     "ann_ivf_incremental_topk": ann_ivf_incremental_topk,
     "ann_ivfsq8_topk": ann_ivfsq8_topk,
+    "ann_ivfsq8_incremental_topk": ann_ivfsq8_incremental_topk,
     "text_analyze": text_analyze,
     "text_lang_agreement": text_lang_agreement,
     "text_quality_filter": text_quality_filter,
