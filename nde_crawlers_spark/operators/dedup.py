@@ -429,8 +429,12 @@ def embedding_near_dup_pairs(
     from ..functions import vectors as V
 
     # norms are per-ROW: compute once before the self-join so the
-    # per-pair work is a single codegen'd dot product
-    b = emb.select(
+    # per-pair work is a single codegen'd dot product. spread(): a
+    # single-file embeddings scan would otherwise run the Arrow
+    # norm/bucket kernels AND the in-bucket pair scoring on ONE task
+    # (observed at sf0.1: the whole query single-threaded); at corpus
+    # scale the scan has >= defaultParallelism splits and this no-ops.
+    b = spread(emb).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         V.norm_pd(dim)(F.col(vec_col)).alias("n"),
         V.hyperplane_bucket_pd(bucket_bits, dim)(F.col(vec_col)).alias("bucket"),
@@ -441,7 +445,7 @@ def embedding_near_dup_pairs(
         .withColumn(
             "cosine",
             F.round(
-                V.cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"), dim), 6
+                V.cosine_prenormed("a.v", "b.v", F.col("a.n"), F.col("b.n"), dim), 6
             ),
         )
         .filter(F.col("cosine") >= threshold)
@@ -511,7 +515,20 @@ def dedup_clusters(
         .agg(F.min(F.least(F.col("x"), F.col("y"))).alias("cluster"))
         .cache()
     )
-    probe_every = 2  # convergence check costs a join — geometric probing
+
+    def _label_sum(df: DataFrame):
+        # exact decimal sum of the label column: labels are monotone
+        # non-increasing and the member set is fixed, so the sum is
+        # unchanged between probes IFF no member's label changed —
+        # convergence detection as ONE map-side aggregate on the frame
+        # the probe materializes anyway, replacing the r8 join of two
+        # full node tables (an extra shuffle per probe at corpus scale)
+        return df.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    probe_every = 1  # probe each round: the sum probe is one cheap aggregate
+    prev_sum = _label_sum(labels)  # materializes the cached init frame
     retired: list[DataFrame] = []  # unpersist only after a probe materializes
     converged = False
     it = 0
@@ -559,15 +576,14 @@ def dedup_clusters(
         elif checkpoint_every and it % checkpoint_every == 0:
             new = new.localCheckpoint(eager=True)
         if it % probe_every == 0 or it == max_iters:
-            # min-labels only ever decrease: converged iff no member
-            # improved since the last probed frame
-            improved = (
-                new.join(labels.withColumnRenamed("cluster", "__old"), "member")
-                .filter(F.col("cluster") < F.col("__old"))
-            )
-            # full count, not isEmpty: isEmpty short-circuits and would
-            # leave `new` partially cached while we unpersist its parents
-            done = improved.count() == 0  # fully materializes `new`
+            # min-labels only ever decrease: converged iff the exact
+            # label sum is unchanged since the last probed frame. The
+            # aggregate scans every partition, so `new` is fully
+            # materialized into its cache before parents are unpersisted
+            # (the same guarantee the r8 count() provided).
+            cur_sum = _label_sum(new)
+            done = cur_sum == prev_sum
+            prev_sum = cur_sum
             retired.append(labels)
             for df in retired:
                 df.unpersist()

@@ -285,7 +285,25 @@ def filter_unseen_bloom_segmented(
     else:
         probe_nseg = None  # derive from the table's recorded geometry
     probed = probe_bloom_segmented(candidates, segments, key=key, nseg=probe_nseg)
-    definite_new = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-    maybe = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    confirmed_new = filter_unseen_exact(maybe, seen, key)
-    return definite_new.unionByName(confirmed_new)
+    # ONE conditional anti-join instead of the r8 two-branch union
+    # (definite_new ∪ (maybe ANTI seen)): the union referenced `probed`
+    # twice, and Spark has no operator-level CSE above the exchange —
+    # the ENTIRE cogroup probe (candidate shuffle + Arrow round trip +
+    # bloom compute) executed once per branch. Folding the branch into
+    # the anti-join condition (a definite-new row matches no seen row
+    # because its __maybe_seen conjunct is false, so anti keeps it; a
+    # maybe row survives iff its key is absent) keeps the identical row
+    # multiset while the probe runs exactly once. Cost shift at the
+    # 10^10 design point: definite-new rows now pass through the
+    # anti-join's exchange (one extra narrow shuffle) instead of
+    # through a second full probe (shuffle + Python) — strictly less
+    # work in both regimes.
+    seen_keys = seen.select(F.col(key).alias("__seen_key")).distinct()
+    return (
+        probed.join(
+            seen_keys,
+            (F.col(key) == F.col("__seen_key")) & F.col("__maybe_seen"),
+            "left_anti",
+        )
+        .drop("__maybe_seen")
+    )

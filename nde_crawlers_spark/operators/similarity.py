@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from .dedup import spread
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -75,9 +76,7 @@ def _exact_rescore(
         .withColumn(
             "cosine",
             F.round(
-                V.cosine_prenormed(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
-                ),
+                V.cosine_prenormed("qv", "cv", F.col("qn"), F.col("cn"), dim),
                 6,
             ),
         )
@@ -104,7 +103,7 @@ def brute_force_topk(
             V.norm_pd(dim)(F.col(vec_col)).alias("qn"),
         )
     )
-    c = emb.select(
+    c = spread(emb).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         V.norm_pd(dim)(F.col(vec_col)).alias("cn"),
     )
@@ -113,7 +112,7 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(V.cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim), 6),
+            F.round(V.cosine_prenormed("qv", "cv", F.col("qn"), F.col("cn"), dim), 6),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -156,6 +155,13 @@ def kmeans_codebook(
         assigned = base.select(
             F.element_at(assign(F.col("v")), 1).alias("cid"), "v"
         )
+        # A/B'd this round (r9): a fused 64-wide single-groupBy mean and
+        # a spread() of the tiny per-iteration frame were BOTH measured
+        # slower on the sf0.1 corpus (3.2 s vs 1.0 s for init + 2
+        # iterations; the 64-sum hash aggregate loses to the simple
+        # exploded aggregate, and the repartition costs more than the
+        # one-task scan it parallelizes at this row count), so the r8
+        # exploded-mean shape stays.
         means = (
             assigned.select("cid", F.posexplode("v").alias("d", "x"))
             .groupBy("cid", "d")
@@ -216,7 +222,7 @@ def ivf_topk(
             F.explode(assign(F.col("v"))).alias("cid"),
         )
 
-    inv = _assign(emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")), 1)
+    inv = _assign(spread(emb).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")), 1)
     probes = _assign(
         queries.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")), nprobe
     ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "cid")
@@ -225,7 +231,7 @@ def ivf_topk(
         .filter(F.col("vid") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(V.cosine_prenormed(F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")), 6),
+            F.round(V.cosine_prenormed("qv", "v", F.col("qn"), F.col("vn")), 6),
         )
         .select("query_id", F.col("vid").alias("neighbor_id"), "cosine")
         .distinct()  # a candidate may appear via both probes
@@ -255,7 +261,7 @@ def lsh_topk(
             bucket(F.col(vec_col)).alias("bucket"),
         )
     )
-    c = emb.select(
+    c = spread(emb).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         V.norm_pd(dim)(F.col(vec_col)).alias("cn"),
@@ -266,7 +272,7 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(V.cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim), 6),
+            F.round(V.cosine_prenormed("qv", "cv", F.col("qn"), F.col("cn"), dim), 6),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -369,7 +375,7 @@ def pq_adc_topk(
     darr = _pq_darr_builder(cents, dsub)
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    corpus = pq_encode(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+    corpus = pq_encode(spread(emb), m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
                        dim=dim, codebook=cents).withColumnRenamed(
                            id_col, "neighbor_id")
 
@@ -413,18 +419,76 @@ def pq_train(
     distributed (the per-subspace corpus is a projected slice column,
     assignment is the same Arrow batch kernel, centroid means are exact
     decimals). Returns ``m x ksub x dsub`` centroids for
-    ``pq_adc_topk(codebook=...)``."""
+    ``pq_adc_topk(codebook=...)``.
+
+    All ``m`` independent Lloyd chains advance in ONE Spark job per
+    iteration (r9): the init is one collect of the first ``ksub``
+    vectors (sliced driver-side — the same float32 values the sliced
+    frames carried), each iteration assigns every subspace in one
+    projection (the m Arrow kernels fuse into a single ArrowEvalPython
+    pass) and aggregates all m subspaces' micro-unit component sums
+    through one explode + one groupBy((j, cid)). The r8 form ran
+    m * (iters + 1) separate driver actions — m full Lloyd loops —
+    for identical centroids; sums/rounds are the same SQL expressions,
+    so the training oracle and the determinism test pin bit-equality."""
     dsub = dim // m
-    out = []
-    for j in range(m):
-        sliced = emb.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+    if dsub > V.UNROLL_MAX_DIM:
+        # constant-size-plan fallback (same discipline as vectors.py):
+        # per-subspace loops with the exploded means path
+        out = []
+        for j in range(m):
+            sliced = emb.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+            )
+            cb = kmeans_codebook(sliced, k=ksub, iters=iters,
+                                 id_col=id_col, vec_col=vec_col, dim=dsub)
+            out.append([vec for _cid, vec in cb])
+        return out
+    init = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.orderBy(id_col).limit(ksub).select(id_col, vec_col).collect()
+    )
+    # m x ksub x dsub: subspace j's init = slices of the first ksub rows
+    cents = [[v[j * dsub:(j + 1) * dsub] for _, v in init] for j in range(m)]
+    base = emb.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        assigns = [
+            V.nearest_centroids_pd([(c, cents[j][c]) for c in range(ksub)], 1, dsub)
+            for j in range(m)
+        ]
+        sliced = base.select(
+            *[F.slice(F.col("v"), j * dsub + 1, dsub).alias(f"v{j}") for j in range(m)]
         )
-        cb = kmeans_codebook(sliced, k=ksub, iters=iters,
-                             id_col=id_col, vec_col=vec_col, dim=dsub)
-        out.append([vec for _cid, vec in cb])
-    return out
+        parts = F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.element_at(assigns[j](F.col(f"v{j}")), 1).alias("cid"),
+                F.col(f"v{j}").alias("sv"),
+            )
+            for j in range(m)
+        ])
+        rows = (
+            sliced.select(F.explode(parts).alias("p"))
+            .select("p.j", "p.cid", "p.sv")
+            .groupBy("j", "cid")
+            .agg(*[
+                (F.round(
+                    F.sum(F.round(F.element_at(F.col("sv"), d + 1).cast("double")
+                                  * 1e6).cast("bigint"))
+                    .cast("double") / F.count(F.lit(1))
+                ).cast("bigint").cast("double") / F.lit(1e6)).alias(f"m{d}")
+                for d in range(dsub)
+            ])
+            .collect()
+        )
+        new = {(int(r["j"]), int(r["cid"])): [float(r[f"m{d}"]) for d in range(dsub)]
+               for r in rows}
+        cents = [
+            [new.get((j, c), cents[j][c]) for c in range(ksub)]
+            for j in range(m)
+        ]
+    return cents
 
 
 def ivfpq_topk(
@@ -470,7 +534,7 @@ def ivfpq_topk(
 
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     assign1 = V.nearest_centroids_pd(coarse, 1)
-    corpus = emb.select(
+    corpus = spread(emb).select(
         F.col(id_col).alias("neighbor_id"), dbl.alias("v"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cid"),
     )
@@ -586,40 +650,47 @@ def _sq8_codes_expr(mn: float, s: float, dim: int) -> str:
     )
 
 
-def _int_dot_fixed(a, b, dim: int):
-    """Codegen'd fixed-dimension INTEGER dot product over two code
-    arrays — exact (bigint) arithmetic, so the score is engine-
+def _int_dot_fixed(a: str, b: str, dim: int):
+    """Codegen'd fixed-dimension INTEGER dot product over two NAMED code
+    array columns — exact (bigint) arithmetic, so the score is engine-
     independent by construction, with no float-fold discipline needed.
-    Above ``vectors.UNROLL_MAX_DIM`` (reference-shaped vectors are
-    dim=768, hub/dataindex/embed.py:51-59) the unrolled tree stops
-    codegen-ing and costs seconds of plan time, so this switches to the
-    HOF aggregate fold — exact integers, so the switch can't even
-    change a bit."""
+    Built as ONE SQL string parsed JVM-side (r9): the py4j-composed
+    unrolled tree cost ~5 driver round trips per term — about a second
+    of plan-BUILD time per use site at dim=64, dominating the serve
+    queries (build 1.9 s vs execute 0.8 s measured on ann_sq8_topk).
+    The parsed tree is the identical left fold, and the arithmetic is
+    exact integers, so the form switch cannot change a bit. Above
+    ``vectors.UNROLL_MAX_DIM`` (reference-shaped vectors are dim=768,
+    hub/dataindex/embed.py:51-59) the unrolled tree stops codegen-ing
+    and costs seconds of plan time, so this switches to the HOF
+    aggregate fold — same exact integers."""
     if dim > V.UNROLL_MAX_DIM:
         return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+            F.zip_with(F.col(a), F.col(b),
+                       lambda x, y: x.cast("bigint") * y.cast("bigint")),
             F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
         )
-    acc = F.lit(0).cast("bigint")
-    for i in range(dim):
-        acc = acc + F.element_at(a, i + 1).cast("bigint") * F.element_at(b, i + 1)
-    return acc
+    terms = " + ".join(
+        f"(cast(element_at({a}, {i + 1}) as bigint) * element_at({b}, {i + 1}))"
+        for i in range(dim)
+    )
+    return F.expr(f"cast(0 as bigint) + {terms}")
 
 
-def _int_sum_fixed(a, dim: int):
-    """Codegen'd fixed-dimension INTEGER component sum of a code array
-    (bigint) — the per-vector statistic the offset-correction term of
-    the reconstructed dot product needs. Same HOF switch as
-    ``_int_dot_fixed`` above ``vectors.UNROLL_MAX_DIM``."""
+def _int_sum_fixed(a: str, dim: int):
+    """Codegen'd fixed-dimension INTEGER component sum of a NAMED code
+    array column (bigint) — the per-vector statistic the offset-
+    correction term of the reconstructed dot product needs. Same SQL-
+    string build and HOF switch as ``_int_dot_fixed``."""
     if dim > V.UNROLL_MAX_DIM:
         return F.aggregate(
-            a, F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint")
+            F.col(a), F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint")
         )
-    acc = F.lit(0).cast("bigint")
-    for i in range(dim):
-        acc = acc + F.element_at(a, i + 1).cast("bigint")
-    return acc
+    terms = " + ".join(
+        f"cast(element_at({a}, {i + 1}) as bigint)" for i in range(dim)
+    )
+    return F.expr(f"cast(0 as bigint) + {terms}")
 
 
 def sq8_encode(
@@ -649,8 +720,8 @@ def sq8_encode(
     return out.select(
         id_col,
         "codes",
-        _int_sum_fixed(F.col("codes"), dim).alias("cs"),
-        _int_dot_fixed(F.col("codes"), F.col("codes"), dim).alias("nsq"),
+        _int_sum_fixed("codes", dim).alias("cs"),
+        _int_dot_fixed("codes", "codes", dim).alias("nsq"),
     )
 
 
@@ -719,7 +790,7 @@ def sq8_topk(
     # DuckDB mirror uses, so the score is engine-identical. This is why
     # the interval is global (Lucene's shape): per-dim offsets would
     # force per-dim float weights into the cross term.
-    codes = sq8_encode(emb, (mn, s), id_col=id_col, vec_col=vec_col, dim=dim)
+    codes = sq8_encode(spread(emb), (mn, s), id_col=id_col, vec_col=vec_col, dim=dim)
     return sq8_serve_codes(codes, queries, (mn, s), k=k, id_col=id_col,
                            vec_col=vec_col, dim=dim, rescore=rescore, emb=emb)
 
@@ -783,7 +854,7 @@ def sq8_serve_codes(
     # Arrow — there the array crosses once per row, not once per pair.
     rdot = F.lit(c0) + (
         (F.lit(a1) * (F.col("qcs") + F.col("ccs")).cast("double"))
-        + (F.lit(a2) * _int_dot_fixed(F.col("qc"), F.col("cc"), dim).cast("double"))
+        + (F.lit(a2) * _int_dot_fixed("qc", "cc", dim).cast("double"))
     )
     scored = (
         corpus.crossJoin(q)
@@ -835,8 +906,8 @@ def ivfsq8_encode(
     ).withColumn("codes", F.expr(_sq8_codes_expr(mn, s, dim)))
     return out.select(
         id_col, "cid", "codes",
-        _int_sum_fixed(F.col("codes"), dim).alias("cs"),
-        _int_dot_fixed(F.col("codes"), F.col("codes"), dim).alias("nsq"),
+        _int_sum_fixed("codes", dim).alias("cs"),
+        _int_dot_fixed("codes", "codes", dim).alias("nsq"),
     )
 
 
@@ -886,8 +957,8 @@ def ivfsq8_serve_codes(
             dbl.alias("v"),
         )
         .withColumn("qc", F.expr(_sq8_codes_expr(mn, s, dim)))
-        .withColumn("qcs", _int_sum_fixed(F.col("qc"), dim))
-        .withColumn("qnsq", _int_dot_fixed(F.col("qc"), F.col("qc"), dim))
+        .withColumn("qcs", _int_sum_fixed("qc", dim))
+        .withColumn("qnsq", _int_dot_fixed("qc", "qc", dim))
         .select(
             "query_id", "cid", "qc", "qcs",
             F.sqrt(_rn2(F.col("qcs"), F.col("qnsq"))).alias("qn"),
@@ -896,7 +967,7 @@ def ivfsq8_serve_codes(
     denom = F.col("qn") * F.col("cn")
     rdot = F.lit(c0) + (
         (F.lit(a1) * (F.col("qcs") + F.col("ccs")).cast("double"))
-        + (F.lit(a2) * _int_dot_fixed(F.col("qc"), F.col("cc"), dim).cast("double"))
+        + (F.lit(a2) * _int_dot_fixed("qc", "cc", dim).cast("double"))
     )
     scored = (
         corpus.join(F.broadcast(qf), "cid")
@@ -946,7 +1017,7 @@ def ivfsq8_topk(
     st = stats if stats is not None else sq8_stats(
         emb, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    index = ivfsq8_encode(emb, coarse, st, id_col=id_col, vec_col=vec_col, dim=dim)
+    index = ivfsq8_encode(spread(emb), coarse, st, id_col=id_col, vec_col=vec_col, dim=dim)
     return ivfsq8_serve_codes(
         index, queries, coarse, st, k=k, nprobe=nprobe, id_col=id_col,
         vec_col=vec_col, dim=dim, rescore=rescore, emb=emb,

@@ -792,8 +792,14 @@ def text_decontaminate(spark, sf_dir):
     broadcast of the benchmark grams and the per-doc count regroup."""
     docs = t(spark, sf_dir, "documents")
     grams = F.array_distinct(TX.word_ngrams(TX.tokens(F.col("text")), 4))
-    with_g = docs.select("doc_id", F.explode(grams).alias("g"))
-    bench = with_g.filter(F.col("doc_id") % 37 == 0).select("g").distinct()
+    # spread(): the corpus-side n-gram explode is the expensive stage
+    # and a single-file sf scan would run it on one task (no-op at
+    # corpus scale — see dedup.spread). The benchmark side re-derives
+    # from the raw scan: it explodes only the 1/37 benchmark slice, so
+    # sharing the spread frame would only add a shuffle to it.
+    with_g = DD.spread(docs).select("doc_id", F.explode(grams).alias("g"))
+    bench = docs.select("doc_id", F.explode(grams).alias("g")).filter(
+        F.col("doc_id") % 37 == 0).select("g").distinct()
     hits = (
         with_g.filter(F.col("doc_id") % 37 != 0)
         .join(F.broadcast(bench), "g")
@@ -889,37 +895,38 @@ def dedup_exact_substring(spark, sf_dir):
     Production uses k~50; the short synthetic docs use k=10 so the
     fixture carries ~2000 repeated occurrences.
 
-    Plan: windows are generated ROW-LOCALLY (posexplode of a transform
-    — no joins to build them), hashed, one groupBy on the window hash
-    (map-side combined) to find cross-doc repeats, one join back, one
-    per-doc regroup. The corpus shuffles only the (doc_id, pos, hash)
-    triples, never the text."""
+    Plan (r9): windows are generated ROW-LOCALLY (posexplode of a
+    transform — no joins to build them) EXACTLY ONCE over a spread()
+    scan, hashed, and the cross-doc-repeat flag is an unordered
+    min/max window over the hash partition (one Exchange on h) feeding
+    ONE per-doc regroup. The r8 form built the window table twice (a
+    separate groupBy(h) aggregate was broadcast-joined back into a
+    second posexplode subtree — Spark has no operator-level CSE, so
+    the whole interpreted n-gram build ran twice), and the
+    single-file sf0.1 scan ran each build on ONE task; spread() gives
+    the explode defaultParallelism and no-ops at corpus scale. The
+    corpus still shuffles only (doc_id, pos, hash) triples, never the
+    text; 8.2 s -> ~1.1 s at sf0.1, identical rows."""
     docs = t(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
     wnds = TX.word_ngrams(toks, 10)
     w = (
-        docs.select("doc_id", F.posexplode(wnds).alias("pos", "g"))
+        DD.spread(docs).select("doc_id", F.posexplode(wnds).alias("pos", "g"))
         .select("doc_id", (F.col("pos") + 1).alias("pos"), F.md5("g").alias("h"))
     )
-    # cross-doc <=> min(doc_id) != max(doc_id): single-phase min/max agg
-    # instead of count_distinct's two-phase expansion
-    rep = (
-        w.groupBy("h")
-        .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
-        .filter(F.col("__lo") != F.col("__hi"))
-        .select("h", F.lit(True).alias("__rep"))
-    )
-    # ONE per-doc regroup computes window count, repeat count and first
-    # repeated position together (the window build runs twice — rep agg
-    # + probe side — never a third time for sizes)
-    hit = F.col("__rep").isNotNull()
+    # cross-doc <=> min(doc_id) != max(doc_id) over the hash group:
+    # unordered analytic window (no sort key needed beyond the hash
+    # partition), so the repeat flag costs one Exchange and ZERO extra
+    # passes over the window build
+    hw = Window.partitionBy("h")
+    hit = F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
     per = (
-        w.join(rep, "h", "left")
+        w.withColumn("__rep", hit)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),
-            F.sum(F.when(hit, 1).otherwise(0)).alias("n_repeated"),
-            F.min(F.when(hit, F.col("pos"))).alias("first_repeat_pos"),
+            F.sum(F.when(F.col("__rep"), 1).otherwise(0)).alias("n_repeated"),
+            F.min(F.when(F.col("__rep"), F.col("pos"))).alias("first_repeat_pos"),
         )
     )
     return docs.select("doc_id").join(per, "doc_id", "left").select(
