@@ -211,26 +211,38 @@ def simhash16_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """(id, simhash) via explode -> groupBy bit-vote aggregation —
     semantically identical to functions/text.py::simhash16 but codegen'd
     (see minhash_signatures_agg for why). Docs with no tokens get 0."""
-    odd = "'1','3','5','7','9','b','d','f'"
     # md5 projected ONCE per token before the groupBy: aggregate-side
     # subexpression elimination is version-dependent, and 16 md5 calls
     # per token is the difference between hash-bound and scan-bound.
+    # r9: the two 8-hex-digit halves are parsed to integers once per
+    # token, so each vote is a shift+mask on a bigint instead of a
+    # substring + set-membership string compare — digit d's parity is
+    # bit 4*(8-d) (resp. 4*(16-d)) of the half, the identical boolean.
     ex = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(TX.tokens(F.col(text_col))).alias("t"),
-    ).select("id", F.md5("t").alias("h"))
+    ).select("id", F.md5("t").alias("h")).select(
+        "id",
+        F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)").alias("h2"),
+    )
+
+    def _bit(digit: int, bit: int) -> str:
+        half = "h1" if digit <= 8 else "h2"
+        shift = 4 * ((8 if digit <= 8 else 16) - digit) + bit
+        return f"((shiftright({half}, {shift}) & 1) = 1)"
+
     votes = [
-        F.sum(
-            F.when(F.expr(f"substring(h, {b + 1}, 1) in ({odd})"), 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.expr(f"sum(case when {_bit(b + 1, 0)} then 1 else -1 end) as v{b}")
         for b in range(16)
     ]
     agg = ex.groupBy("id").agg(*votes)
-    sh = sum(
-        [F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)],
-        F.lit(0),
+    # one JVM-parsed expression for the bit assembly (identical integer
+    # left fold; the py4j-composed when-chain cost ~100 driver calls)
+    sh = " + ".join(
+        f"(case when v{b} > 0 then {1 << b} else 0 end)" for b in range(16)
     )
-    sig = agg.select("id", sh.cast("int").alias("simhash"))
+    sig = agg.select("id", F.expr(f"cast(0 + {sh} as int) as simhash"))
     ids = docs.select(F.col(id_col).alias("id"))
     return ids.join(sig, "id", "left").select(
         "id", F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash")
@@ -247,31 +259,39 @@ def simhash64_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     sum. Same explode->aggregate shape as simhash16_agg."""
     # hash-once discipline: md5(t) is projected before the groupBy so the
     # 63 vote aggregates share one hash per token instead of evaluating
-    # md5 63 times (round-1 bench: this was the hottest headline query)
+    # md5 63 times (round-1 bench: this was the hottest headline query).
+    # r9: the first 16 hex digits are parsed to two bigint halves once
+    # per token; each vote is then one shift+mask — bit (b%4) of hex
+    # digit (b//4 + 1) is bit 4*(8-d)+(b%4) of the half, the identical
+    # boolean the locate(substring)-per-vote form computed with two
+    # string ops per token per bit.
     ex = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(TX.tokens(F.col(text_col))).alias("t"),
-    ).select("id", F.md5("t").alias("h"))
+    ).select("id", F.md5("t").alias("h")).select(
+        "id",
+        F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)").alias("h2"),
+    )
     votes = []
     for b in range(SIMHASH64_BITS):
         digit, bit = b // 4 + 1, b % 4
-        dv = f"(locate(substring(h, {digit}, 1), '0123456789abcdef') - 1)"
-        votes.append(
-            F.sum(
-                F.when(F.expr(f"(({dv} >> {bit}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"v{b}")
-        )
+        half = "h1" if digit <= 8 else "h2"
+        shift = 4 * ((8 if digit <= 8 else 16) - digit) + bit
+        votes.append(F.expr(
+            f"sum(case when ((shiftright({half}, {shift}) & 1) = 1) "
+            f"then 1 else -1 end) as v{b}"
+        ))
     agg = ex.groupBy("id").agg(*votes)
-    sh = sum(
-        [
-            F.when(F.col(f"v{b}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {b})")).otherwise(
-                F.lit(0).cast("long")
-            )
-            for b in range(SIMHASH64_BITS)
-        ],
-        F.lit(0).cast("long"),
+    # one JVM-parsed expression for the 63-bit assembly — the identical
+    # exact-integer left fold the py4j when-chain built with ~400 driver
+    # round trips (measured ~0.9 s of plan-BUILD per invocation)
+    sh = " + ".join(
+        f"(case when v{b} > 0 then shiftleft(cast(1 as bigint), {b}) "
+        f"else cast(0 as bigint) end)"
+        for b in range(SIMHASH64_BITS)
     )
-    sig = agg.select("id", sh.alias("simhash"))
+    sig = agg.select("id", F.expr(f"cast(0 as bigint) + {sh}").alias("simhash"))
     ids = docs.select(F.col(id_col).alias("id"))
     return ids.join(sig, "id", "left").select(
         "id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
@@ -565,16 +585,20 @@ def dedup_clusters(
                     F.col("a.member").alias("member"),
                     F.least(F.col("a.cluster"), F.col("b.cluster")).alias("cluster"),
                 )
-                # EAGER: a lazy checkpoint is only materialized by an
-                # action on the checkpointed frame itself — child jobs
-                # (the probe) recompute the self-join instead, measured
-                # 2x slower than paying the one materialization job here
-                .localCheckpoint(eager=True)
+                # LAZY (r9): with probe_every=1 the sum probe below is
+                # an action on THIS frame every round, so it materializes
+                # the checkpoint — one job per jump round instead of two
+                # (the r8 eager form paid a dedicated materialization job
+                # AND the probe; the r8 "2x slower" lazy measurement was
+                # for probes on CHILD frames, which recomputed the
+                # self-join — the probe now aggregates the checkpointed
+                # frame itself, so nothing recomputes).
+                .localCheckpoint(eager=False)
             )
             retired.append(new)
             new = jumped
         elif checkpoint_every and it % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
+            new = new.localCheckpoint(eager=False)
         if it % probe_every == 0 or it == max_iters:
             # min-labels only ever decrease: converged iff the exact
             # label sum is unchanged since the last probed frame. The

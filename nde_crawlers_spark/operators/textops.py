@@ -81,10 +81,17 @@ def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     separate token_stats + simhash16_agg composition (oracle-verified)."""
     from .dedup import spread
 
-    odd = "'1','3','5','7','9','b','d','f'"
+    # r9: the md5's first 16 hex digits are parsed into two bigint
+    # halves once per token, so each simhash vote below is a shift+mask
+    # instead of a substring + odd-digit set membership (digit parity =
+    # bit 4*(8-d) / 4*(16-d) of the half — the identical boolean).
     ex = spread(docs).select(
         F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("t")
-    ).select(id_col, "t", F.md5("t").alias("h"))
+    ).select(id_col, "t", F.md5("t").alias("h")).select(
+        id_col, "t",
+        F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)").alias("h2"),
+    )
     aggs = [F.count("*").alias("n_tokens")]
     for lang in TX.LANG_ORDER:
         aggs.append(
@@ -92,16 +99,17 @@ def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         )
     aggs.append(F.sum(F.when(F.col("t").isin(*TX.EN_STOPWORDS), 1).otherwise(0)).alias("sw_hits"))
     for b in range(16):
-        aggs.append(
-            F.sum(
-                F.when(F.expr(f"substring(h, {b + 1}, 1) in ({odd})"), 1).otherwise(-1)
-            ).alias(f"v{b}")
-        )
+        d = b + 1
+        half = "h1" if d <= 8 else "h2"
+        shift = 4 * ((8 if d <= 8 else 16) - d)
+        aggs.append(F.expr(
+            f"sum(case when ((shiftright({half}, {shift}) & 1) = 1) "
+            f"then 1 else -1 end) as v{b}"
+        ))
     stats = ex.groupBy(id_col).agg(*aggs)
-    simhash = sum(
-        [F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)],
-        F.lit(0),
-    )
+    simhash = F.expr("0 + " + " + ".join(
+        f"(case when v{b} > 0 then {1 << b} else 0 end)" for b in range(16)
+    ))
     rowlocal = docs.select(
         F.col(id_col), F.col(text_col).alias("__text"),
         F.md5(F.lower(F.col(text_col))).alias("__fp_fallback"),

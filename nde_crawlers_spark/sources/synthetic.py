@@ -57,10 +57,15 @@ def host_name(rank: int) -> str:
     return f"host-{rank:04d}.example.org"
 
 
+@_lru_cache(maxsize=64)
+def _log_hosts(num_hosts: int) -> float:
+    return math.log(num_hosts + 1)
+
+
 def zipf_host_rank(key: str, num_hosts: int) -> int:
     """Zipf(s=1)-ish rank via inverse log CDF: P(rank<=r) = ln(r+1)/ln(H+1)."""
     u = _frac("host:" + key)
-    return min(int(math.exp(u * math.log(num_hosts + 1))) - 1, num_hosts - 1)
+    return min(int(math.exp(u * _log_hosts(num_hosts))) - 1, num_hosts - 1)
 
 
 def make_seeds(num_urls: int, num_hosts: int, seed: int = 42) -> list[dict]:
@@ -121,7 +126,9 @@ def render_robots_txt(host: str) -> str:
 
 
 def _status_draw(url: str, attempt: int) -> int:
-    f = _frac(f"status:{url}#a{attempt}")
+    f = int.from_bytes(
+        hashlib.md5(f"status:{url}#a{attempt}".encode("utf-8")).digest()[:8], "big"
+    ) / 2**64
     if f < 0.93:
         return 200
     if f < 0.96:
@@ -169,7 +176,11 @@ def synth_latency_ms(canonical_url: str) -> int:
     fast, plus per-URL jitter — so per-host adapted delays genuinely
     diverge (slow host's budget shrinks, fast host's grows)."""
     host = host_of_url(canonical_url)
-    jitter = int(_frac("lat:" + canonical_url) * 240)
+    jitter = int(
+        int.from_bytes(
+            hashlib.md5(("lat:" + canonical_url).encode("utf-8")).digest()[:8], "big"
+        ) / 2**64 * 240
+    )
     return (1200 if _host_slow(host) else 80) + jitter
 
 
