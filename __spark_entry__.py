@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship crawl-scheduling query on sf0.001;
 ``queries()``/``oracle_sql()`` expose the full catalog from
-``nde_crawlers_spark`` — 82 entries as of r8, EVERY one oracle-checked
+``nde_crawlers_spark`` — 83 entries as of r8, EVERY one oracle-checked
 (78 catalog queries plus the e2e signature/documents rows,
 uploader_pipeline, and multimodal_features, whose former rows-only
 status closed in r8 via the geometry-relation VALUES mirror; the

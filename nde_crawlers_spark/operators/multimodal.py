@@ -31,6 +31,7 @@ nothing else changes.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -283,10 +284,13 @@ def decode_media(media: DataFrame, fake: bool = False, feature_dim: int = 8) -> 
                 if fake:
                     # fake mode is a TOTAL function: a truncated or
                     # unsupported-profile payload falls back to the
-                    # deterministic stub instead of killing the batch
+                    # deterministic stub instead of killing the batch.
+                    # struct.error included (r8 ADVICE): avi/mp4 fixed-
+                    # offset unpacks can raise it on short slices whose
+                    # declared chunk length fits the file
                     try:
                         row = _real(ref, kind, raw)
-                    except (ValueError, NotImplementedError):
+                    except (ValueError, NotImplementedError, struct.error):
                         row = None
                 else:
                     row = _real(ref, kind, raw)

@@ -162,6 +162,14 @@ def kmeans_codebook(
         # exploded aggregate, and the repartition costs more than the
         # one-task scan it parallelizes at this row count), so the r8
         # exploded-mean shape stays.
+        # ONE shuffle per iteration: the k*dim (cid, d, m) rows are
+        # collected directly and the centroid arrays assembled
+        # driver-side — the r8 second groupBy(cid) + collect_list
+        # existed only to do that assembly distributed, costing an
+        # extra Exchange per iteration for k*dim rows that are
+        # driver-bounded by construction (the same "m" values, so the
+        # trained centroids are bit-equal; determinism test + training
+        # oracle pin it).
         means = (
             assigned.select("cid", F.posexplode("v").alias("d", "x"))
             .groupBy("cid", "d")
@@ -171,15 +179,12 @@ def kmeans_codebook(
                     .cast("double") / F.count(F.lit(1))
                 ).cast("bigint").cast("double") / F.lit(1e6)).alias("m")
             )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.getField("m")
-                ).alias("centroid")
-            )
             .collect()
         )
-        new = {int(r["cid"]): [float(x) for x in r["centroid"]] for r in means}
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(int(r["cid"]), {})[int(r["d"])] = float(r["m"])
+        new = {c: [ds[d] for d in sorted(ds)] for c, ds in acc.items()}
         # empty lists keep their previous centroid (standard practice)
         cent = [(cid, new.get(cid, vec)) for cid, vec in cent]
     return cent

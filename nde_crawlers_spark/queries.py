@@ -680,6 +680,14 @@ def dedup_semantic_keepone(spark, sf_dir):
         "id_a", "id_b"
     )
     comp = DD.dedup_clusters(pairs)
+    # r9 restructure (identical rows): every comp member is either
+    # dropped (member != cluster) or IS its cluster's representative —
+    # so the roster aggregate, keyed by the representative id, already
+    # IS the non-singleton survivor set. Survivors = rosters UNION the
+    # ids that appear in no pair (anti-join, cluster_size 1). The r8
+    # form materialized a dropped set, anti-joined, then LEFT-joined
+    # the rosters back onto the survivor ids — one extra full join of
+    # two node tables for the same rows.
     rosters = comp.groupBy("cluster").agg(
         F.count("*").cast("int").alias("cluster_size"),
         F.array_join(
@@ -693,19 +701,19 @@ def dedup_semantic_keepone(spark, sf_dir):
             ),
             ",",
         ).alias("absorbed_csv"),
+    ).select(
+        F.col("cluster").alias("keep_id"), "cluster_size", "absorbed_csv"
     )
-    dropped = comp.filter(F.col("member") != F.col("cluster")).select(
-        F.col("member").alias("vec_id")
-    )
-    survivors = emb.select("vec_id").join(dropped, "vec_id", "left_anti")
-    return (
-        survivors.join(rosters, survivors.vec_id == rosters.cluster, "left")
+    singletons = (
+        emb.select(F.col("vec_id").alias("keep_id"))
+        .join(comp.select(F.col("member").alias("keep_id")), "keep_id", "left_anti")
         .select(
-            F.col("vec_id").alias("keep_id"),
-            F.coalesce("cluster_size", F.lit(1)).cast("int").alias("cluster_size"),
-            F.coalesce("absorbed_csv", F.lit("")).alias("absorbed_csv"),
+            "keep_id",
+            F.lit(1).cast("int").alias("cluster_size"),
+            F.lit("").alias("absorbed_csv"),
         )
     )
+    return rosters.unionByName(singletons)
 
 
 def text_gopher_quality(spark, sf_dir):
@@ -950,16 +958,25 @@ def text_importance_weights(spark, sf_dir):
     per-doc regroup; the two vocab tables are broadcast (bounded by
     vocabulary size, not corpus size)."""
     docs = t(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok"))
-    ct = tk.filter(F.col("lang") == "en").groupBy("tok").agg(F.count("*").alias("c_t"))
-    cs = tk.groupBy("tok").agg(F.count("*").alias("c_s"))
+    tk = DD.spread(docs).select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    # ONE vocab aggregation (r9): target and corpus token masses come
+    # from the same groupBy via a conditional count — the r8 form ran
+    # TWO independent corpus explodes (ct and cs), a third for the
+    # regroup; now the corpus is exploded twice total, and the vocab
+    # table carries both columns (c_t = 0 for tokens with no target
+    # occurrences, exactly what the old left join + coalesce produced).
+    vocab = tk.groupBy("tok").agg(
+        F.count("*").alias("c_s"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("c_t"),
+    )
     per = (
-        tk.join(F.broadcast(ct), "tok", "left")
-        .join(F.broadcast(cs), "tok")
+        tk.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_toks"),
-            F.sum(F.coalesce("c_t", F.lit(0))).alias("sum_ct"),
+            F.sum("c_t").alias("sum_ct"),
             F.sum("c_s").alias("sum_cs"),
         )
     )
@@ -1310,7 +1327,12 @@ def enrich_theta_contains(spark, sf_dir):
 def tpch_q1(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        # spread(): the per-row decimal casts + partial aggregation run
+        # inside the SCAN stage, and the sandbox lineitem is 3 splits —
+        # 3 of 32 cores did all the work (A/B: 1.13 -> 0.73 s, rows
+        # equal; the exact decimal sums are order-independent by
+        # design). No-op at corpus scale (see dedup.spread).
+        DD.spread(li.filter(F.col("l_shipdate") <= F.lit("1998-09-01")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),

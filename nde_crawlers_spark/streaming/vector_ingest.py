@@ -129,6 +129,13 @@ class StreamingVectorIngest:
         q.awaitTermination()
 
     def _process_batch(self, vecs: DataFrame, batch_id: int) -> None:
+        if vecs.isEmpty():
+            # an empty micro-batch (e.g. an empty parquet dropped into
+            # incoming/) must not freeze stats over zero rows — the
+            # None->float conversion would kill the stream; defer the
+            # batch-0 freeze to the first NON-empty batch and write no
+            # delta (r8 verdict, "what's wrong" #3)
+            return
         st = self.stats()
         if st is None:
             # batch 0 IS the base cohort: train and freeze. Replay-safe
