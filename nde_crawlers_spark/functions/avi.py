@@ -92,8 +92,12 @@ def encode_avi_mjpeg(width: int, height: int, fps: int,
     avih = _chunk(b"avih", struct.pack(
         "<IIIIIIIIII4x4x4x4x",
         uspf, 0, 0, 0x10, len(frames), 0, 1, 0, width, height))
+    # body ends at dwSampleSize (offset 48) so the 4H rect lands exactly
+    # on rcFrame and the body is the canonical 56 bytes (r8 ADVICE: the
+    # earlier pack carried one extra DWORD past dwSampleSize, shifting
+    # rcFrame to offset 52 for a spec-strict parser)
     strh = _chunk(b"strh", b"vids" + b"MJPG" + struct.pack(
-        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0)
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0)
         + struct.pack("<4H", 0, 0, width, height))  # rcFrame per spec
     strf = _chunk(b"strf", struct.pack(
         "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",

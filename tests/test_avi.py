@@ -160,11 +160,14 @@ def test_00db_frame_chunks_are_collected():
 
 
 def test_strh_carries_rcframe_tail():
-    """The strh payload must carry the spec's 8-byte rcFrame RECT
-    (left, top, right, bottom) as its tail: 52 header bytes + 8."""
+    """The strh body must be the spec-canonical 56 bytes — fields
+    through dwSampleSize end at offset 48, and the 8-byte rcFrame RECT
+    (left, top, right, bottom) occupies 48..56 (r9: the r8 body carried
+    one extra DWORD past dwSampleSize, so a spec-strict parser read
+    rcFrame as zeros with 4 trailing bytes)."""
     data = encode_avi_mjpeg(32, 24, 4, [])
     at = data.find(b"strh")
     (length,) = struct.unpack("<I", data[at + 4:at + 8])
-    assert length == 60
+    assert length == 56
     body = data[at + 8:at + 8 + length]
-    assert struct.unpack("<4H", body[-8:]) == (0, 0, 32, 24)
+    assert struct.unpack("<4H", body[48:56]) == (0, 0, 32, 24)
