@@ -96,10 +96,31 @@ class StreamingVectorIngest:
             return None
         return [(int(c), v) for c, v in d["coarse"]]
 
+    def last_committed_batch(self) -> int | None:
+        """Highest batch id the streaming checkpoint has COMMITTED (the
+        commits log is written only after ``_process_batch`` returns),
+        or None when no commit exists yet."""
+        d = self._dir("checkpoint/commits")
+        if not os.path.isdir(d):
+            return None
+        ids = [int(f) for f in os.listdir(d) if f.isdigit()]
+        return max(ids) if ids else None
+
     def codes(self, before_batch: int | None = None) -> DataFrame:
-        """The persisted code store: union of committed per-batch
-        deltas, optionally restricted to batches strictly before
-        ``before_batch`` (the replay guard)."""
+        """The persisted code store: union of COMMITTED per-batch
+        deltas. By default only batches the streaming checkpoint has
+        committed are read (r8 ADVICE: a delta written by a batch that
+        crashed before its checkpoint commit — or a partially-written
+        dir — must not surface in serve(); its replay will idempotently
+        overwrite the same dir and then commit). ``before_batch``
+        overrides the cut to batches strictly below it (the explicit
+        replay guard)."""
+        if before_batch is None:
+            last = self.last_committed_batch()
+            # no commits log (e.g. a store populated out-of-band, or a
+            # pre-first-commit crash): fall back to every delta dir —
+            # deterministic content either way, per the encode contract
+            before_batch = None if last is None else last + 1
         base = self._dir("codes")
         parts = []
         for d in sorted(os.listdir(base)):

@@ -201,3 +201,33 @@ def test_empty_batch_zero_defers_freeze(spark, tmp_path):
         tuple(r) for r in sq8_topk(emb, q, k=10, stats=frozen).collect()
     )
     assert got == want
+
+
+def test_uncommitted_delta_not_served(spark, ingested):
+    """A delta dir written by a batch that never reached its checkpoint
+    commit (crash between the parquet write and the commit) must NOT
+    surface in codes()/serve(); after the simulated crash is cleaned
+    up, serving is unchanged (r8 ADVICE)."""
+    import shutil
+
+    vi, emb = ingested
+    q = emb.filter(F.col("vec_id") < 5)
+    want = sorted(tuple(r) for r in vi.serve(q, k=10).collect())
+    n_committed = vi.codes().count()
+    # simulate: a future batch id's delta lands on disk, no commit
+    fake = os.path.join(vi.root, "codes", "batch=000099")
+    emb.limit(7).selectExpr(
+        "vec_id + 100000 as vec_id",
+        "transform(embedding, x -> x) as codes_src",
+    ).selectExpr(
+        "vec_id",
+        "transform(sequence(1, 64), i -> 1) as codes",
+        "cast(64 as long) as cs", "cast(64 as long) as nsq",
+    ).write.mode("overwrite").parquet(fake)
+    try:
+        assert vi.last_committed_batch() == 2
+        assert vi.codes().count() == n_committed  # phantom rows excluded
+        got = sorted(tuple(r) for r in vi.serve(q, k=10).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(fake, ignore_errors=True)
