@@ -68,10 +68,17 @@ def _exact_rescore(
     )
     cv = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        V.norm_pd(dim)(F.col(vec_col)).alias("cn"),
     )
     rescored = (
+        # candidate join FIRST, norms after (r9): the corpus norm is
+        # needed for the Q*k*r surviving rows only — computing it
+        # before the join ran the Arrow norm kernel over the ENTIRE
+        # corpus (a full-corpus Python pass per rescored query at 10^9
+        # vectors, and a separate single-task Arrow stage at sandbox
+        # SFs). Bit-identical: the same kernel on the same vectors,
+        # just after the filter-by-join.
         cv.join(cand, "neighbor_id")
+        .withColumn("cn", V.norm_pd(dim)(F.col("cv")))
         .join(qv, "query_id")
         .withColumn(
             "cosine",
