@@ -480,6 +480,7 @@ def dedup_clusters(
     jump_every: int = 2,
     jump_start: int = 2,
     stats: dict | None = None,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Connected components over candidate duplicate pairs — the cluster
     step every large-scale fuzzy-dedup pipeline runs AFTER pair
@@ -520,13 +521,22 @@ def dedup_clusters(
     ``'iterations'``.
 
     ``pairs``: (id_a, id_b). Returns (member, cluster) where cluster =
-    min member id of the component — deterministic representative."""
-    edges = (
-        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
-        .unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
-        .distinct()
-        .cache()
-    )
+    min member id of the component — deterministic representative.
+
+    ``dedupe_edges=False`` skips the edge-set distinct (a full shuffle
+    of the edge table before the loop): duplicate edges NEVER change
+    the min-aggregation result, they only inflate every round's join,
+    so callers whose pair generators already emit distinct (id_a <
+    id_b) pairs — both in-repo callers do — can skip the pass; leave
+    it on for inputs of unknown multiplicity."""
+    edges = pairs.select(
+        F.col("id_a").alias("x"), F.col("id_b").alias("y")
+    ).unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+    if dedupe_edges:
+        # (id_a < id_b) rows and their reversals are disjoint, so this
+        # only collapses duplicates already present in ``pairs``
+        edges = edges.distinct()
+    edges = edges.cache()
     # round 0 fused with init: label = min(self, direct neighbors) in one
     # aggregation (a separate identity init would spend a whole loop
     # round rediscovering the direct neighborhood)

@@ -61,8 +61,14 @@ def _positions(h1: np.ndarray, h2: np.ndarray, nhashes: int, nbits: int) -> np.n
 
 
 def filter_unseen_exact(candidates: DataFrame, seen: DataFrame, key: str = "url_hash") -> DataFrame:
-    """Exact unseen filter: left-anti join on the hash key."""
-    return candidates.join(seen.select(key).distinct(), on=key, how="left_anti")
+    """Exact unseen filter: left-anti join on the hash key.
+
+    No distinct on the seen side (r9): LEFT ANTI keeps a candidate iff
+    NO matching seen row exists — duplicate seen keys cannot change the
+    output — and the r8 distinct cost a full dedup shuffle+aggregate of
+    the seen table per call (the whole 10^10-key table per crawl round
+    at the design point)."""
+    return candidates.join(seen.select(key), on=key, how="left_anti")
 
 
 def write_seen_bucketed(seen: DataFrame, table: str, buckets: int = 64, key: str = "url_hash") -> None:
@@ -298,7 +304,9 @@ def filter_unseen_bloom_segmented(
     # anti-join's exchange (one extra narrow shuffle) instead of
     # through a second full probe (shuffle + Python) — strictly less
     # work in both regimes.
-    seen_keys = seen.select(F.col(key).alias("__seen_key")).distinct()
+    # no distinct: anti-join output is invariant to right-side
+    # multiplicity (see filter_unseen_exact)
+    seen_keys = seen.select(F.col(key).alias("__seen_key"))
     return (
         probed.join(
             seen_keys,

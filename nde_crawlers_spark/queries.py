@@ -654,7 +654,9 @@ def dedup_cluster_components(spark, sf_dir):
     Oracle: DuckDB recursive CTE computing min-reachable-id."""
     docs = t(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_candidates(docs, shingle_n=3, bands=4, rows_per_band=2)
-    comp = DD.dedup_clusters(pairs)
+    # the LSH candidate generator already emits distinct (id_a < id_b)
+    # pairs — skip the edge-dedup shuffle (see dedup_clusters)
+    comp = DD.dedup_clusters(pairs, dedupe_edges=False)
     return comp.groupBy("cluster").agg(
         F.count("*").cast("int").alias("n_members"),
         F.array_join(
@@ -679,7 +681,9 @@ def dedup_semantic_keepone(spark, sf_dir):
     pairs = DD.embedding_near_dup_pairs(emb, threshold=0.2, bucket_bits=8).select(
         "id_a", "id_b"
     )
-    comp = DD.dedup_clusters(pairs)
+    # near-dup pair generation emits each unordered pair once — skip
+    # the edge-dedup shuffle (see dedup_clusters)
+    comp = DD.dedup_clusters(pairs, dedupe_edges=False)
     # r9 restructure (identical rows): every comp member is either
     # dropped (member != cluster) or IS its cluster's representative —
     # so the roster aggregate, keyed by the representative id, already
