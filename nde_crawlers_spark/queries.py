@@ -771,7 +771,6 @@ def text_repetition(spark, sf_dir):
     no shuffle; the standard pre-dedup quality signal for boilerplate-
     heavy crawls."""
     docs = t(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
 
     def dup_frac(arr):
         n = F.size(arr)
@@ -780,12 +779,25 @@ def text_repetition(spark, sf_dir):
             ftrunc(F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / n.cast("double"), 6),
         ).otherwise(F.lit(0.0))
 
-    return docs.select(
+    # r9: build each shingle array ONCE in a lower projection — the
+    # inline form referenced every interpreted HOF array (tokens,
+    # 2-gram, 3-gram builds) twice per row (size + array_distinct; HOF
+    # transforms are CodegenFallback, and Spark does not collapse
+    # projections that would duplicate non-cheap exprs but happily
+    # evaluates multi-reference inline exprs repeatedly) — and spread()
+    # the single-file scan. 20.4 s -> ~1 s at sf0.1, identical rows.
+    arrays = DD.spread(docs).select(
         "doc_id",
-        F.size(toks).cast("int").alias("n_words"),
-        dup_frac(toks).alias("dup_word_frac"),
-        dup_frac(TX.shingles(F.col("text"), 2)).alias("dup_2gram_frac"),
-        dup_frac(TX.shingles(F.col("text"), 3)).alias("dup_3gram_frac"),
+        TX.tokens(F.col("text")).alias("__t"),
+        TX.shingles(F.col("text"), 2).alias("__g2"),
+        TX.shingles(F.col("text"), 3).alias("__g3"),
+    )
+    return arrays.select(
+        "doc_id",
+        F.size("__t").cast("int").alias("n_words"),
+        dup_frac(F.col("__t")).alias("dup_word_frac"),
+        dup_frac(F.col("__g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("__g3")).alias("dup_3gram_frac"),
     )
 
 
