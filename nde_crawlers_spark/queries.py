@@ -621,12 +621,18 @@ def text_bpe_tokens(spark, sf_dir):
     standard corpus-quality diagnostic for tokenizer budgeting."""
     docs = t(spark, sf_dir, "documents")
     pat = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
-    ws = F.size(TX.tokens(F.col("text")))
-    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(1)))
-    return docs.select(
+    # r9: counts projected once — the inline form re-ran the HOF token
+    # split and the regex extraction per reference (3x and 2x per row)
+    counts = docs.select(
         "doc_id",
-        ws.alias("n_ws"),
-        bpe.alias("n_bpe"),
+        F.size(TX.tokens(F.col("text"))).alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(1))).alias("n_bpe"),
+    )
+    ws, bpe = F.col("n_ws"), F.col("n_bpe")
+    return counts.select(
+        "doc_id",
+        "n_ws",
+        "n_bpe",
         F.when(ws > 0, ftrunc(bpe.cast("double") / ws.cast("double"), 4))
         .otherwise(F.lit(0.0)).alias("fertility"),
     )
@@ -729,23 +735,44 @@ def text_gopher_quality(spark, sf_dir):
     from .oracles import LANGS
 
     docs = t(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    nw = F.size(toks)
-    nwd = F.when(nw > 0, nw.cast("double")).otherwise(F.lit(1.0))
-    mean_wl = F.length(F.concat_ws("", toks)) / nwd
-    symbols = (
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"(#)"), F.lit(1)))
-        + F.size(F.regexp_extract_all(F.col("text"), F.lit(r"(\.\.\.)"), F.lit(1)))
-    )
-    sym_ratio = symbols.cast("double") / nwd
-    lines = F.split(F.col("text"), "\n")
-    nl = F.size(lines)
-    bullets = F.size(
-        F.filter(lines, lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"))
-    )
-    bullet_frac = F.when(nl > 0, bullets.cast("double") / nl.cast("double")).otherwise(F.lit(0.0))
+    # r9: staged projections so every interpreted/expensive expression
+    # (the HOF token split/filter, line split, regex extracts) is
+    # evaluated ONCE per row — the r8 inline form re-evaluated tokens()
+    # for each of its ~6 references (size, concat_ws, stopword filter,
+    # the keep predicate's repeats); multi-reference inline exprs
+    # re-evaluate, and only an explicit projection boundary stops it.
+    # Bit-identical columns (oracle parity).
     stops = F.array(*[F.lit(w) for w in LANGS["en"]])
-    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    arrays = docs.select(
+        "doc_id",
+        TX.tokens(F.col("text")).alias("__t"),
+        F.split(F.col("text"), "\n").alias("__lines"),
+        (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"(#)"), F.lit(1)))
+            + F.size(F.regexp_extract_all(F.col("text"), F.lit(r"(\.\.\.)"), F.lit(1)))
+        ).alias("__symbols"),
+    )
+    toks = F.col("__t")
+    lines = F.col("__lines")
+    stats = arrays.select(
+        "doc_id",
+        F.size(toks).alias("__nw"),
+        F.length(F.concat_ws("", toks)).alias("__clen"),
+        F.col("__symbols"),
+        F.size(lines).alias("__nl"),
+        F.size(
+            F.filter(lines, lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"))
+        ).alias("__bullets"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stops, x))).alias("__stop_hits"),
+    )
+    nw = F.col("__nw")
+    nwd = F.when(nw > 0, nw.cast("double")).otherwise(F.lit(1.0))
+    mean_wl = F.col("__clen") / nwd
+    sym_ratio = F.col("__symbols").cast("double") / nwd
+    bullet_frac = F.when(
+        F.col("__nl") > 0, F.col("__bullets").cast("double") / F.col("__nl").cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.col("__stop_hits")
     keep = (
         (nw >= 10) & (nw <= 10000)
         & (mean_wl >= 3.0) & (mean_wl <= 12.0)
@@ -753,7 +780,7 @@ def text_gopher_quality(spark, sf_dir):
         & (bullet_frac <= 0.9)
         & (stop_hits >= 2)
     )
-    return docs.select(
+    return stats.select(
         "doc_id",
         nw.cast("int").alias("n_words"),
         ftrunc(mean_wl, 4).alias("mean_word_len"),
@@ -901,11 +928,16 @@ def text_pii_scrub(spark, sf_dir):
     )
     email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
     ip_re = r"\d+\.\d+\.\d+\.\d+"
-    scrubbed = F.regexp_replace(F.regexp_replace(planted, email_re, "<EMAIL>"), ip_re, "<IP>")
-    return docs.select(
+    # r9: the planted text is projected once — the inline form rebuilt
+    # the concat for each of its four references (two counts, two
+    # replaces); the regex passes themselves are the intended work
+    base = docs.select("doc_id", planted.alias("__planted"))
+    pl = F.col("__planted")
+    scrubbed = F.regexp_replace(F.regexp_replace(pl, email_re, "<EMAIL>"), ip_re, "<IP>")
+    return base.select(
         "doc_id",
-        F.regexp_count(planted, F.lit(email_re)).cast("int").alias("n_emails"),
-        F.regexp_count(planted, F.lit(ip_re)).cast("int").alias("n_ips"),
+        F.regexp_count(pl, F.lit(email_re)).cast("int").alias("n_emails"),
+        F.regexp_count(pl, F.lit(ip_re)).cast("int").alias("n_ips"),
         F.md5(scrubbed).alias("scrub_key"),
     )
 
